@@ -1,0 +1,31 @@
+"""gpuintegration_tpu: TPU-native numerical-integration framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Fermilab's
+gpuintegration library (PAGANI adaptive cubature + mcubes/VEGAS Monte
+Carlo), built TPU-first: batched rule evaluation as MXU matmuls, the
+adaptive loop over fixed-shape padded region pools, deterministic
+reductions instead of atomics, counter-based PRNG, and jax.sharding for
+multi-chip scale-out.
+"""
+import os
+
+import jax
+
+# High-accuracy cubature (1e-6..1e-9 relative tolerances) requires f64
+# accumulation; enable x64 unless the embedding application opts out.
+if not os.environ.get("GPUINT_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+from gpuintegration_tpu.types import IntegrationResult, Volume, unit_volume  # noqa: E402
+from gpuintegration_tpu.integrand import make_integrand  # noqa: E402
+from gpuintegration_tpu.pagani.workspace import Workspace  # noqa: E402
+
+__all__ = [
+    "IntegrationResult",
+    "Volume",
+    "unit_volume",
+    "make_integrand",
+    "Workspace",
+]
+
+__version__ = "0.1.0"

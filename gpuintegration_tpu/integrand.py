@@ -1,0 +1,93 @@
+"""Integrand protocol and adapters.
+
+The reference accepts C++ functors with one double argument per dimension,
+deducing ndim at compile time (reference: cubacpp/cubacpp/arity.hh:36-75,
+integrand_traits.hh:81-93; device dispatch via gpu::apply,
+common/cuda/cudaApply.cuh:7-25).  The TPU-native analogue:
+
+* canonical form: a *batched* JAX-traceable callable ``f(x)`` mapping an
+  array of shape (..., ndim) to (...).
+* ergonomic forms accepted by ``make_integrand``:
+    - scalar-per-axis functions ``f(x0, ..., x{n-1})`` (cubacpp style);
+      arity gives ndim automatically,
+    - single-argument functions; ndim must be supplied,
+    - objects with ``__call__`` (stateful integrands; state is captured as
+      a closure over device arrays -- the pytree analogue of
+      quad::cuda_copy_to_managed, common/cuda/cudaMemoryUtil.h:345-353).
+"""
+from __future__ import annotations
+
+import inspect
+import weakref
+from typing import Callable
+
+import jax
+
+# Wrapper memo so repeated integrate() calls with the same user callable
+# reuse the same batched closure -- keeping jax.jit caches warm across runs
+# (a fresh closure per call would recompile the hot rule kernel every run).
+_WRAPPER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _positional_arity(f: Callable) -> int | None:
+    """Count positional parameters; None when not introspectable/variadic."""
+    try:
+        target = f if inspect.isfunction(f) or inspect.ismethod(f) else f.__call__
+        sig = inspect.signature(target)
+    except (TypeError, ValueError):
+        return None
+    count = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            count += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return None
+    return count
+
+
+def make_integrand(f: Callable, ndim: int | None = None) -> tuple[Callable, int]:
+    """Normalise ``f`` to batched form; return (batched_f, ndim).
+
+    Deduces ndim from positional arity when possible (cubacpp
+    arity.hh:36-75 parity); scalar-per-axis callables are wrapped to accept
+    (..., ndim) arrays by unstacking the trailing axis.
+    """
+    try:
+        cached = _WRAPPER_CACHE.get(f)
+    except TypeError:  # unhashable/weakref-unsupported callables
+        cached = None
+    if cached is not None:
+        got_f, got_ndim = cached
+        if ndim is None or ndim == got_ndim:
+            return got_f, got_ndim
+
+    out = _make_integrand_uncached(f, ndim)
+    try:
+        _WRAPPER_CACHE[f] = out
+    except TypeError:
+        pass
+    return out
+
+
+def _make_integrand_uncached(f, ndim):
+    arity = _positional_arity(f)
+    if arity is not None and arity > 1:
+        if ndim is not None and ndim != arity:
+            raise ValueError(
+                f"integrand takes {arity} positional args but ndim={ndim}")
+        n = arity
+
+        def batched(x):
+            return f(*[x[..., d] for d in range(n)])
+
+        return batched, n
+
+    if ndim is None:
+        raise ValueError(
+            "cannot deduce ndim from a single-argument integrand; "
+            "pass ndim explicitly")
+
+    def batched1(x):
+        return f(x)
+
+    return batched1, ndim

@@ -1,0 +1,192 @@
+"""Batched Genz-Malik rule application over a region pool.
+
+TPU-native re-expression of the reference's PHASE1 sampling kernel
+(reference: cuda/pagani/quad/GPUquad/Phases.cuh:301-404 INTEGRATE_GPU_PHASE1;
+Sample.cuh:103-290 SampleRegionBlock/computePermutation).  Instead of one
+CUDA block per region with 64 threads strided over rule points, we evaluate
+*all rule points of all regions at once*:
+
+  x[r, p, d] = global_lo[d] + (center[r,d] - gen[p,d] * len[r,d]) * range[d]
+  vals[r, p] = f(x[r, p, :]) * jacobian          (jacobian = prod(range))
+  sums[r, :] = vals @ W                          (one MXU matmul, W: feval x 5)
+
+then the fourth-difference bisection dimension (Sample.cuh:194-218), the
+null-rule error model (Sample.cuh:264-288), and the per-region estimate.
+
+Memory is bounded by evaluating the region axis in fixed-size chunks with
+``lax.map`` so the (chunk, feval) intermediate stays small; the caller picks
+chunk size from a VMEM/HBM budget.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.ops.genz_malik import NRULES, genz_malik_rule
+
+# Error-gate coefficients of the CUHRE error model (Sample.cuh:283).
+_ERRCOEFF = (5.0, 1.0, 5.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuleTables:
+    """Device-resident constant tables for one (ndim, dtype) pair."""
+
+    ndim: int
+    feval: int            # true number of rule points
+    feval_padded: int     # padded to a lane multiple for MXU tiling
+    gen: jax.Array        # (feval_padded, ndim) signed abscissae
+    wts: jax.Array        # (feval_padded, NRULES)
+    scale: jax.Array      # (NSETS, NRULES)
+    norm: jax.Array       # (NSETS, NRULES)
+    ratio: float
+
+
+@functools.lru_cache(maxsize=None)
+def rule_tables(ndim: int, dtype_name: str = "float64") -> RuleTables:
+    dtype = jnp.dtype(dtype_name)
+    rule = genz_malik_rule(ndim)
+    pts, wts = rule.padded(128)
+    return RuleTables(
+        ndim=ndim,
+        feval=rule.feval,
+        feval_padded=pts.shape[0],
+        gen=jnp.asarray(pts, dtype=dtype),
+        wts=jnp.asarray(wts, dtype=dtype),
+        scale=jnp.asarray(rule.scale, dtype=dtype),
+        norm=jnp.asarray(rule.norm, dtype=dtype),
+        ratio=float(rule.ratio),
+    )
+
+
+def _eval_chunk(
+    f: Callable[[jax.Array], jax.Array],
+    tables: RuleTables,
+    lows: jax.Array,       # (C, ndim) region lower bounds, unit space
+    lengths: jax.Array,    # (C, ndim) region lengths, unit space
+    global_lo: jax.Array,  # (ndim,)
+    global_range: jax.Array,  # (ndim,)
+):
+    """Apply the rule to a chunk of C regions.
+
+    Returns (estimate (C,), errorest (C,), split_dim (C,) int32).
+    ``f`` must be batched: maps (..., ndim) -> (...).
+    """
+    ndim = tables.ndim
+    dtype = lows.dtype
+    center = lows + 0.5 * lengths                         # (C, ndim)
+    # Point mapping parity with Sample.cuh:126-131:
+    #   x = gl + ((.5+g)*lower + (.5-g)*upper) * range
+    #     = gl + (center - g*length) * range
+    x = (global_lo
+         + (center[:, None, :]
+            - tables.gen[None, :, :] * lengths[:, None, :])
+         * global_range)                                   # (C, P, ndim)
+    jacobian = jnp.prod(global_range)
+    vals = f(x) * jacobian                                 # (C, P)
+    vals = vals.astype(dtype)
+
+    # Five embedded rule sums in a single MXU contraction.
+    sums = jax.lax.dot_general(
+        vals, tables.wts,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    )                                                      # (C, NRULES)
+
+    # Fourth-difference bisection dimension (Sample.cuh:194-218):
+    # diff_d = |2(1-ratio) f0 + ratio (f1p+f1m) - (f2p+f2m)| where the a1
+    # orbit occupies points 1..2n (pairs per dim) and the a2 orbit 2n+1..4n.
+    f0 = vals[:, 0]                                        # (C,)
+    orbit1 = vals[:, 1:1 + 2 * ndim].reshape(-1, ndim, 2).sum(-1)   # (C, n)
+    orbit2 = vals[:, 1 + 2 * ndim:1 + 4 * ndim].reshape(-1, ndim, 2).sum(-1)
+    ratio = jnp.asarray(tables.ratio, dtype)
+    fourth_diff = jnp.abs(
+        (2.0 * (1.0 - ratio)) * f0[:, None] + ratio * orbit1 - orbit2)
+    # Reference semantics: strict '>' scan starting from maxdiff=0 with
+    # fallback to the widest dimension, so when every diff is 0 (or NaN) the
+    # widest dim is used; otherwise first-argmax wins (Sample.cuh:202-218).
+    widest = jnp.argmax(lengths, axis=1).astype(jnp.int32)
+    best = jnp.argmax(fourth_diff, axis=1).astype(jnp.int32)
+    any_positive = jnp.max(fourth_diff, axis=1) > 0
+    split_dim = jnp.where(any_positive, best, widest)
+
+    # Null-rule error model (Sample.cuh:264-288): for r in {1,2,3},
+    # e_r = max_s |S[r+1] + scale[s,r]*S[r]| * norm[s,r].
+    s_r = sums[:, 1:4]                                     # (C, 3)
+    s_r1 = sums[:, 2:5]                                    # (C, 3)
+    # scale/norm columns 1..3 -> (NSETS, 3)
+    sc = tables.scale[:, 1:4]
+    nm = tables.norm[:, 1:4]
+    errs = jnp.max(
+        jnp.abs(s_r1[:, None, :] + sc[None, :, :] * s_r[:, None, :])
+        * nm[None, :, :],
+        axis=1,
+    )                                                      # (C, 3)
+    e1, e2, e3 = errs[:, 0], errs[:, 1], errs[:, 2]
+    gated = jnp.where(
+        (_ERRCOEFF[0] * e1 <= e2) & (_ERRCOEFF[0] * e2 <= e3),
+        _ERRCOEFF[1] * e1,
+        _ERRCOEFF[2] * jnp.maximum(jnp.maximum(e1, e2), e3),
+    )
+
+    vol = jnp.prod(lengths, axis=1)                        # unit-space volume
+    estimate = vol * sums[:, 0]
+    errorest = vol * gated
+    return estimate, errorest, split_dim
+
+
+def apply_rule(
+    f: Callable[[jax.Array], jax.Array],
+    tables: RuleTables,
+    lows: jax.Array,
+    lengths: jax.Array,
+    global_lo: jax.Array,
+    global_range: jax.Array,
+    *,
+    chunk_size: int | None = None,
+):
+    """Apply the rule to the whole (possibly padded) region pool.
+
+    ``lows``/``lengths``: (R, ndim).  If ``chunk_size`` divides R the pool is
+    processed in chunks via ``lax.map`` to bound the (R, feval) intermediate;
+    otherwise it is evaluated in one shot.
+
+    Returns (estimate (R,), errorest (R,), split_dim (R,)).
+    Padded (zero-length) regions yield zero estimate/error since their unit
+    volume is zero.
+    """
+    n = lows.shape[0]
+    if chunk_size is None or n <= chunk_size or n % chunk_size != 0:
+        return _eval_chunk(f, tables, lows, lengths, global_lo, global_range)
+
+    def body(args):
+        lo, ln = args
+        return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
+
+    num_chunks = n // chunk_size
+    lo_c = lows.reshape(num_chunks, chunk_size, -1)
+    ln_c = lengths.reshape(num_chunks, chunk_size, -1)
+    est, err, sd = jax.lax.map(body, (lo_c, ln_c))
+    return est.reshape(n), err.reshape(n), sd.reshape(n)
+
+
+def default_chunk_size(ndim: int, pool_size: int, dtype_bytes: int = 8,
+                       budget_bytes: int = 256 * 1024 * 1024) -> int | None:
+    """Pick a region chunk size so the (chunk, feval_padded) activations stay
+    within ``budget_bytes``.  Returns None when no chunking is needed."""
+    feval = rule_tables(ndim).feval_padded
+    per_region = feval * (ndim + 2) * dtype_bytes
+    chunk = max(256, budget_bytes // max(per_region, 1))
+    # round down to a power of two for shape reuse
+    chunk = 1 << (chunk.bit_length() - 1)
+    if pool_size <= chunk:
+        return None
+    # need chunk to divide pool (pools are power-of-two padded)
+    while pool_size % chunk != 0:
+        chunk >>= 1
+    return chunk

@@ -1,0 +1,193 @@
+"""Memory-pressure heuristic classifier.
+
+Re-expression of Heuristic_classifier (reference:
+cuda/pagani/quad/GPUquad/heuristic_classifier.cuh:147-452).  When the next
+2x split would overflow the region-pool budget (the TPU analogue of the
+reference's 16 GB device-memory model, heuristic_classifier.cuh:89-94), we
+binary-search an error threshold such that
+
+  * at most ``max_active_pct`` of regions stay active (fits the pool), and
+  * the error of the regions forcibly finished stays within
+    ``max_budget_pct`` of the remaining error budget,
+
+relaxing both percentages up to 0.7 when the search fails, exactly like the
+reference (heuristic_classifier.cuh:392-438).  Also implements the
+estimate-convergence test via significant-digit comparison of the last
+three iteration estimates (heuristic_classifier.cuh:170-216).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ClassificationResult:
+    pass_mem: bool = False
+    pass_errorest_budget: bool = False
+    threshold: float = 0.0
+    active_flags: jax.Array | None = None
+    num_active: int = 0
+    finished_errorest: float = 0.0
+
+
+@jax.jit
+def _threshold_probe(errorests, mask, threshold):
+    """One threshold probe: flags = (err > threshold) & mask, plus count.
+    (reference: device_set_true_for_larger_than + reduction,
+    heuristic_classifier.cuh:61-87, 283-303)."""
+    flags = jnp.where((errorests > threshold) & mask, 1.0, 0.0)
+    flags = flags.astype(errorests.dtype)
+    return flags, jnp.sum(flags)
+
+
+@jax.jit
+def _budget_probe(errorests, flags):
+    """Error mass of regions the threshold would finish: sum(err) over
+    active-before but inactive-after regions = active_err - dot(flags, err)
+    is computed by the caller; here just dot(flags, err)."""
+    return jnp.sum(errorests * flags)
+
+
+class HeuristicClassifier:
+    """Stateful driver of the threshold search (host logic, device probes)."""
+
+    def __init__(self, epsrel: float, epsabs: float,
+                 max_pool_regions: int):
+        self.epsrel = epsrel
+        self.epsabs = epsabs
+        self.max_pool_regions = max_pool_regions
+        self.required_digits = math.ceil(math.log10(1.0 / epsrel)) \
+            if epsrel > 0 else 15
+        self._estimates = [0.0, 0.0, 0.0]
+        self._iters_collected = 0
+        self.min_iters_for_convergence = 1
+
+    # -- estimate-convergence bookkeeping (heuristic_classifier.cuh:218-225)
+    def store_estimate(self, estimate: float):
+        self._estimates = [self._estimates[1], self._estimates[2],
+                           float(estimate)]
+        self._iters_collected += 1
+
+    def sig_digits_same(self) -> bool:
+        """Digit-string comparison of the last three estimates
+        (heuristic_classifier.cuh:170-203)."""
+        vals = [abs(v) for v in self._estimates]
+        if any(not math.isfinite(v) for v in vals):
+            return False  # NaN/inf estimates never count as converged
+        strs = []
+        for v in vals:
+            while v != 0.0 and v < 1.0:
+                v *= 10
+            strs.append(f"{v:.15f}")
+        min_len = min(len(s) for s in strs)
+        current, last, second_to_last = strs[2], strs[1], strs[0]
+        verdict = True
+        sig = 0
+        i = 0
+        while (i < min(self.required_digits + 1, min_len)
+               and sig < self.required_digits and verdict):
+            verdict = (current[i] == last[i] == second_to_last[i])
+            if verdict and current[i] != '.':
+                sig += 1
+            i += 1
+        return verdict
+
+    def estimate_converged(self) -> bool:
+        if self._iters_collected - 1 < self.min_iters_for_convergence:
+            return False
+        return self.sig_digits_same()
+
+    # -- memory model: pool capacity instead of raw bytes ------------------
+    def split_fits(self, num_regions: int) -> bool:
+        return 2 * num_regions <= self.max_pool_regions
+
+    def classification_criteria_met(self, num_regions: int) -> bool:
+        """(heuristic_classifier.cuh:348-360): classify when the split
+        cannot fit, or when it is getting close (>10% of budget) and the
+        estimate has converged."""
+        ratio = (2.0 * num_regions) / self.max_pool_regions
+        if ratio > 1.0:
+            return True
+        return ratio > 0.1 and self.estimate_converged()
+
+    # -- the search ---------------------------------------------------------
+    def classify(
+        self,
+        errorests: jax.Array,   # (cap,) refined two-level errors
+        mask: jax.Array,        # (cap,) bool validity mask
+        num_regions: int,
+        iter_errorest: float,
+        iter_finished_errorest: float,
+        total_finished_errorest: float,
+    ) -> ClassificationResult:
+        res = ClassificationResult()
+        max_budget_pct = 0.25
+        max_active_pct = 0.5   # (heuristic_classifier.cuh:156-157)
+
+        masked = jnp.where(mask, errorests, jnp.nan)
+        lo = float(jnp.nanmin(masked))
+        hi = float(jnp.nanmax(masked))
+        threshold = iter_errorest / num_regions
+        rng_lo, rng_hi = lo, hi
+        target_error = abs(self._estimates[2]) * self.epsrel
+
+        num_inc = num_dec = 0
+        best_flags = None
+        while True:
+            # grow threshold until the active share fits the pool
+            # (get_larger_threshold_results, heuristic_classifier.cuh:327-346)
+            attempts = 0
+            pass_mem = False
+            while not pass_mem and attempts < 20:
+                flags, n_act = _threshold_probe(errorests, mask, threshold)
+                n_act = float(n_act)
+                pct = n_act / num_regions
+                pass_mem = pct <= max_active_pct
+                if not pass_mem:
+                    rng_lo = threshold
+                    threshold += abs(rng_hi - threshold) * 0.5
+                attempts += 1
+            num_inc += attempts
+
+            if pass_mem:
+                best_flags = flags
+                res.num_active = int(n_act)
+                # error-budget check (evaluate_error_budget,
+                # heuristic_classifier.cuh:305-325)
+                active_err = float(_budget_probe(errorests, flags))
+                extra_f_err = (iter_errorest - active_err
+                               - iter_finished_errorest)
+                error_budget = target_error - total_finished_errorest
+                pass_budget = extra_f_err <= max_budget_pct * error_budget
+                res.finished_errorest = extra_f_err
+                if pass_budget:
+                    res.pass_mem = True
+                    res.pass_errorest_budget = True
+                    res.threshold = threshold
+                    res.active_flags = flags
+                    return res
+                rng_hi = threshold
+                threshold -= abs(threshold - rng_lo) * 0.5
+                num_dec += 1
+
+            exhausted = num_dec >= 20 or num_inc >= 20
+            if exhausted and max_budget_pct < 0.7:
+                max_budget_pct += 0.1
+                num_inc = num_dec = 0
+                rng_lo, rng_hi = lo, hi
+                threshold = iter_errorest / num_regions
+            elif exhausted and max_budget_pct >= 0.7 and max_active_pct <= 0.7:
+                max_active_pct += 0.1
+                num_inc = num_dec = 0
+            elif exhausted:
+                break
+
+        res.pass_mem = False
+        res.pass_errorest_budget = False
+        res.active_flags = best_flags
+        return res

@@ -1,0 +1,335 @@
+"""PAGANI adaptive-cubature driver (the primary user-facing entry point).
+
+TPU-native restructuring of Workspace<T, ndim>::integrate
+(reference: cuda/pagani/quad/GPUquad/Workspace.cuh:148-358):
+
+  for it < 700 while regions remain:
+      rule application over the whole pool          (one fused jit stage)
+      two-level error refinement + classification   (same stage)
+      accuracy check                                (host, one scalar sync)
+      finished-region accounting (dot products)     (same stage)
+      error-budget-overflow rollback                (Workspace.cuh:121-146)
+      memory-pressure heuristic classification      (classifier.py)
+      prefix-sum compaction of active regions       (region_pool.compact)
+      bisection split into the freed slots          (region_pool.split)
+
+The pool lives in power-of-two bucket capacities; each bucket compiles one
+fused iteration stage (rule eval + refinement + reductions), so XLA sees a
+handful of static shapes over the whole run.  The per-iteration host syncs
+(accuracy scalar, active count) mirror the reference's per-stage
+cudaDeviceSynchronize + D2H scalar copies (Workspace.cuh:182-353,
+Sub_region_filter.cuh:68-77).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.integrand import make_integrand
+from gpuintegration_tpu.ops import rule_eval
+from gpuintegration_tpu.pagani import region_pool, two_level
+from gpuintegration_tpu.pagani.classifier import HeuristicClassifier
+from gpuintegration_tpu.types import IntegrationResult, Volume
+
+MAX_ITERATIONS = 700  # (Workspace.cuh:182)
+
+
+def default_partitions_per_axis(ndim: int) -> int:
+    """(Workspace.cuh:379-386)."""
+    if ndim < 5:
+        return 4
+    if ndim <= 10:
+        return 2
+    return 1
+
+
+def accuracy_reached(epsrel, epsabs, estimate, errorest) -> bool:
+    """(PaganiUtils.cuh:387-394)."""
+    if abs(estimate) > 0 and errorest / abs(estimate) <= epsrel:
+        return True
+    return errorest <= epsabs
+
+
+@functools.partial(jax.jit, static_argnames=("f", "ndim", "dtype_name"))
+def _eval_stage(f, ndim: int, dtype_name: str,
+                lows, lengths, global_lo, global_range):
+    """Rule application over one fixed-size region chunk.
+
+    This is the hot kernel; its shape is (chunk, ndim) for every bucket, so
+    it compiles exactly once per (integrand, ndim, dtype, chunk) for the
+    whole adaptive run (unlike the reference, which relaunches
+    INTEGRATE_GPU_PHASE1 with a grid equal to the current pool size,
+    PaganiUtils.cuh:313-331)."""
+    tables = rule_eval.rule_tables(ndim, dtype_name)
+    return rule_eval.apply_rule(
+        f, tables, lows, lengths, global_lo, global_range, chunk_size=None)
+
+
+@functools.partial(jax.jit, static_argnames=("relerr_classification",))
+def _post_stage(
+    relerr_classification: bool,
+    est, err, n,
+    parent_estimates,
+    use_refine,           # traced bool: parents valid?
+    epsrel,
+):
+    """Cheap per-iteration post-processing: masking, two-level refinement,
+    classification, and the iteration/finished reductions.
+
+    Returns per-region (estimates, refined_errors, active) and scalar
+    (iter_estimate, iter_errorest, finished_est, finished_err)."""
+    cap = est.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    mask = ids < n
+    est = jnp.where(mask, est, 0.0)
+    err = jnp.where(mask, err, 0.0)
+
+    refined, active_r = two_level.refine_error(
+        est, err, parent_estimates, n, epsrel,
+        relerr_classification=relerr_classification)
+    all_active = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
+    refined = jnp.where(use_refine, refined, err)
+    active = jnp.where(use_refine, active_r, all_active)
+
+    iter_est = jnp.sum(est)
+    iter_err = jnp.sum(refined)
+    finished_est = iter_est - jnp.sum(active * est)
+    finished_err = iter_err - jnp.sum(active * refined)
+    n_active = jnp.sum(active)
+    # One stacked scalar vector -> a single D2H transfer per iteration
+    # (the reference pays one cudaDeviceSynchronize per stage instead,
+    # Workspace.cuh:182-353).
+    scalars = jnp.stack([iter_est, iter_err, finished_est, finished_err,
+                         n_active])
+    return est, refined, active, scalars
+
+
+@jax.jit
+def _count_active(active):
+    return jnp.sum(active)
+
+
+@jax.jit
+def _all_active(active, n):
+    ids = jax.lax.broadcasted_iota(jnp.int32, active.shape, 0)
+    return jnp.where(ids < n, 1.0, 0.0).astype(active.dtype)
+
+
+@jax.jit
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+class Workspace:
+    """Adaptive multidimensional integrator (PAGANI).
+
+    Parameters
+    ----------
+    ndim:            number of integration variables (>= 2).
+    dtype:           accumulation dtype (default float64).
+    max_pool_regions: region-pool budget -- the TPU analogue of the
+                     reference's free-device-memory model
+                     (heuristic_classifier.cuh:89-145).
+    chunk_size:      regions per rule-evaluation dispatch; pools are padded
+                     to multiples of this so the hot kernel compiles once.
+    chunk_budget_bytes: activation budget used to derive the default chunk.
+    """
+
+    def __init__(self, ndim: int, *, dtype=jnp.float64,
+                 max_pool_regions: int = 4 * 1024 * 1024,
+                 chunk_size: int | None = None,
+                 chunk_budget_bytes: int = 256 * 1024 * 1024):
+        self.ndim = ndim
+        self.dtype = jnp.dtype(dtype)
+        self.max_pool_regions = max_pool_regions
+        if chunk_size is None:
+            feval_p = rule_eval.rule_tables(ndim, self.dtype.name).feval_padded
+            per_region = feval_p * self.dtype.itemsize * 4
+            chunk_size = max(min(
+                region_pool.next_pow2(chunk_budget_bytes // per_region) // 2,
+                16384), 1024)
+        self.chunk_size = chunk_size
+
+    def _eval_pool(self, f, lows, lengths, global_lo, global_range):
+        """Host loop over fixed-size chunks; one compile of the hot kernel."""
+        cap = lows.shape[0]
+        chunk = self.chunk_size
+        dtype_name = self.dtype.name
+        if cap <= chunk:
+            return _eval_stage(f, self.ndim, dtype_name, lows, lengths,
+                               global_lo, global_range)
+        outs = []
+        for i in range(cap // chunk):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            outs.append(_eval_stage(f, self.ndim, dtype_name,
+                                    lows[sl], lengths[sl],
+                                    global_lo, global_range))
+        est = jnp.concatenate([o[0] for o in outs])
+        err = jnp.concatenate([o[1] for o in outs])
+        sdim = jnp.concatenate([o[2] for o in outs])
+        return est, err, sdim
+
+    def integrate(
+        self,
+        integrand: Callable,
+        epsrel: float = 1e-3,
+        epsabs: float = 1e-12,
+        vol: Volume | None = None,
+        *,
+        partitions_per_axis: int | None = None,
+        relerr_classification: bool = True,
+        max_iterations: int = MAX_ITERATIONS,
+        initial_regions: tuple | None = None,
+        recorder=None,
+    ) -> IntegrationResult:
+        """Integrate ``integrand`` to the requested tolerances.
+
+        ``recorder``: optional utils.recorder.IterationRecorder receiving one
+        row per iteration (parity with the reference's cuda_pagani_iters.csv,
+        Workspace.cuh:171-241)."""
+        import time as _time
+        ndim = self.ndim
+        dtype = self.dtype
+        dtype_name = dtype.name
+        f, f_ndim = make_integrand(integrand, ndim)
+        if f_ndim != ndim:
+            raise ValueError(f"integrand ndim {f_ndim} != workspace {ndim}")
+        if vol is None:
+            vol = Volume(ndim=ndim)
+        global_lo = jnp.asarray(vol.lows, dtype)
+        global_range = jnp.asarray(vol.highs - vol.lows, dtype)
+
+        # -- initial pool (capacity floored at chunk_size so the hot rule
+        # kernel compiles exactly once per run) -------------------------------
+        min_cap = self.chunk_size
+        if initial_regions is not None:
+            lows0, lengths0 = initial_regions
+            n = int(lows0.shape[0])
+            cap = max(region_pool.next_pow2(n), min_cap)
+            pad = cap - n
+            lows = jnp.concatenate(
+                [jnp.asarray(lows0, dtype),
+                 jnp.broadcast_to(jnp.asarray(lows0[0], dtype), (pad, ndim))])
+            lengths = jnp.concatenate(
+                [jnp.asarray(lengths0, dtype),
+                 jnp.broadcast_to(jnp.asarray(lengths0[0], dtype), (pad, ndim))])
+        else:
+            parts = partitions_per_axis or default_partitions_per_axis(ndim)
+            n = parts ** ndim
+            cap = max(region_pool.next_pow2(n), min_cap)
+            lows, lengths, n = region_pool.uniform_split(
+                ndim, parts, cap, dtype)
+
+        parent_est = jnp.zeros((max(cap // 2, 1),), dtype)
+        use_refine = jnp.asarray(False)
+        n_dev = jnp.asarray(n, jnp.int32)
+        eps_dev = jnp.asarray(epsrel, dtype)
+
+        classifier = HeuristicClassifier(epsrel, epsabs,
+                                         self.max_pool_regions)
+        feval = rule_eval.rule_tables(ndim, dtype_name).feval
+
+        cum = IntegrationResult(status=1)
+        result_nregions = 0
+
+        for it in range(max_iterations):
+            if n <= 0:
+                break
+            t_iter = _time.perf_counter()
+            est_raw, err_raw, sdim = self._eval_pool(
+                f, lows, lengths, global_lo, global_range)
+            est, refined, active, scalars_d = _post_stage(
+                relerr_classification, est_raw, err_raw, n_dev,
+                parent_est, use_refine, eps_dev)
+            # single D2H sync per iteration
+            scalars = np.asarray(scalars_d)
+            iter_est, iter_err, finished_est, finished_err = (
+                float(scalars[0]), float(scalars[1]),
+                float(scalars[2]), float(scalars[3]))
+            n_active = int(scalars[4])
+            cum.iters += 1
+            cum.neval += n * feval
+            if recorder is not None:
+                recorder.record(
+                    it=it, estimate=cum.estimate + iter_est,
+                    errorest=cum.errorest + iter_err,
+                    festimate=cum.estimate, ferrorest=cum.errorest,
+                    nregions=n, fnregions=cum.nFinishedRegions,
+                    time_ms=(_time.perf_counter() - t_iter) * 1e3)
+
+            # -- accuracy termination (Workspace.cuh:251-262) ---------------
+            if accuracy_reached(epsrel, epsabs,
+                                abs(cum.estimate + iter_est),
+                                cum.errorest + iter_err):
+                cum.estimate += iter_est
+                cum.errorest += iter_err
+                cum.status = 0
+                cum.nregions = result_nregions + n
+                return cum
+
+            classifier.store_estimate(cum.estimate + iter_est)
+
+            # -- error-budget-overflow rollback (Workspace.cuh:121-146) -----
+            leaves_est = cum.estimate + iter_est
+            leaves_fin_err = cum.errorest + finished_err
+            if leaves_fin_err > abs(leaves_est) * epsrel:
+                active = _all_active(active, n_dev)
+                finished_est = 0.0
+                finished_err = 0.0
+                n_active = n
+
+            # -- memory-pressure heuristic classify (Workspace.cuh:76-118) --
+            must_terminate = False
+            classification_necessary = not classifier.split_fits(n)
+            if classifier.classification_criteria_met(n):
+                mask = np.arange(cap) < n  # host mask only for min/max probe
+                hs = classifier.classify(
+                    refined, jnp.asarray(mask), n,
+                    iter_err, finished_err, cum.errorest)
+                success = hs.pass_mem and hs.pass_errorest_budget
+                if success:
+                    active = hs.active_flags
+                    finished_est = iter_est - float(_dot(active, est))
+                    finished_err = hs.finished_errorest
+                    n_active = hs.num_active
+                must_terminate = ((not success and classification_necessary)
+                                  or hs.num_active == 0)
+            else:
+                must_terminate = classification_necessary
+
+            if must_terminate:
+                cum.estimate += iter_est
+                cum.errorest += iter_err
+                cum.nregions = result_nregions + n
+                return cum
+
+            cum.estimate += finished_est
+            cum.errorest += finished_err
+
+            # -- compaction + split ------------------------------------------
+            result_nregions += n - n_active
+            cum.nFinishedRegions += n - n_active
+            if n_active == 0:
+                cum.nregions = result_nregions
+                return cum
+
+            child_cap = max(region_pool.next_pow2(2 * n_active),
+                            self.chunk_size)
+            (n_active_d, c_lows, c_lengths, c_sdim, parent_est,
+             _parent_err) = region_pool.compact(
+                active, lows, lengths, sdim, est, refined,
+                out_capacity=child_cap // 2)
+            lows, lengths, n_children = region_pool.split(
+                c_lows, c_lengths, c_sdim, n_active_d,
+                out_capacity=child_cap)
+            n = 2 * n_active
+            n_dev = jnp.asarray(n, jnp.int32)
+            cap = child_cap
+            use_refine = jnp.asarray(True)
+
+        cum.nregions = result_nregions + n
+        return cum

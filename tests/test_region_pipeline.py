@@ -1,0 +1,161 @@
+"""Stage-level tests with hand-constructed region sets.
+
+Mirrors the reference's pipeline-stage fixtures:
+  * RegionFiltering.cu:42-388  -- scan+compaction against flag patterns
+  * RegionSplitting.cu:41,111  -- children coordinates after split
+  * Uniform_sub_division.cu:23-73 -- initial partition bounds
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu.pagani import region_pool
+from gpuintegration_tpu.pagani.two_level import refine_error
+
+
+def _pool(lows, lengths):
+    return jnp.asarray(lows, jnp.float64), jnp.asarray(lengths, jnp.float64)
+
+
+class TestUniformSplit:
+    @pytest.mark.parametrize("ndim,parts", [(2, 4), (3, 2), (5, 2), (3, 3)])
+    def test_partition_covers_unit_cube(self, ndim, parts):
+        n = parts ** ndim
+        cap = region_pool.next_pow2(n)
+        lows, lengths, count = region_pool.uniform_split(ndim, parts, cap)
+        assert count == n
+        lows = np.asarray(lows)[:n]
+        lengths = np.asarray(lengths)[:n]
+        np.testing.assert_allclose(lengths, 1.0 / parts)
+        # all region corners distinct and on the grid
+        corners = {tuple(np.round(row * parts).astype(int)) for row in lows}
+        assert len(corners) == n
+        assert np.all(lows >= 0) and np.all(lows + lengths <= 1 + 1e-12)
+
+    def test_volume_sums_to_one(self):
+        lows, lengths, n = region_pool.uniform_split(4, 3, 128)
+        vols = np.prod(np.asarray(lengths)[:n], axis=1)
+        assert vols.sum() == pytest.approx(1.0)
+
+
+class TestCompaction:
+    def _run(self, active, n_total, out_cap=8):
+        ndim = 2
+        lows = np.arange(n_total * ndim, dtype=np.float64).reshape(n_total, ndim)
+        lengths = lows + 100.0
+        sdim = np.arange(n_total, dtype=np.int32) % ndim
+        est = np.arange(n_total, dtype=np.float64) * 1.5
+        err = np.arange(n_total, dtype=np.float64) * 0.5
+        act = jnp.asarray(active, jnp.float64)
+        out = region_pool.compact(
+            act, jnp.asarray(lows), jnp.asarray(lengths),
+            jnp.asarray(sdim), jnp.asarray(est), jnp.asarray(err),
+            out_capacity=out_cap)
+        n_active, nl, nn, nsd, pest, perr = out
+        keep = [i for i in range(n_total) if active[i] == 1]
+        assert int(n_active) == len(keep)
+        for j, i in enumerate(keep):
+            np.testing.assert_array_equal(np.asarray(nl)[j], lows[i])
+            np.testing.assert_array_equal(np.asarray(nn)[j], lengths[i])
+            assert int(np.asarray(nsd)[j]) == sdim[i]
+            assert float(np.asarray(pest)[j]) == est[i]
+            assert float(np.asarray(perr)[j]) == err[i]
+
+    def test_all_active(self):
+        self._run([1, 1, 1, 1], 4)
+
+    def test_single_inactive(self):
+        self._run([1, 1, 0, 1], 4)
+
+    def test_first_inactive(self):
+        self._run([0, 1, 1, 1], 4)
+
+    def test_last_inactive(self):
+        self._run([1, 1, 1, 0], 4)
+
+    def test_none_active(self):
+        self._run([0, 0, 0, 0], 4)
+
+    def test_alternating(self):
+        self._run([1, 0, 1, 0, 1, 0], 6)
+
+
+class TestSplitting:
+    def test_children_coordinates(self):
+        # two regions, split along dim 1 and dim 0 resp.
+        lows = jnp.asarray([[0.0, 0.0], [0.5, 0.25]], jnp.float64)
+        lengths = jnp.asarray([[0.5, 1.0], [0.25, 0.5]], jnp.float64)
+        sdim = jnp.asarray([1, 0], jnp.int32)
+        cl, cn, n_children = region_pool.split(
+            lows, lengths, sdim, jnp.asarray(2), out_capacity=8)
+        cl, cn = np.asarray(cl), np.asarray(cn)
+        # left children at [0, 2): same lows, halved length on split dim
+        np.testing.assert_allclose(cl[0], [0.0, 0.0])
+        np.testing.assert_allclose(cn[0], [0.5, 0.5])
+        np.testing.assert_allclose(cl[1], [0.5, 0.25])
+        np.testing.assert_allclose(cn[1], [0.125, 0.5])
+        # right children at [2, 4): lows shifted by half on split dim
+        np.testing.assert_allclose(cl[2], [0.0, 0.5])
+        np.testing.assert_allclose(cn[2], [0.5, 0.5])
+        np.testing.assert_allclose(cl[3], [0.625, 0.25])
+        np.testing.assert_allclose(cn[3], [0.125, 0.5])
+
+    def test_children_tile_parent(self):
+        lows = jnp.asarray([[0.25, 0.5, 0.0]], jnp.float64)
+        lengths = jnp.asarray([[0.5, 0.25, 1.0]], jnp.float64)
+        for d in range(3):
+            cl, cn, _ = region_pool.split(
+                lows, lengths, jnp.asarray([d], jnp.int32),
+                jnp.asarray(1), out_capacity=4)
+            v = np.prod(np.asarray(cn)[:2], axis=1).sum()
+            assert v == pytest.approx(np.prod(np.asarray(lengths)))
+
+
+class TestTwoLevelError:
+    def test_perfect_children_match_parent(self):
+        """When self+sibling == parent the error is unchanged (diff=0)."""
+        est = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float64)
+        err = jnp.asarray([0.1, 0.2, 0.3, 0.4], jnp.float64)
+        parents = jnp.asarray([1.0 + 3.0, 2.0 + 4.0], jnp.float64)
+        refined, active = refine_error(est, err, parents, jnp.asarray(4),
+                                       epsrel=1e-3)
+        np.testing.assert_allclose(np.asarray(refined), np.asarray(err))
+
+    def test_discrepancy_inflates_error(self):
+        """diff = |self+sibl-parent|/4 inflates err by (1+2 diff/errsum)+diff
+        (reference: Phases.cuh:251-261)."""
+        est = jnp.asarray([1.0, 3.0], jnp.float64)
+        err = jnp.asarray([0.5, 0.5], jnp.float64)
+        parents = jnp.asarray([3.0], jnp.float64)  # children sum to 4
+        refined, _ = refine_error(est, err, parents, jnp.asarray(2),
+                                  epsrel=1e-3)
+        diff = abs(0.25 * (1.0 + 3.0 - 3.0))
+        expect = 0.5 * (1 + 2 * diff / 1.0) + diff
+        assert float(refined[0]) == pytest.approx(expect)
+        assert float(refined[1]) == pytest.approx(expect)
+
+    def test_finished_classification(self):
+        est = jnp.asarray([100.0, 100.0], jnp.float64)
+        err = jnp.asarray([1e-12, 50.0], jnp.float64)
+        parents = jnp.asarray([200.0], jnp.float64)
+        refined, active = refine_error(est, err, parents, jnp.asarray(2),
+                                       epsrel=1e-3)
+        assert float(active[0]) == 0.0  # tiny error -> finished
+        assert float(active[1]) == 1.0  # large error -> active
+
+    def test_relerr_classification_disabled(self):
+        est = jnp.asarray([100.0, 100.0], jnp.float64)
+        err = jnp.asarray([1e-12, 50.0], jnp.float64)
+        parents = jnp.asarray([200.0], jnp.float64)
+        _, active = refine_error(est, err, parents, jnp.asarray(2),
+                                 epsrel=1e-3, relerr_classification=False)
+        np.testing.assert_array_equal(np.asarray(active), [1.0, 1.0])
+
+    def test_padding_masked(self):
+        est = jnp.asarray([1.0, 1.0, 99.0, 99.0], jnp.float64)
+        err = jnp.asarray([0.1, 0.1, 99.0, 99.0], jnp.float64)
+        parents = jnp.asarray([2.0, 0.0], jnp.float64)
+        refined, active = refine_error(est, err, parents, jnp.asarray(2),
+                                       epsrel=1e-3)
+        assert float(refined[2]) == 0.0 and float(refined[3]) == 0.0
+        assert float(active[2]) == 0.0 and float(active[3]) == 0.0
