@@ -1,0 +1,139 @@
+"""Miscellaneous benchmark integrands from the reference's zoo.
+
+(reference: common/cuda/integrands.cuh -- G_func_5..10D:562-760,
+SinSum_3..8D:1236-1302, Addition_3..8D:1169-1235, Oscillatory_2..10D:987-1168;
+cuda/mcubes/demos/Gauss9D.cu:6-45; test/cuda/pagani/BoxIntegrals.cu:16-51.)
+All are batched callables over (..., ndim); truths are closed forms for the
+stated volumes.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.models.genz import (
+    GenzIntegrand, _osc_truth, _sin_sum_truth)
+from gpuintegration_tpu.types import Volume
+
+
+def g_function(ndim: int) -> GenzIntegrand:
+    """Sobol G-function with the reference's coefficients a_i = trunc((i-1)/2)
+    for 1-based i (C integer division (i-2)/2, G_func_10D integrands.cuh:576-585).
+    Every factor integrates to 1 over [0,1], so the truth is exactly 1."""
+    a = np.array([int((i - 2) / 2) if i >= 2 else 0
+                  for i in range(1, ndim + 1)], dtype=np.float64)
+
+    def f(x):
+        return jnp.prod((jnp.abs(4.0 * x - 2.0) + a) / (1.0 + a), axis=-1)
+
+    return GenzIntegrand("g_function", ndim, f, 1.0)
+
+
+def sin_sum(ndim: int, lows=None, highs=None) -> GenzIntegrand:
+    """sin(x_1 + ... + x_n) (SinSum_6D integrands.cuh:1263-1270).  Truth over
+    a general box [a,b]^n: Im prod_j (e^{i b_j} - e^{i a_j}) / i."""
+    if lows is None:
+        truth = _sin_sum_truth(np.ones(ndim))
+    else:
+        z = 1.0 + 0.0j
+        for lo, hi in zip(np.atleast_1d(lows), np.atleast_1d(highs)):
+            z *= (np.exp(1j * hi) - np.exp(1j * lo)) / 1j
+        truth = float(z.imag)
+
+    def f(x):
+        return jnp.sin(jnp.sum(x, axis=-1))
+
+    return GenzIntegrand("sin_sum", ndim, f, truth)
+
+
+def addition(ndim: int) -> GenzIntegrand:
+    """sum x_i over the unit cube (Addition_8D integrands.cuh:1169-1184);
+    truth = n/2."""
+
+    def f(x):
+        return jnp.sum(x, axis=-1)
+
+    return GenzIntegrand("addition", ndim, f, ndim / 2.0)
+
+
+def oscillatory(ndim: int) -> GenzIntegrand:
+    """cos(sum x_i) over the unit cube (Oscillatory_6D
+    integrands.cuh:1055-1070)."""
+    truth = _osc_truth(np.ones(ndim))
+
+    def f(x):
+        return jnp.cos(jnp.sum(x, axis=-1))
+
+    return GenzIntegrand("oscillatory", ndim, f, truth)
+
+
+def gauss9d(sigma: float = 0.01):
+    """Normalised 9D Gaussian, sigma=0.01, over [-1,1]^9 with truth ~1
+    (reference: cuda/mcubes/demos/Gauss9D.cu:6-45).
+
+    Returns (integrand, Volume, true_value)."""
+    ndim = 9
+    norm = 1.0 / (sigma * math.sqrt(2.0 * math.pi)) ** ndim
+
+    def f(x):
+        return norm * jnp.exp(-jnp.sum(x * x, axis=-1) / (2.0 * sigma ** 2))
+
+    vol = Volume(lows=[-1.0] * ndim, highs=[1.0] * ndim)
+    truth = math.erf(1.0 / (sigma * math.sqrt(2.0))) ** ndim
+    return GenzIntegrand("gauss9d", ndim, f, truth), vol
+
+
+def box_integral(ndim: int, s: float) -> GenzIntegrand:
+    """Box integral B_n(s) = integral of (sum x_i^2)^(s/2) over [0,1]^n
+    (reference: test/cuda/pagani/BoxIntegrals.cu:16-51 uses n=6, s in
+    {5, 8, 10}).  Truths for even s are polynomials in n computed exactly."""
+    truth = _box_truth(ndim, s)
+
+    def f(x):
+        return jnp.sum(x * x, axis=-1) ** (s / 2.0)
+
+    return GenzIntegrand(f"box_{ndim}d_s{s}", ndim, f, truth)
+
+
+def _box_truth(ndim: int, s: float) -> float:
+    """Exact for even s (moments of sums of squares); high-accuracy numeric
+    (tensor Gauss-Legendre) otherwise."""
+    if s == int(s) and int(s) % 2 == 0:
+        # expand (sum x_i^2)^(s/2) multinomially; per-dim moments
+        # m_k = integral x^(2k) = 1/(2k+1)
+        from itertools import product as iproduct
+        k = int(s) // 2
+        # multinomial over which dim each of the k factors picks
+        # E[(sum u_i)^k] with u_i = x_i^2 independent
+        # use dynamic programming over dims with moment generating arrays
+        # moments of u = x^2: E[u^j] = 1/(2j+1)
+        from math import comb
+        # dp[j] = E[(u_1+...+u_d)^j] built dim by dim
+        dp = [1.0] + [0.0] * k
+        for _ in range(ndim):
+            new = [0.0] * (k + 1)
+            for j in range(k + 1):
+                for t in range(j + 1):
+                    new[j] += comb(j, t) * dp[j - t] / (2 * t + 1)
+            dp = new
+        return dp[k]
+    # numeric fallback: 64-point tensor Gauss-Legendre per dim is overkill
+    # for smooth radial powers; use product quadrature in a low-memory loop
+    nodes, wts = np.polynomial.legendre.leggauss(64)
+    nodes = 0.5 * (nodes + 1.0)
+    wts = 0.5 * wts
+    total = np.zeros(())
+    # iterate dims by accumulating the radial term via convolution is hard;
+    # do direct tensor sum for ndim <= 3 else Monte Carlo fallback
+    if ndim <= 3:
+        grids = np.meshgrid(*([nodes] * ndim), indexing="ij")
+        w = np.ones_like(grids[0])
+        for g in np.meshgrid(*([wts] * ndim), indexing="ij"):
+            w = w * g
+        r2 = sum(g * g for g in grids)
+        return float(np.sum(w * r2 ** (s / 2.0)))
+    rng = np.random.default_rng(12345)
+    x = rng.random((4_000_000, ndim))
+    return float(np.mean(np.sum(x * x, axis=1) ** (s / 2.0)))
