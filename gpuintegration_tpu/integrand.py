@@ -70,6 +70,8 @@ def make_integrand(f: Callable, ndim: int | None = None) -> tuple[Callable, int]
 
 
 def _make_integrand_uncached(f, ndim):
+    if ndim is None and hasattr(f, "ndim"):
+        ndim = int(f.ndim)  # e.g. models.genz.GenzIntegrand carries its ndim
     arity = _positional_arity(f)
     if arity is not None and arity > 1:
         if ndim is not None and ndim != arity:

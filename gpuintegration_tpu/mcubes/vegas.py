@@ -1,0 +1,300 @@
+"""mcubes: VEGAS (importance sampling + stratification), fully on device.
+
+TPU-native re-expression of the reference's m-CUBES integrator
+(reference: cuda/mcubes/vegasT.cuh:644-1021 ``vegas``; kernels
+vegas_kernel:401-490 and vegas_kernelF:492-619).  Design mapping:
+
+  CUDA thread = chunkSize stratified sub-cubes      -> cube axis, vectorised
+  per-cube reseeded Custom_generator LCG            -> jax.random fold_in per
+                                                       (iteration, chunk)
+  atomicAdd histogram d[bin,dim]                    -> one deterministic
+                                                       scatter-add per chunk
+  atomicAdd of block-reduced fb/f2b into result_dev -> jnp.sum over the batch
+  host-side xi/d round trip + smoothing + rebin     -> on-device grid ops
+                                                       (mcubes.grid)
+
+The cube axis is processed in fixed-size chunks inside a lax.fori_loop so
+one jit dispatch covers a whole iteration regardless of ncall (up to
+billions of samples), with HBM bounded by the chunk size.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.integrand import make_integrand
+from gpuintegration_tpu.mcubes import grid as vgrid
+from gpuintegration_tpu.types import IntegrationResult, Volume
+
+
+def compute_ncubes(ncall: float, ndim: int) -> tuple[int, int]:
+    """(ng, ncubes): stratification intervals per axis and total sub-cubes
+    (reference: vegasT.cuh:708-720, vegas_utils.cuh:180-190)."""
+    ng = max(int((ncall / 2.0 + 0.25) ** (1.0 / ndim)), 1)
+    return ng, ng ** ndim
+
+
+def samples_per_cube(ncall: float, ncubes: int) -> int:
+    """(vegas_utils.cuh:192-197)."""
+    return max(int(ncall / ncubes), 2)
+
+
+def get_status(estimate, errorest, iteration, epsrel, epsabs) -> int:
+    """0 = converged (needs >= 5 iterations), 1 = not
+    (vegas_utils.cuh:225-248)."""
+    if estimate == 0.0 and errorest == 0.0:
+        return 1
+    ok = (abs(errorest / estimate) <= epsrel) or (errorest <= epsabs)
+    return 0 if (ok and iteration >= 5) else 1
+
+
+def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
+    """Escalation schedule for extended runs (vegas_utils.cuh:272-296)."""
+    if ncall >= 8e9 and total_iters >= 100:
+        return ncall, total_iters, False
+    if ncall >= 8e9:
+        return ncall, total_iters + 10, True
+    if ncall >= 1e9:
+        return ncall + 1e9, total_iters, True
+    return ncall * 10.0, total_iters, True
+
+
+def _decode_cube(cube_id, ng: int, ndim: int):
+    """Mixed-radix decode of a cube index into per-dim interval coordinates
+    kg in [1, ng], most-significant digit first (get_indx,
+    vegasT.cuh:141-162).  cube_id: (...,) int32/int64 -> (..., ndim)."""
+    digits = []
+    m = cube_id
+    for j in range(ndim):
+        p = ng ** (ndim - j - 1)
+        t = m // p
+        digits.append(1 + t)
+        m = m - t * p
+    return jnp.stack(digits, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
+                     "nbins", "accumulate_hist", "dtype_name"))
+def _vegas_iteration(
+    f,
+    ndim: int,
+    ng: int,
+    npg: int,
+    chunk_cubes: int,
+    num_chunks: int,
+    nbins: int,
+    accumulate_hist: bool,
+    dtype_name: str,
+    key,
+    xi,           # (ndim, nbins+1)
+    regn_lo,      # (ndim,)
+    dx,           # (ndim,)
+    xjac,         # scalar: prod(dx)/calls
+    ncubes,       # traced: true number of cubes (cube axis is padded)
+    cube_offset=0,  # traced: first cube id owned by this shard
+):
+    """One full VEGAS iteration on device.
+
+    Returns (ti, tsi_raw, d) where d is the (ndim, nbins) f^2 histogram
+    (zeros when accumulate_hist=False) and tsi_raw must still be scaled by
+    dv2g on the host (vegasT.cuh:849-851).
+    """
+    dtype = jnp.dtype(dtype_name)
+    xnd = jnp.asarray(float(nbins), dtype)
+    dxg = xnd / ng                    # bin-units per interval (vegasT.cuh:728,735)
+
+    def chunk_body(c, carry):
+        ti, tsi, d = carry
+        cube0 = cube_offset + c * chunk_cubes
+        cube_ids = cube0 + jnp.arange(chunk_cubes, dtype=jnp.int64)
+        valid = cube_ids < ncubes
+        kg = _decode_cube(cube_ids, ng, ndim)          # (C, ndim)
+
+        ck = jax.random.fold_in(key, c)
+        ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), dtype)
+
+        # stratified + importance point (Setup_Integrand_Eval,
+        # vegasT.cuh:188-235): xn in [1, nbins+1), bin ia, position inside.
+        xn = (kg[:, None, :].astype(dtype) - ran) * dxg + 1.0
+        ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)   # (C, npg, ndim)
+        dim_ids = jnp.arange(ndim)
+        edge_hi = xi[dim_ids, ia]                       # right edge of bin
+        edge_lo = xi[dim_ids, ia - 1]                   # left edge (xi[:,0]=0)
+        xo = edge_hi - edge_lo                          # bin width
+        rc = edge_lo + (xn - ia.astype(dtype)) * xo
+        x = regn_lo + rc * dx                           # (C, npg, ndim)
+        wgt = xjac * jnp.prod(xo * xnd, axis=-1)        # (C, npg)
+
+        fx = f(x).astype(dtype) * wgt                   # (C, npg)
+        fx = jnp.where(valid[:, None], fx, 0.0)
+        f2 = fx * fx
+
+        fb = jnp.sum(fx, axis=1)                        # (C,)
+        f2b_sum = jnp.sum(f2, axis=1)
+        # per-cube variance proxy: sqrt(sum f^2 * npg) -> (s-fb)(s+fb)
+        # = npg*sum(f^2) - fb^2, with TINY floor (vegasT.cuh:382-387)
+        s = jnp.sqrt(f2b_sum * npg)
+        f2b = (s - fb) * (s + fb)
+        f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
+        f2b = jnp.where(valid, f2b, 0.0)
+
+        ti = ti + jnp.sum(fb)
+        tsi = tsi + jnp.sum(f2b)
+
+        if accumulate_hist:
+            # deterministic replacement for atomicAdd(&d[bin,dim], f^2)
+            # (vegasT.cuh:309-313): one segment-sum per chunk.  The
+            # histogram only steers grid adaptation, so accumulate in f32
+            # (f64 scatter chains are disproportionately expensive for the
+            # TPU x64 rewriter).
+            seg = (ia - 1) * ndim + dim_ids              # (C, npg, ndim)
+            contrib = jnp.broadcast_to(
+                f2.astype(jnp.float32)[..., None], seg.shape)
+            flat = jax.ops.segment_sum(
+                contrib.reshape(-1), seg.reshape(-1),
+                num_segments=nbins * ndim)
+            d = d + flat.reshape(nbins, ndim).T
+        return ti, tsi, d
+
+    d0 = jnp.zeros((ndim, nbins), jnp.float32)
+    ti0 = jnp.zeros((), dtype)
+    ti, tsi, d = jax.lax.fori_loop(
+        0, num_chunks, chunk_body, (ti0, ti0, d0))
+    return ti, tsi, d
+
+
+@dataclasses.dataclass
+class VegasState:
+    """Checkpointable integrator state: the grid plus the iteration-weighted
+    accumulators (si, swgt, schi) -- the TPU analogue of the reference's
+    host-resident xi + si/swgt/schi scalars (vegasT.cuh:679-706)."""
+    xi: jax.Array
+    si: float = 0.0
+    swgt: float = 0.0
+    schi: float = 0.0
+
+
+def vegas(
+    integrand: Callable,
+    epsrel: float = 1e-3,
+    epsabs: float = 1e-12,
+    ncall: float = 1e6,
+    vol: Volume | None = None,
+    *,
+    ndim: int | None = None,
+    total_iters: int = 15,
+    adjust_iters: int = 15,
+    skip_iters: int = 5,
+    seed: int = 0,
+    dtype=jnp.float64,
+    chunk_cubes: int | None = None,
+    state: VegasState | None = None,
+    nbins: int = vgrid.NDMX,
+) -> IntegrationResult:
+    """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
+    by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
+    with the iteration-weighted combination and chi^2 consistency measure.
+    """
+    f, ndim = make_integrand(integrand, ndim)
+    if vol is None:
+        vol = Volume(ndim=ndim)
+    dtype = jnp.dtype(dtype)
+
+    ng, ncubes = compute_ncubes(ncall, ndim)
+    npg = samples_per_cube(ncall, ncubes)
+    calls = float(npg) * float(ncubes)
+    dv2g = (calls * (1.0 / ng) ** ndim) ** 2 / npg / npg / (npg - 1.0)
+    xjac = (1.0 / calls) * vol.jacobian
+
+    if chunk_cubes is None:
+        # bound (chunk, npg, ndim) activations to ~128 MB; power-of-two so
+        # compiled iteration shapes repeat across ncall configurations
+        per_cube = npg * ndim * dtype.itemsize * 6
+        budget = max(128 * 1024 * 1024 // per_cube, 1024)
+        chunk_cubes = 1 << (int(budget).bit_length() - 1)
+        chunk_cubes = int(min(chunk_cubes, 1 << 20))
+        if chunk_cubes >= ncubes:
+            chunk_cubes = ncubes  # single-chunk: exact size, no padding
+    num_chunks = -(-ncubes // chunk_cubes)
+
+    regn_lo = jnp.asarray(vol.lows, dtype)
+    dx = jnp.asarray(vol.highs - vol.lows, dtype)
+    xjac_d = jnp.asarray(xjac, dtype)
+    ncubes_d = jnp.asarray(ncubes, jnp.int64)
+
+    st = state or VegasState(xi=vgrid.uniform_grid(ndim, nbins, dtype))
+    xi = st.xi
+    si, swgt, schi = st.si, st.swgt, st.schi
+
+    base_key = jax.random.PRNGKey(seed)
+    res = IntegrationResult(status=1)
+    tgral = sd = chi2a = 0.0
+
+    it = 1
+    while it <= total_iters and res.status == 1:
+        adjusting = it <= adjust_iters
+        key = jax.random.fold_in(base_key, it)
+        ti_d, tsi_d, d = _vegas_iteration(
+            f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
+            dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d)
+        if adjusting:
+            # grid refinement on host in exact f64, like the reference's
+            # per-iteration xi/d round trip (vegasT.cuh:797-927); ~32 KB.
+            xi = jnp.asarray(vgrid.smooth_and_refine(xi, d), dtype)
+        out = np.asarray(jnp.stack([ti_d, tsi_d]))  # one D2H sync/iteration
+        ti, tsi = float(out[0]), float(out[1])
+        tsi *= dv2g
+        res.neval += int(calls)
+
+        if it > skip_iters:
+            wgt = 1.0 / tsi
+            si += wgt * ti
+            schi += wgt * ti * ti
+            swgt += wgt
+            tgral = si / swgt
+            chi2a = (schi - si * tgral) / (it - 0.9999)
+            chi2a = max(chi2a, 0.0)
+            sd = math.sqrt(1.0 / swgt)
+            res.status = get_status(tgral, sd, it, epsrel, epsabs)
+        res.iters += 1
+        it += 1
+
+    res.estimate = tgral
+    res.errorest = sd
+    res.chi_sq = chi2a
+    st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
+    res.lastPhase = 1 if it > adjust_iters else 0
+    return res
+
+
+def integrate(integrand, epsrel=1e-3, epsabs=1e-12, ncall=1e6, vol=None,
+              total_iters=15, adjust_iters=15, skip_iters=5, **kw):
+    """Parity wrapper for cuda_mcubes::integrate (vegasT.cuh:1023-1054)."""
+    return vegas(integrand, epsrel, epsabs, ncall, vol,
+                 total_iters=total_iters, adjust_iters=adjust_iters,
+                 skip_iters=skip_iters, **kw)
+
+
+def simple_integrate(integrand, epsrel=1e-3, epsabs=1e-12, ncall=1e6,
+                     vol=None, total_iters=15, adjust_iters=15,
+                     skip_iters=5, **kw):
+    """Retry driver escalating ncall/iterations until convergence or the
+    8e9-call / 100-iteration caps (vegasT.cuh:1100-1135,
+    vegas_utils.cuh:272-296)."""
+    while True:
+        res = vegas(integrand, epsrel, epsabs, ncall, vol,
+                    total_iters=total_iters, adjust_iters=adjust_iters,
+                    skip_iters=skip_iters, **kw)
+        if res.status == 0:
+            return res
+        ncall, total_iters, can_continue = adjust_params(ncall, total_iters)
+        if not can_continue:
+            return res

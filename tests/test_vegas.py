@@ -1,0 +1,194 @@
+"""mcubes/VEGAS tests.
+
+The reference exercises mcubes via demos asserting relative-error ladders
+with the sequential CPU implementation as oracle (SURVEY.md section 4.8);
+here we add what it lacks: seeded-PRNG statistical tests (pull
+distributions against analytic truths) and unit tests of the grid
+machinery against a direct transcription-free NR-style reference
+implementation in pure Python.
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu.mcubes import grid as vgrid
+from gpuintegration_tpu.mcubes import vegas as V
+from gpuintegration_tpu.models import genz, misc
+
+
+class TestSetupMath:
+    def test_ncubes_npg(self):
+        # parity with ng = floor((ncall/2+.25)^(1/ndim)), npg = max(ncall/ncubes, 2)
+        ng, ncubes = V.compute_ncubes(1e6, 5)
+        assert ng == int((1e6 / 2 + 0.25) ** 0.2)
+        assert ncubes == ng ** 5
+        assert V.samples_per_cube(1e6, ncubes) == max(int(1e6 / ncubes), 2)
+
+    def test_adjust_params_schedule(self):
+        # (vegas_utils.cuh:272-296)
+        nc, it, ok = V.adjust_params(1e6, 15)
+        assert (nc, it, ok) == (1e7, 15, True)
+        nc, it, ok = V.adjust_params(2e9, 15)
+        assert (nc, it, ok) == (3e9, 15, True)
+        nc, it, ok = V.adjust_params(9e9, 15)
+        assert (nc, it, ok) == (9e9, 25, True)
+        nc, it, ok = V.adjust_params(9e9, 100)
+        assert ok is False
+
+    def test_status_needs_five_iters(self):
+        assert V.get_status(1.0, 1e-9, 3, 1e-3, 1e-12) == 1
+        assert V.get_status(1.0, 1e-9, 5, 1e-3, 1e-12) == 0
+        assert V.get_status(1.0, 0.5, 7, 1e-3, 1e-12) == 1
+
+    def test_decode_cube_bijective(self):
+        ng, ndim = 7, 3
+        ids = jnp.arange(ng ** ndim)
+        kg = np.asarray(V._decode_cube(ids, ng, ndim))
+        assert kg.min() == 1 and kg.max() == ng
+        # distinct coordinates for distinct cubes
+        assert len({tuple(row) for row in kg}) == ng ** ndim
+        # odometer order parity: last dim varies fastest (get_indx,
+        # vegasT.cuh:141-162 with dp[0]=1 on the last decoded digit)
+        np.testing.assert_array_equal(kg[1] - kg[0], [0, 0, 1])
+
+
+class TestGrid:
+    def test_uniform_grid_edges(self):
+        xi = np.asarray(vgrid.uniform_grid(3, 10))
+        assert xi.shape == (3, 11)
+        np.testing.assert_allclose(xi[0], np.linspace(0, 1, 11))
+
+    def test_rebin_uniform_weights_keep_grid(self):
+        nb = 50
+        xi = np.linspace(0, 1, nb + 1)
+        r = np.ones(nb)
+        out = vgrid.rebin_row(xi, r)
+        np.testing.assert_allclose(out, xi, atol=1e-14)
+
+    def test_rebin_concentrates_where_weight_is(self):
+        nb = 100
+        xi = np.linspace(0, 1, nb + 1)
+        r = np.ones(nb) * 1e-12
+        r[:10] = 1.0  # all the weight in [0, 0.1]
+        out = vgrid.rebin_row(xi, r)
+        # most new edges must land inside [0, 0.1]
+        assert np.sum(out < 0.1) > nb * 0.9
+        assert out[0] == 0.0 and out[-1] == 1.0
+        assert np.all(np.diff(out) >= -1e-15)
+
+    def test_rebin_matches_scalar_reference(self):
+        """Cross-check the vectorised rebin against a direct loop
+        implementation of the NR algorithm."""
+        rng = np.random.default_rng(3)
+        nb = 37
+        xi = np.concatenate([[0.0], np.sort(rng.random(nb - 1)), [1.0]])
+        r = rng.random(nb) + 1e-3
+
+        def scalar_rebin(rc, nd, r, xi):
+            xin = np.zeros(nd + 1)
+            dr = 0.0
+            k = 0
+            xo = 0.0
+            out = xi.copy()
+            for i in range(1, nd):
+                while rc > dr:
+                    dr += r[k]
+                    k += 1
+                xo = xi[k - 1] if k > 1 else 0.0
+                xn = xi[k]
+                dr -= rc
+                xin[i] = xn - (xn - xo) * dr / r[k - 1]
+            out[1:nd] = xin[1:nd]
+            out[nd] = 1.0
+            return out
+
+        want = scalar_rebin(np.sum(r) / nb, nb, r, xi)
+        got = vgrid.rebin_row(xi, r)
+        np.testing.assert_allclose(got, want, atol=1e-13)
+
+    def test_smooth_and_refine_preserves_invariants(self):
+        rng = np.random.default_rng(0)
+        xi = np.asarray(vgrid.uniform_grid(4, 60))
+        d = rng.random((4, 60))
+        out = vgrid.smooth_and_refine(xi, d)
+        assert out.shape == xi.shape
+        np.testing.assert_allclose(out[:, 0], 0.0)
+        np.testing.assert_allclose(out[:, -1], 1.0)
+        assert np.all(np.diff(out, axis=1) > -1e-14)
+
+    def test_zero_mass_dim_keeps_grid(self):
+        xi = np.asarray(vgrid.uniform_grid(2, 30))
+        d = np.zeros((2, 30))
+        d[0] = np.linspace(1, 2, 30)
+        out = vgrid.smooth_and_refine(xi, d)
+        np.testing.assert_array_equal(out[1], xi[1])
+        assert not np.allclose(out[0], xi[0])
+
+
+class TestVegasIntegration:
+    def test_addition_3d_exact_mean(self):
+        """Linear integrand: importance sampling is unbiased; tight check."""
+        m = misc.addition(3)
+        r = V.integrate(m, epsrel=1e-3, ncall=4e4, total_iters=10,
+                        adjust_iters=5, seed=11)
+        assert r.status == 0
+        assert abs(r.estimate - m.true_value) / m.true_value < 5e-3
+
+    def test_gaussian_3d_converges(self):
+        g = genz.f4_gaussian(3, a=5.0)
+        r = V.integrate(g, epsrel=5e-3, ncall=5e4, total_iters=12,
+                        adjust_iters=8, seed=1)
+        assert r.status == 0
+        assert abs(r.estimate - g.true_value) / g.true_value < 2e-2
+        assert r.chi_sq < 10.0
+
+    def test_reported_error_is_calibrated(self):
+        """Pull distribution: |est - truth| should rarely exceed 3 sigma."""
+        g = genz.f4_gaussian(2, a=3.0)
+        pulls = []
+        for seed in range(5):
+            r = V.integrate(g, epsrel=1e-4, ncall=2e4, total_iters=8,
+                            adjust_iters=5, seed=seed)
+            pulls.append((r.estimate - g.true_value) / r.errorest)
+        assert np.max(np.abs(pulls)) < 5.0
+
+    def test_deterministic_given_seed(self):
+        g = genz.f4_gaussian(2, a=3.0)
+        r1 = V.integrate(g, ncall=1e4, total_iters=6, adjust_iters=4, seed=42)
+        r2 = V.integrate(g, ncall=1e4, total_iters=6, adjust_iters=4, seed=42)
+        assert r1.estimate == r2.estimate
+        assert r1.errorest == r2.errorest
+
+    def test_volume_transform(self):
+        from gpuintegration_tpu.types import Volume
+        s = misc.sin_sum(2, lows=[0.0, 0.0], highs=[2.0, 2.0])
+        vol = Volume([0.0, 0.0], [2.0, 2.0])
+        r = V.integrate(s, epsrel=1e-3, ncall=5e4, vol=vol,
+                        total_iters=10, adjust_iters=6, seed=3)
+        assert abs(r.estimate - s.true_value) / abs(s.true_value) < 2e-2
+
+    def test_one_dimensional(self):
+        """1-D falls out of the same implementation (the reference needs a
+        dedicated vegasT1D.cuh:389-800 specialization)."""
+        def f(x):
+            return jnp.cos(x[..., 0])
+        truth = math.sin(1.0)
+        r = V.integrate(f, ndim=1, epsrel=1e-3, ncall=2e4,
+                        total_iters=10, adjust_iters=6, seed=5)
+        assert abs(r.estimate - truth) / truth < 1e-2
+
+    def test_importance_sampling_beats_uniform(self):
+        """The adapted grid must reduce variance on a peaked integrand."""
+        # sharply peaked integrand (a=25): importance sampling matters.
+        # epsrel=0 prevents early convergence so both runs count the same
+        # number of iterations and sqrt(1/swgt) errors are comparable.
+        g = genz.f4_gaussian(2, a=25.0)
+        r_flat = V.integrate(g, epsrel=0.0, epsabs=0.0, ncall=1e5,
+                             total_iters=4, adjust_iters=0, skip_iters=0,
+                             seed=9)
+        r_adapt = V.integrate(g, epsrel=0.0, epsabs=0.0, ncall=1e5,
+                              total_iters=12, adjust_iters=8, skip_iters=8,
+                              seed=9)
+        assert r_adapt.errorest < r_flat.errorest
