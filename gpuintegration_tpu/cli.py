@@ -1,0 +1,117 @@
+"""Command-line demo/profile driver.
+
+One CLI replaces the reference's ~90 single-integrand executables
+(reference: cuda/{pagani,mcubes}/{demos,profile}/*.cu): pick the
+integrand, dimension, algorithm, and tolerance from arguments.
+
+Examples:
+  python -m gpuintegration_tpu.cli pagani --integrand f4_gaussian --ndim 8 \
+      --epsrel 1e-6
+  python -m gpuintegration_tpu.cli mcubes --integrand gauss9d --ncall 1e8
+  python -m gpuintegration_tpu.cli ladder --integrand f2_product_peak --ndim 6
+  python -m gpuintegration_tpu.cli profile --integrand f1_oscillatory --ndim 8
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from gpuintegration_tpu.models import genz, misc
+from gpuintegration_tpu.types import Volume
+from gpuintegration_tpu.utils import timing
+
+
+def _resolve_integrand(name: str, ndim: int):
+    """Returns (integrand, ndim, true_value, volume-or-None)."""
+    factories = {
+        "f1_oscillatory": genz.f1_oscillatory,
+        "f2_product_peak": genz.f2_product_peak,
+        "f3_corner_peak": genz.f3_corner_peak,
+        "f4_gaussian": genz.f4_gaussian,
+        "f5_c0": genz.f5_c0_continuous,
+        "f6_discontinuous": genz.f6_discontinuous,
+        "g_function": misc.g_function,
+        "sin_sum": misc.sin_sum,
+        "addition": misc.addition,
+        "oscillatory": misc.oscillatory,
+    }
+    if name == "gauss9d":
+        g, vol = misc.gauss9d()
+        return g, 9, g.true_value, vol
+    if name.startswith("box_"):
+        # box_<s> e.g. box_5
+        s = float(name.split("_")[1])
+        b = misc.box_integral(ndim, s)
+        return b, ndim, b.true_value, None
+    if name not in factories:
+        raise SystemExit(f"unknown integrand {name!r}; choices: "
+                         f"{sorted(factories) + ['gauss9d', 'box_<s>']}")
+    g = factories[name](ndim)
+    return g, g.ndim, g.true_value, None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gpuintegration_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--integrand", default="f4_gaussian")
+    common.add_argument("--ndim", type=int, default=5)
+    common.add_argument("--epsrel", type=float, default=1e-3)
+    common.add_argument("--epsabs", type=float, default=1e-40)
+    common.add_argument("--runs", type=int, default=1)
+
+    sp = sub.add_parser("pagani", parents=[common],
+                        help="adaptive cubature (clean_time_and_call analogue)")
+    sp = sub.add_parser("mcubes", parents=[common],
+                        help="VEGAS Monte Carlo (mcubes_time_and_call analogue)")
+    sp.add_argument("--ncall", type=float, default=1e6)
+    sp.add_argument("--iters", type=int, default=15)
+    sp.add_argument("--adjust-iters", type=int, default=15)
+    sp.add_argument("--seed", type=int, default=0)
+    sp = sub.add_parser("ladder", parents=[common],
+                        help="tighten epsrel until failure")
+    sp.add_argument("--floor", type=float, default=1e-9)
+    sp = sub.add_parser("profile", parents=[common],
+                        help="rule-kernel throughput sweep "
+                             "(call_cubature_rules analogue)")
+    sp.add_argument("--splits", default="5:16")
+    sp.add_argument("--repeats", type=int, default=11)
+
+    args = p.parse_args(argv)
+    g, ndim, truth, vol = _resolve_integrand(args.integrand, args.ndim)
+
+    if args.cmd == "pagani":
+        print(timing.PAGANI_CSV_HEADER)
+        good = timing.clean_time_and_call(
+            args.integrand, g, args.epsrel, truth, sys.stdout,
+            ndim=ndim, vol=vol, epsabs=args.epsabs,
+            runs_per_epsrel=args.runs)
+        return 0 if good else 1
+    if args.cmd == "mcubes":
+        print(timing.MCUBES_CSV_HEADER)
+        good = timing.mcubes_time_and_call(
+            args.integrand, g, args.epsrel, truth, sys.stdout,
+            ndim=ndim, ncall=args.ncall, vol=vol, epsabs=args.epsabs,
+            total_iters=args.iters, adjust_iters=args.adjust_iters,
+            runs=args.runs, seed=args.seed)
+        return 0 if good else 1
+    if args.cmd == "ladder":
+        print(timing.PAGANI_CSV_HEADER)
+        achieved = timing.epsrel_ladder(
+            args.integrand, g, truth, sys.stdout, start=args.epsrel,
+            floor=args.floor, ndim=ndim, runs_per_epsrel=args.runs)
+        print(f"# achieved epsrel: {achieved}")
+        return 0
+    if args.cmd == "profile":
+        lo, hi = (int(t) for t in args.splits.split(":"))
+        print("splits_per_dim,regions,feval,best_s,evals_per_sec")
+        timing.call_cubature_rules(
+            g, ndim, splits_per_dim=range(lo, hi), repeats=args.repeats,
+            outfile=sys.stdout)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

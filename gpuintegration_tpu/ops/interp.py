@@ -1,0 +1,225 @@
+"""Device-callable interpolators for stateful integrands.
+
+Re-expression of the reference's managed-memory interpolators
+(reference: common/cuda/Interp1D.cuh:17-251, Interp2D.cuh:16-60+,
+Interp3D.cuh), used by the physics integrands in its tests (cosmology HMF
+model, test/cuda/pagani/model.cu + data/HMF_t.dump).
+
+Design: each interpolator is a pytree (registered dataclass) whose leaves
+are device arrays -- the JAX analogue of shallow-copying functor state to
+the GPU (cudaMemoryUtil.h:345-353).  Evaluation is traceable and batched;
+closures over an interpolator are valid integrands anywhere in the
+framework.  Semantics parity:
+
+* clamped evaluation at the domain edges (Interp1D.cuh do_clamp/clamp),
+* binary-search index location on arbitrary monotone knot grids
+  (IndexRange search -> jnp.searchsorted),
+* (bi/tri)linear interpolation on the cell.
+
+Serialisation: ``to_text``/``from_text`` read and write the reference's
+hexfloat dump format (str_to_doubles.hh:9-20: whitespace-separated C99
+hexfloats, first number = count) so existing data files interchange.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _parse_doubles(text: str) -> np.ndarray:
+    """Parse whitespace-separated (hex)float doubles
+    (reference: common/cuda/str_to_doubles.hh:9-20)."""
+    return np.array([float.fromhex(t) if ("x" in t or "X" in t)
+                     else float(t) for t in text.split()], dtype=np.float64)
+
+
+def _format_doubles(vals: np.ndarray) -> str:
+    return " ".join(float(v).hex() for v in np.asarray(vals).ravel())
+
+
+def _locate(knots: jax.Array, x: jax.Array) -> jax.Array:
+    """Index i such that knots[i] <= x < knots[i+1], clamped to a valid
+    cell; equivalent to the reference's shrinking IndexRange binary search
+    (Interp1D.cuh:55-120)."""
+    idx = jnp.searchsorted(knots, x, side="right") - 1
+    return jnp.clip(idx, 0, knots.shape[0] - 2)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Interp1D:
+    """Clamped linear interpolation through (xs, zs)."""
+
+    xs: jax.Array
+    zs: jax.Array
+
+    def __init__(self, xs, zs):
+        xs = jnp.asarray(xs, jnp.float64)
+        zs = jnp.asarray(zs, jnp.float64)
+        if xs.ndim != 1 or xs.shape != zs.shape:
+            raise ValueError("Interp1D needs equal-length 1-D xs/zs")
+        self.xs = xs
+        self.zs = zs
+
+    def min_x(self):
+        return self.xs[0]
+
+    def max_x(self):
+        return self.xs[-1]
+
+    def clamp(self, x):
+        return jnp.clip(x, self.xs[0], self.xs[-1])
+
+    def eval(self, x):
+        i = _locate(self.xs, x)
+        x0 = self.xs[i]
+        x1 = self.xs[i + 1]
+        y0 = self.zs[i]
+        y1 = self.zs[i + 1]
+        t = (x - x0) / (x1 - x0)
+        return y0 + t * (y1 - y0)
+
+    def __call__(self, x):
+        """Clamped evaluation (the reference's operator() clamps out-of-
+        range queries to the edge values, Interp1D.cuh clamp/do_clamp)."""
+        return self.eval(self.clamp(jnp.asarray(x, jnp.float64)))
+
+    # -- hexfloat (de)serialisation parity ---------------------------------
+    @classmethod
+    def from_text(cls, text: str) -> "Interp1D":
+        """Reference stream format: count, xs..., count, zs...
+        (Interp1D.cuh operator>>)."""
+        vals = _parse_doubles(text)
+        n = int(vals[0])
+        xs = vals[1:1 + n]
+        m = int(vals[1 + n])
+        zs = vals[2 + n:2 + n + m]
+        if m != n:
+            raise ValueError("xs/zs length mismatch in Interp1D dump")
+        return cls(xs, zs)
+
+    def to_text(self) -> str:
+        n = self.xs.shape[0]
+        return (f"{n} {_format_doubles(np.asarray(self.xs))} "
+                f"{n} {_format_doubles(np.asarray(self.zs))}")
+
+    def tree_flatten(self):
+        return (self.xs, self.zs), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        obj.xs, obj.zs = leaves
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Interp2D:
+    """Bilinear interpolation on a rectilinear (xs, ys) grid.
+
+    zs has shape (len(ys), len(xs)) -- row-major over ys like the
+    reference's interpT table (Interp2D.cuh ctor)."""
+
+    xs: jax.Array
+    ys: jax.Array
+    zs: jax.Array
+
+    def __init__(self, xs, ys, zs):
+        xs = jnp.asarray(xs, jnp.float64)
+        ys = jnp.asarray(ys, jnp.float64)
+        zs = jnp.asarray(zs, jnp.float64)
+        if zs.shape != (ys.shape[0], xs.shape[0]):
+            raise ValueError(f"zs shape {zs.shape} != (len(ys), len(xs))")
+        self.xs, self.ys, self.zs = xs, ys, zs
+
+    def clamp(self, x, y):
+        return (jnp.clip(x, self.xs[0], self.xs[-1]),
+                jnp.clip(y, self.ys[0], self.ys[-1]))
+
+    def eval(self, x, y):
+        i = _locate(self.xs, x)
+        j = _locate(self.ys, y)
+        x0, x1 = self.xs[i], self.xs[i + 1]
+        y0, y1 = self.ys[j], self.ys[j + 1]
+        q00 = self.zs[j, i]
+        q01 = self.zs[j, i + 1]
+        q10 = self.zs[j + 1, i]
+        q11 = self.zs[j + 1, i + 1]
+        tx = (x - x0) / (x1 - x0)
+        ty = (y - y0) / (y1 - y0)
+        top = q00 + tx * (q01 - q00)
+        bot = q10 + tx * (q11 - q10)
+        return top + ty * (bot - top)
+
+    def __call__(self, x, y):
+        x = jnp.asarray(x, jnp.float64)
+        y = jnp.asarray(y, jnp.float64)
+        xc, yc = self.clamp(x, y)
+        return self.eval(xc, yc)
+
+    def tree_flatten(self):
+        return (self.xs, self.ys, self.zs), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        obj.xs, obj.ys, obj.zs = leaves
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Interp3D:
+    """Trilinear interpolation on a rectilinear (xs, ys, zs) grid;
+    vals has shape (len(zs), len(ys), len(xs))."""
+
+    xs: jax.Array
+    ys: jax.Array
+    zs: jax.Array
+    vals: jax.Array
+
+    def __init__(self, xs, ys, zs, vals):
+        xs = jnp.asarray(xs, jnp.float64)
+        ys = jnp.asarray(ys, jnp.float64)
+        zs = jnp.asarray(zs, jnp.float64)
+        vals = jnp.asarray(vals, jnp.float64)
+        if vals.shape != (zs.shape[0], ys.shape[0], xs.shape[0]):
+            raise ValueError(
+                f"vals shape {vals.shape} != (len(zs), len(ys), len(xs))")
+        self.xs, self.ys, self.zs, self.vals = xs, ys, zs, vals
+
+    def __call__(self, x, y, z):
+        x = jnp.clip(jnp.asarray(x, jnp.float64), self.xs[0], self.xs[-1])
+        y = jnp.clip(jnp.asarray(y, jnp.float64), self.ys[0], self.ys[-1])
+        z = jnp.clip(jnp.asarray(z, jnp.float64), self.zs[0], self.zs[-1])
+        i = _locate(self.xs, x)
+        j = _locate(self.ys, y)
+        k = _locate(self.zs, z)
+        tx = (x - self.xs[i]) / (self.xs[i + 1] - self.xs[i])
+        ty = (y - self.ys[j]) / (self.ys[j + 1] - self.ys[j])
+        tz = (z - self.zs[k]) / (self.zs[k + 1] - self.zs[k])
+
+        def lerp(a, b, t):
+            return a + t * (b - a)
+
+        c00 = lerp(self.vals[k, j, i], self.vals[k, j, i + 1], tx)
+        c01 = lerp(self.vals[k, j + 1, i], self.vals[k, j + 1, i + 1], tx)
+        c10 = lerp(self.vals[k + 1, j, i], self.vals[k + 1, j, i + 1], tx)
+        c11 = lerp(self.vals[k + 1, j + 1, i],
+                   self.vals[k + 1, j + 1, i + 1], tx)
+        c0 = lerp(c00, c01, ty)
+        c1 = lerp(c10, c11, ty)
+        return lerp(c0, c1, tz)
+
+    def tree_flatten(self):
+        return (self.xs, self.ys, self.zs, self.vals), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = cls.__new__(cls)
+        obj.xs, obj.ys, obj.zs, obj.vals = leaves
+        return obj

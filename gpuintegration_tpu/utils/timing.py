@@ -1,0 +1,185 @@
+"""Demo/benchmark harnesses with the reference's CSV output schemas.
+
+Re-expression of the reference's harness layer
+(reference: cuda/pagani/demos/new_time_and_call.cuh:129-245
+clean_time_and_call -- CSV row per run:
+id, ndim, use_custom, true_value, epsrel, epsabs, estimate, errorest,
+nregions, nFinishedRegions, iters, status, time;
+cuda/mcubes/demos/demo_utils.cuh:50-100 mcubes_time_and_call;
+new_time_and_call.cuh:30-70 call_cubature_rules throughput probe).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gpuintegration_tpu.integrand import make_integrand
+from gpuintegration_tpu.mcubes import vegas as vegas_mod
+from gpuintegration_tpu.ops import rule_eval
+from gpuintegration_tpu.pagani import region_pool
+from gpuintegration_tpu.pagani.workspace import Workspace
+from gpuintegration_tpu.types import Volume
+
+PAGANI_CSV_HEADER = ("id,ndim,backend,true_value,epsrel,epsabs,estimate,"
+                     "errorest,nregions,nFinishedRegions,iters,status,time_ms")
+MCUBES_CSV_HEADER = ("id,ndim,backend,true_value,epsrel,epsabs,estimate,"
+                     "errorest,chi_sq,iters,status,time_ms")
+
+
+def clean_time_and_call(
+    id: str,
+    integrand: Callable,
+    epsrel: float,
+    true_value: float,
+    outfile=None,
+    *,
+    ndim: int | None = None,
+    vol: Volume | None = None,
+    epsabs: float = 1e-40,
+    runs_per_epsrel: int = 10,
+    relerr_classification: bool = True,
+    workspace: Workspace | None = None,
+) -> bool:
+    """Repeated adaptive runs at one tolerance; CSV row per run.
+
+    Returns True if any run converged (status 0) -- same contract as the
+    reference harness (new_time_and_call.cuh:170-173)."""
+    _, nd = make_integrand(integrand, ndim)
+    ws = workspace or Workspace(nd)
+    good = False
+    for i in range(runs_per_epsrel):
+        t0 = time.perf_counter()
+        res = ws.integrate(integrand, epsrel, epsabs, vol,
+                           relerr_classification=relerr_classification)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        if res.status == 0:
+            good = True
+        row = (f"{id},{nd},xla,{true_value:.15e},{epsrel:.15e},"
+               f"{epsabs:.15e},{res.estimate:.15e},{res.errorest:.15e},"
+               f"{res.nregions},{res.nFinishedRegions},{res.iters},"
+               f"{res.status},{dt_ms}")
+        if outfile is not None:
+            print(row, file=outfile)
+    return good
+
+
+def epsrel_ladder(
+    id: str,
+    integrand: Callable,
+    true_value: float,
+    outfile=None,
+    *,
+    start: float = 1e-3,
+    floor: float = 1e-9,
+    ndim: int | None = None,
+    runs_per_epsrel: int = 2,
+    **kw,
+) -> float:
+    """Tighten epsrel by 5x until failure or the floor; returns the last
+    tolerance achieved (the reference demos' epsrel ladder pattern, e.g.
+    cuda/pagani/demos/new_interface_Genz3_3D.cu)."""
+    epsrel = start
+    achieved = float("inf")
+    while epsrel >= floor:
+        good = clean_time_and_call(
+            id, integrand, epsrel, true_value, outfile, ndim=ndim,
+            runs_per_epsrel=runs_per_epsrel, **kw)
+        if not good:
+            break
+        achieved = epsrel
+        epsrel /= 5.0
+    return achieved
+
+
+def mcubes_time_and_call(
+    id: str,
+    integrand: Callable,
+    epsrel: float,
+    true_value: float,
+    outfile=None,
+    *,
+    ndim: int | None = None,
+    ncall: float = 1e6,
+    vol: Volume | None = None,
+    epsabs: float = 1e-40,
+    total_iters: int = 15,
+    adjust_iters: int = 15,
+    skip_iters: int = 5,
+    runs: int = 1,
+    seed: int = 0,
+) -> bool:
+    """VEGAS harness with CSV rows (demo_utils.cuh:50-100 schema)."""
+    _, nd = make_integrand(integrand, ndim)
+    good = False
+    for i in range(runs):
+        t0 = time.perf_counter()
+        res = vegas_mod.integrate(
+            integrand, epsrel, epsabs, ncall, vol, total_iters=total_iters,
+            adjust_iters=adjust_iters, skip_iters=skip_iters,
+            seed=seed + i, ndim=ndim)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        if res.status == 0:
+            good = True
+        row = (f"{id},{nd},xla,{true_value:.15e},{epsrel:.15e},"
+               f"{epsabs:.15e},{res.estimate:.15e},{res.errorest:.15e},"
+               f"{res.chi_sq:.5f},{res.iters},{res.status},{dt_ms}")
+        if outfile is not None:
+            print(row, file=outfile)
+    return good
+
+
+def call_cubature_rules(
+    integrand: Callable,
+    ndim: int,
+    *,
+    splits_per_dim: Sequence[int] = range(5, 16),
+    max_regions: int = 35_000_000,
+    repeats: int = 11,
+    chunk: int = 8192,
+    dtype: str = "float64",
+    outfile=None,
+):
+    """Pure rule-kernel throughput probe: sweep initial uniform splits and
+    time rule application over the resulting pools
+    (reference: new_time_and_call.cuh:30-70 -- splits 5..15, <= 35e6
+    regions, 11 repeats).  Returns list of dicts with evals/sec."""
+    from gpuintegration_tpu.pagani import workspace as W
+
+    f, _ = make_integrand(integrand, ndim)
+    feval = rule_eval.rule_tables(ndim, dtype).feval
+    gl = jnp.zeros(ndim, jnp.dtype(dtype))
+    gr = jnp.ones(ndim, jnp.dtype(dtype))
+    results = []
+    for s in splits_per_dim:
+        n_regions = s ** ndim
+        if n_regions > max_regions:
+            continue
+        cap = max(region_pool.next_pow2(n_regions), chunk)
+        lows, lengths, _ = region_pool.uniform_split(
+            ndim, s, cap, jnp.dtype(dtype))
+
+        def one_pass():
+            outs = []
+            for i in range(cap // chunk):
+                sl = slice(i * chunk, (i + 1) * chunk)
+                outs.append(W._eval_stage(f, ndim, dtype, lows[sl],
+                                          lengths[sl], gl, gr))
+            return outs
+
+        jax.block_until_ready(one_pass())
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(one_pass())
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        evals = cap * feval
+        rec = {"splits_per_dim": s, "regions": cap, "feval": feval,
+               "best_s": best, "evals_per_sec": evals / best}
+        results.append(rec)
+        if outfile is not None:
+            print(f"{s},{cap},{feval},{best},{evals / best}", file=outfile)
+    return results

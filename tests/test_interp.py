@@ -1,0 +1,122 @@
+"""Interpolator tests.
+
+Mirrors the reference's Interpolation1D/2D/3D.cu test battery: exactness at
+knots, interior linearity, clamping at domain edges
+(test/cuda/pagani/Interpolation1D.cu:102 and siblings), plus hexfloat
+round-trip and use as a stateful integrand (StatefulIntegrand.cu:130-140).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu.ops.interp import Interp1D, Interp2D, Interp3D
+
+
+class TestInterp1D:
+    xs = np.array([0.0, 1.0, 2.5, 4.0, 7.0])
+    zs = np.array([1.0, 3.0, -2.0, 0.5, 10.0])
+
+    def test_exact_at_knots(self):
+        it = Interp1D(self.xs, self.zs)
+        for x, z in zip(self.xs, self.zs):
+            assert float(it(x)) == pytest.approx(z, abs=1e-14)
+
+    def test_interior_linear(self):
+        it = Interp1D(self.xs, self.zs)
+        assert float(it(0.5)) == pytest.approx(2.0)
+        assert float(it(3.25)) == pytest.approx((-2.0 + 0.5) / 2)
+
+    def test_clamping(self):
+        it = Interp1D(self.xs, self.zs)
+        assert float(it(-5.0)) == pytest.approx(1.0)
+        assert float(it(100.0)) == pytest.approx(10.0)
+
+    def test_batched(self):
+        it = Interp1D(self.xs, self.zs)
+        out = it(jnp.asarray([0.0, 0.5, 1.0]))
+        np.testing.assert_allclose(np.asarray(out), [1.0, 2.0, 3.0])
+
+    def test_hexfloat_roundtrip(self):
+        it = Interp1D(self.xs, self.zs)
+        text = it.to_text()
+        it2 = Interp1D.from_text(text)
+        np.testing.assert_array_equal(np.asarray(it.xs), np.asarray(it2.xs))
+        np.testing.assert_array_equal(np.asarray(it.zs), np.asarray(it2.zs))
+
+    def test_matches_reference_dump_format(self):
+        # the format the reference writes: count, hexfloats..., count, ...
+        text = "3 0x0p+0 0x1p+0 0x1p+1 3 0x1p+0 0x1p+1 0x1p+2"
+        it = Interp1D.from_text(text)
+        np.testing.assert_array_equal(np.asarray(it.xs), [0.0, 1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(it.zs), [1.0, 2.0, 4.0])
+
+
+class TestInterp2D:
+    def setup_method(self):
+        self.xs = np.array([0.0, 1.0, 2.0])
+        self.ys = np.array([0.0, 2.0])
+        # f(x, y) = 3x + 5y sampled on the grid (bilinear -> exact)
+        self.zs = 3.0 * self.xs[None, :] + 5.0 * self.ys[:, None]
+        self.it = Interp2D(self.xs, self.ys, self.zs)
+
+    def test_exact_at_knots(self):
+        for j, y in enumerate(self.ys):
+            for i, x in enumerate(self.xs):
+                assert float(self.it(x, y)) == pytest.approx(self.zs[j, i])
+
+    def test_bilinear_exact_for_linear_function(self):
+        assert float(self.it(0.7, 1.3)) == pytest.approx(3 * 0.7 + 5 * 1.3)
+
+    def test_clamping(self):
+        assert float(self.it(-1.0, -1.0)) == pytest.approx(0.0)
+        assert float(self.it(10.0, 10.0)) == pytest.approx(3 * 2 + 5 * 2)
+
+
+class TestInterp3D:
+    def test_trilinear_exact_for_linear_function(self):
+        xs = np.linspace(0, 1, 4)
+        ys = np.linspace(0, 2, 3)
+        zs = np.linspace(0, 3, 5)
+        vals = (2.0 * xs[None, None, :] - ys[None, :, None]
+                + 0.5 * zs[:, None, None])
+        it = Interp3D(xs, ys, zs, vals)
+        x, y, z = 0.3, 1.1, 2.2
+        assert float(it(x, y, z)) == pytest.approx(2 * x - y + 0.5 * z)
+
+    def test_clamping(self):
+        xs = ys = zs = np.array([0.0, 1.0])
+        vals = np.zeros((2, 2, 2))
+        vals[1, 1, 1] = 8.0
+        it = Interp3D(xs, ys, zs, vals)
+        assert float(it(5.0, 5.0, 5.0)) == pytest.approx(8.0)
+
+
+class TestStatefulIntegrand:
+    """Interpolator state captured by an integrand closure survives jit and
+    the full PAGANI pipeline (reference: StatefulIntegrand.cu:130-140)."""
+
+    def test_integrate_interpolated_function(self):
+        from gpuintegration_tpu import Workspace
+        xs = np.linspace(0.0, 1.0, 101)
+        zs = xs ** 2  # piecewise-linear approx of x^2
+        table = Interp1D(xs, zs)
+
+        def f(x, y):
+            return table(x) * (1.0 + 0.0 * y)
+
+        ws = Workspace(2)
+        res = ws.integrate(f, epsrel=1e-6, epsabs=1e-40)
+        # integral of PL-interpolant of x^2 on 100 uniform cells:
+        # 1/3 + h^2/6 * sum of cell corrections -> 1/3 + 1e-4/6... compute:
+        h = 0.01
+        truth = sum((zs[i] + zs[i + 1]) / 2 * h for i in range(100))
+        assert res.status == 0
+        assert abs(res.estimate - truth) < 1e-7
+
+    def test_pytree_flatten(self):
+        import jax
+        it = Interp1D([0.0, 1.0], [2.0, 3.0])
+        leaves, treedef = jax.tree_util.tree_flatten(it)
+        assert len(leaves) == 2
+        it2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert float(it2(0.5)) == pytest.approx(2.5)
