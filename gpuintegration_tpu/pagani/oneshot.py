@@ -1,0 +1,126 @@
+"""One-shot rule application over a caller-supplied region set.
+
+Re-expression of Cubature_rules::apply_cubature_integration_rules's public
+overload (reference: cuda/pagani/quad/GPUquad/PaganiUtils.cuh:243-289):
+apply the Genz-Malik rule once to every region and reduce -- the "forward
+pass" used by the reference's profiling path (call_cubature_rules,
+new_time_and_call.cuh:30-70) and by callers who manage their own
+subdivision.
+
+Also provides the per-evaluation capture of debug>=2 builds
+(quad::Func_Evals, Func_Eval.cuh:8-64): points and integrand values for
+every (region, rule-point) pair.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.integrand import make_integrand
+from gpuintegration_tpu.ops import rule_eval
+from gpuintegration_tpu.types import IntegrationResult, Volume
+
+
+def apply_cubature_rules(
+    integrand: Callable,
+    lows,
+    lengths,
+    vol: Volume | None = None,
+    *,
+    ndim: int | None = None,
+    dtype=jnp.float64,
+    compute_error: bool = True,
+) -> tuple[IntegrationResult, jax.Array, jax.Array, jax.Array]:
+    """Evaluate the rule on regions (unit-space lows/lengths) mapped onto
+    ``vol``; returns (result, per_region_estimates, per_region_errors,
+    split_dims).  result.errorest is +inf when compute_error=False
+    (PaganiUtils.cuh:280-288 parity)."""
+    lows = jnp.asarray(lows, dtype)
+    lengths = jnp.asarray(lengths, dtype)
+    n, nd = lows.shape
+    if ndim is None:
+        ndim = nd
+    f, ndim = make_integrand(integrand, ndim)
+    if vol is None:
+        vol = Volume(ndim=ndim)
+    tables = rule_eval.rule_tables(ndim, jnp.dtype(dtype).name)
+    gl = jnp.asarray(vol.lows, dtype)
+    gr = jnp.asarray(vol.highs - vol.lows, dtype)
+    est, err, sdim = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr)
+    res = IntegrationResult(
+        estimate=float(jnp.sum(est)),
+        errorest=float(jnp.sum(err)) if compute_error else float("inf"),
+        nregions=n,
+        neval=n * tables.feval,
+        status=-1,
+    )
+    return res, est, err, sdim
+
+
+@dataclasses.dataclass
+class FuncEvals:
+    """Per-evaluation record battery (reference: Func_Eval.cuh:8-64 +
+    the CSV printers in PaganiUtils.cuh:130-241)."""
+
+    points: np.ndarray       # (nregions, feval, ndim) evaluation points
+    values: np.ndarray       # (nregions, feval) integrand values
+    region_lows: np.ndarray  # (nregions, ndim) unit-space bounds
+    region_lengths: np.ndarray
+
+    def to_csv(self, outfile):
+        nreg, feval, ndim = self.points.shape
+        cols = ["reg", "fid"]
+        cols += [f"dim{d}low" for d in range(ndim)]
+        cols += [f"dim{d}high" for d in range(ndim)]
+        cols += [f"dim{d}" for d in range(ndim)]
+        cols += ["feval"]
+        print(",".join(cols), file=outfile)
+        for r in range(nreg):
+            lo = self.region_lows[r]
+            hi = lo + self.region_lengths[r]
+            for p in range(feval):
+                row = [str(r), str(p)]
+                row += [f"{v:.17e}" for v in lo]
+                row += [f"{v:.17e}" for v in hi]
+                row += [f"{v:.17e}" for v in self.points[r, p]]
+                row += [f"{self.values[r, p]:.17e}"]
+                print(",".join(row), file=outfile)
+
+
+def capture_func_evals(
+    integrand: Callable,
+    lows,
+    lengths,
+    vol: Volume | None = None,
+    *,
+    ndim: int | None = None,
+    dtype=jnp.float64,
+    max_regions: int = 1024,
+) -> FuncEvals:
+    """Record every evaluation point and value for a (small) region set --
+    the debug>=2 path of the reference (PaganiUtils.cuh:304-334 caps at
+    1024 regions too, :136)."""
+    lows = np.asarray(lows, np.float64)
+    lengths = np.asarray(lengths, np.float64)
+    n, nd = lows.shape
+    if n > max_regions:
+        raise ValueError(f"capture limited to {max_regions} regions")
+    if ndim is None:
+        ndim = nd
+    f, ndim = make_integrand(integrand, ndim)
+    if vol is None:
+        vol = Volume(ndim=ndim)
+    tables = rule_eval.rule_tables(ndim, jnp.dtype(dtype).name)
+    gl = np.asarray(vol.lows)
+    gr = np.asarray(vol.highs - vol.lows)
+    center = lows + 0.5 * lengths
+    x = (gl + (center[:, None, :]
+               - tables.gen[None, :tables.feval, :] * lengths[:, None, :])
+         * gr)
+    vals = np.asarray(f(jnp.asarray(x, dtype)))
+    return FuncEvals(points=x, values=vals, region_lows=lows,
+                     region_lengths=lengths)

@@ -140,7 +140,7 @@ class Workspace:
     """
 
     def __init__(self, ndim: int, *, dtype=jnp.float64,
-                 max_pool_regions: int = 4 * 1024 * 1024,
+                 max_pool_regions: int = 16 * 1024 * 1024,
                  chunk_size: int | None = None,
                  chunk_budget_bytes: int = 256 * 1024 * 1024):
         self.ndim = ndim
@@ -185,12 +185,25 @@ class Workspace:
         max_iterations: int = MAX_ITERATIONS,
         initial_regions: tuple | None = None,
         recorder=None,
+        predict_split: bool = False,
+        vegas_assisted: bool = False,
+        vegas_passes: int = 10,
+        vegas_samples_per_pass: int = 320,
+        seed: int = 0,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
 
         ``recorder``: optional utils.recorder.IterationRecorder receiving one
         row per iteration (parity with the reference's cuda_pagani_iters.csv,
-        Workspace.cuh:171-241)."""
+        Workspace.cuh:171-241).
+
+        ``predict_split``: the reference's split-prediction heuristic
+        (Workspace.cuh:206-211, 244-248): suppress finished-region
+        classification for the first 15 iterations (pool <= 15e6, nothing
+        finished yet) so the pool grows by pure bisection, and snapshot the
+        pool at iteration 15 into ``self.last_snapshot`` (the pytree
+        analogue of Sub_regions::take_snapshot, Sub_regions.cuh:219-229).
+        """
         import time as _time
         ndim = self.ndim
         dtype = self.dtype
@@ -240,11 +253,30 @@ class Workspace:
             if n <= 0:
                 break
             t_iter = _time.perf_counter()
+            effective_relerr = relerr_classification
+            if (predict_split and n <= 15_000_000 and it < 15
+                    and result_nregions == 0):
+                effective_relerr = False  # (Workspace.cuh:206-211)
             est_raw, err_raw, sdim = self._eval_pool(
                 f, lows, lengths, global_lo, global_range)
+            if vegas_assisted:
+                # hybrid mode: keep the rule's bisection dimension but
+                # overwrite estimates/errors with per-region adaptive MC
+                # (reference: Sample.cuh:726-727, Phases.cuh:479-518)
+                from gpuintegration_tpu.pagani.vegas_assisted import (
+                    vegas_assisted_estimates)
+                import jax.random as jrandom
+                key = jrandom.fold_in(jrandom.PRNGKey(seed), it)
+                est_raw, err_raw = vegas_assisted_estimates(
+                    f, ndim, vegas_passes, vegas_samples_per_pass, 100,
+                    dtype_name, key, lows, lengths,
+                    global_lo, global_range)
             est, refined, active, scalars_d = _post_stage(
-                relerr_classification, est_raw, err_raw, n_dev,
+                effective_relerr, est_raw, err_raw, n_dev,
                 parent_est, use_refine, eps_dev)
+            if predict_split and result_nregions == 0 and it == 15:
+                # pool snapshot (Workspace.cuh:244-248)
+                self.last_snapshot = (lows, lengths, n)
             # single D2H sync per iteration
             scalars = np.asarray(scalars_d)
             iter_est, iter_err, finished_est, finished_err = (
@@ -309,6 +341,13 @@ class Workspace:
 
             cum.estimate += finished_est
             cum.errorest += finished_err
+            # active (still-in-flight) contribution of this iteration; added
+            # on a max-iterations exit so the returned estimate reflects the
+            # latest full sweep.  (The reference drops it at its 700-iter
+            # exit, Workspace.cuh:354-357, returning only the finished part
+            # -- deliberate deviation for usability; status stays 1.)
+            inflight_est = iter_est - finished_est
+            inflight_err = iter_err - finished_err
 
             # -- compaction + split ------------------------------------------
             result_nregions += n - n_active
@@ -330,6 +369,12 @@ class Workspace:
             n_dev = jnp.asarray(n, jnp.int32)
             cap = child_cap
             use_refine = jnp.asarray(True)
+        else:
+            # max_iterations exhausted: include the last sweep's active
+            # contribution so the estimate is complete.
+            if cum.iters > 0:
+                cum.estimate += inflight_est
+                cum.errorest += inflight_err
 
         cum.nregions = result_nregions + n
         return cum

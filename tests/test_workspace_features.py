@@ -1,0 +1,121 @@
+"""Workspace feature tests: one-shot rule API, feval capture,
+predict-split snapshotting, VEGAS-assisted hybrid, max-iteration exits.
+"""
+import io
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu import Workspace, Volume
+from gpuintegration_tpu.models import genz
+from gpuintegration_tpu.ops.genz_malik import feval_per_region
+from gpuintegration_tpu.pagani import oneshot, region_pool
+
+
+class TestOneShot:
+    def test_constant_integrand_exact(self):
+        """One rule application on a constant: exact estimate, zero error
+        (reference: RegionSampling.cu:47+)."""
+        lows, lengths, n = region_pool.uniform_split(3, 2, 8)
+
+        def f(x, y, z):
+            return 1.0 + 0.0 * x
+
+        res, est, err, sdim = oneshot.apply_cubature_rules(f, lows, lengths)
+        assert res.estimate == pytest.approx(1.0, abs=1e-13)
+        assert res.errorest == pytest.approx(0.0, abs=1e-12)
+        np.testing.assert_allclose(np.asarray(est), 0.125, atol=1e-14)
+
+    def test_signed_constant(self):
+        lows, lengths, n = region_pool.uniform_split(2, 2, 4)
+
+        def f(x, y):
+            return -3.0 + 0.0 * x
+
+        res, est, err, _ = oneshot.apply_cubature_rules(f, lows, lengths)
+        assert res.estimate == pytest.approx(-3.0, abs=1e-13)
+
+    def test_compute_error_false(self):
+        lows, lengths, _ = region_pool.uniform_split(2, 2, 4)
+        res, *_ = oneshot.apply_cubature_rules(
+            lambda x, y: x * y, lows, lengths, compute_error=False)
+        assert math.isinf(res.errorest)
+
+    def test_neval_accounting(self):
+        lows, lengths, _ = region_pool.uniform_split(4, 2, 16)
+        res, *_ = oneshot.apply_cubature_rules(
+            lambda x, y, z, w: x, lows, lengths)
+        assert res.neval == 16 * feval_per_region(4)
+
+
+class TestFuncEvalCapture:
+    def test_capture_points_and_values(self):
+        lows = np.array([[0.0, 0.0], [0.5, 0.5]])
+        lengths = np.array([[0.5, 0.5], [0.5, 0.5]])
+
+        def f(x, y):
+            return x + 10.0 * y
+
+        fev = oneshot.capture_func_evals(f, lows, lengths)
+        assert fev.points.shape == (2, feval_per_region(2), 2)
+        # center point of region 0 is (0.25, 0.25)
+        np.testing.assert_allclose(fev.points[0, 0], [0.25, 0.25])
+        np.testing.assert_allclose(fev.values[0, 0], 0.25 + 2.5)
+        # all points inside their region
+        for r in range(2):
+            lo = lows[r]
+            hi = lo + lengths[r]
+            assert (fev.points[r] >= lo - 1e-12).all()
+            assert (fev.points[r] <= hi + 1e-12).all()
+
+    def test_csv_dump(self):
+        lows = np.array([[0.0, 0.0]])
+        lengths = np.array([[1.0, 1.0]])
+        fev = oneshot.capture_func_evals(lambda x, y: x, lows, lengths)
+        buf = io.StringIO()
+        fev.to_csv(buf)
+        lines = buf.getvalue().strip().splitlines()
+        assert len(lines) == 1 + feval_per_region(2)
+        assert lines[0].startswith("reg,fid,")
+
+    def test_region_cap(self):
+        lows = np.zeros((2000, 2))
+        lengths = np.ones((2000, 2))
+        with pytest.raises(ValueError):
+            oneshot.capture_func_evals(lambda x, y: x, lows, lengths)
+
+
+class TestPredictSplit:
+    def test_snapshot_taken(self):
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        ws.integrate(g, epsrel=1e-14, epsabs=1e-300, predict_split=True,
+                     max_iterations=17, partitions_per_axis=2)
+        assert hasattr(ws, "last_snapshot")
+        lows, lengths, n = ws.last_snapshot
+        assert lows.shape[1] == 3 and n > 0
+
+
+class TestVegasAssisted:
+    def test_hybrid_converges_statistically(self):
+        g = genz.f4_gaussian(2, a=5.0)
+        ws = Workspace(2, chunk_size=1024)
+        r = ws.integrate(g, epsrel=5e-3, epsabs=1e-40, vegas_assisted=True,
+                         max_iterations=8, vegas_passes=4,
+                         vegas_samples_per_pass=256, seed=3)
+        # MC error bars: within 5 combined sigma of truth
+        assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-6)
+
+
+class TestMaxIterExit:
+    def test_estimate_complete_on_nonconvergence(self):
+        """Even when max_iterations exhausts, the returned estimate must
+        include the in-flight active regions (deviation from the
+        reference, which drops them at its 700-iteration exit)."""
+        g = genz.f4_gaussian(3, a=5.0)
+        ws = Workspace(3, chunk_size=1024)
+        r = ws.integrate(g, epsrel=1e-12, epsabs=1e-300, max_iterations=3)
+        assert r.status == 1
+        assert abs(r.estimate - g.true_value) / g.true_value < 1e-2
