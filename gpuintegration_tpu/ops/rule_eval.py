@@ -95,14 +95,20 @@ def _eval_chunk(
     vals = f(x) * jacobian                                 # (C, P)
     vals = vals.astype(dtype)
 
-    # Five embedded rule sums.  Expressed as a broadcast-multiply + reduce
-    # rather than dot_general: XLA's TPU f64-emulated matmul lowering is
-    # ~5x slower than the fused VPU multiply+reduce for this K=feval,
+    # Five embedded rule sums.  In f64, expressed as a broadcast-multiply +
+    # reduce rather than dot_general: XLA's TPU f64-emulated matmul lowering
+    # is ~5x slower than the fused VPU multiply+reduce for this K=feval,
     # N=5 contraction (measured 5.4 ms vs 1.0 ms per 8192x1152 chunk at
     # 8D), and f64 precision here is required -- the null-rule sums are
-    # cancellation-heavy and an f32 path would put a ~1e-5 noise floor
-    # under every error estimate.
-    sums = jnp.sum(vals[:, :, None] * tables.wts[None, :, :], axis=1)
+    # cancellation-heavy and a lower-precision path would put a noise floor
+    # under every error estimate.  In f32, the MXU matmul wins.
+    if dtype == jnp.float64:
+        sums = jnp.sum(vals[:, :, None] * tables.wts[None, :, :], axis=1)
+    else:
+        sums = jax.lax.dot_general(
+            vals, tables.wts.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)
 
     # Fourth-difference bisection dimension (Sample.cuh:194-218):
     # diff_d = |2(1-ratio) f0 + ratio (f1p+f1m) - (f2p+f2m)| where the a1
