@@ -198,6 +198,7 @@ def vegas(
     chunk_cubes: int | None = None,
     state: VegasState | None = None,
     nbins: int = vgrid.NDMX,
+    debug_logger=None,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -264,6 +265,13 @@ def vegas(
             chi2a = max(chi2a, 0.0)
             sd = math.sqrt(1.0 / swgt)
             res.status = get_status(tgral, sd, it, epsrel, epsabs)
+        if debug_logger is not None:
+            # per-iteration capture (IterDataLogger parity,
+            # verbose_utils.cuh:22-181)
+            debug_logger.record(
+                it=it, ti=ti, tsi=tsi, tgral=tgral, sd=sd, chi2a=chi2a,
+                xi=np.asarray(xi),
+                d=np.asarray(d) if adjusting else None)
         res.iters += 1
         it += 1
 

@@ -277,6 +277,8 @@ class Workspace:
             if predict_split and result_nregions == 0 and it == 15:
                 # pool snapshot (Workspace.cuh:244-248)
                 self.last_snapshot = (lows, lengths, n)
+            # live pool reference for checkpointing (utils.checkpoint)
+            self.final_pool = (lows, lengths, n)
             # single D2H sync per iteration
             scalars = np.asarray(scalars_d)
             iter_est, iter_err, finished_est, finished_err = (
@@ -378,3 +380,15 @@ class Workspace:
 
         cum.nregions = result_nregions + n
         return cum
+
+    def make_checkpoint(self, result: IntegrationResult):
+        """Package the last run's live pool + ledger into a resumable
+        checkpoint (utils.checkpoint.PaganiCheckpoint).  Resume with
+        ``integrate(..., initial_regions=(ckpt.lows, ckpt.lengths))`` and
+        add ``ckpt.estimate/errorest`` to the result."""
+        from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        lows, lengths, n = self.final_pool
+        return PaganiCheckpoint(
+            lows=np.asarray(lows)[:n], lengths=np.asarray(lengths)[:n],
+            estimate=result.estimate, errorest=result.errorest,
+            nregions=result.nregions, iters=result.iters)

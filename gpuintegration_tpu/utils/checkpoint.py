@@ -1,0 +1,60 @@
+"""Checkpoint / resume of integrator state.
+
+The reference has only lightweight in-memory snapshots
+(Sub_regions::take_snapshot/load_snapshot, Sub_regions.cuh:219-239; the
+VEGAS grid lives on the host each iteration, vegasT.cuh:834-838;
+interpolators serialise via hexfloat dumps).  Here the whole integrator
+state is a pytree, so checkpointing is trivially complete:
+
+* PaganiCheckpoint: the padded region pool + cumulative ledger -- resume
+  feeds the pool back into Workspace.integrate(initial_regions=...).
+* VegasState (mcubes.vegas): the importance grid + iteration-weighted
+  accumulators -- pass ``state=`` to continue sampling.
+
+Serialisation is plain ``numpy.savez`` (no framework dependency); orbax
+works on the same pytrees for multi-host setups.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpuintegration_tpu.mcubes.vegas import VegasState
+
+
+@dataclasses.dataclass
+class PaganiCheckpoint:
+    """Resumable PAGANI state: active region pool + cumulative ledger."""
+
+    lows: np.ndarray          # (n, ndim) active regions, unit space
+    lengths: np.ndarray       # (n, ndim)
+    estimate: float           # cumulative finished estimate
+    errorest: float
+    nregions: int
+    iters: int
+
+    def save(self, path: str):
+        np.savez(path, lows=self.lows, lengths=self.lengths,
+                 estimate=self.estimate, errorest=self.errorest,
+                 nregions=self.nregions, iters=self.iters)
+
+    @classmethod
+    def load(cls, path: str) -> "PaganiCheckpoint":
+        z = np.load(path)
+        return cls(lows=z["lows"], lengths=z["lengths"],
+                   estimate=float(z["estimate"]),
+                   errorest=float(z["errorest"]),
+                   nregions=int(z["nregions"]), iters=int(z["iters"]))
+
+
+def save_vegas_state(state: VegasState, path: str):
+    np.savez(path, xi=np.asarray(state.xi), si=state.si, swgt=state.swgt,
+             schi=state.schi)
+
+
+def load_vegas_state(path: str) -> VegasState:
+    z = np.load(path)
+    return VegasState(xi=jnp.asarray(z["xi"]), si=float(z["si"]),
+                      swgt=float(z["swgt"]), schi=float(z["schi"]))
