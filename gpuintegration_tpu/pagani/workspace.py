@@ -142,10 +142,17 @@ class Workspace:
     def __init__(self, ndim: int, *, dtype=jnp.float64,
                  max_pool_regions: int = 16 * 1024 * 1024,
                  chunk_size: int | None = None,
-                 chunk_budget_bytes: int = 256 * 1024 * 1024):
+                 chunk_budget_bytes: int = 256 * 1024 * 1024,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh -- the region pool is
+        sharded over its axis and every stage runs SPMD (rule evaluation
+        is communication-free; reductions/compaction lower to
+        collectives).  The reference has no multi-GPU mode at all
+        (SURVEY.md section 2.7)."""
         self.ndim = ndim
         self.dtype = jnp.dtype(dtype)
         self.max_pool_regions = max_pool_regions
+        self.mesh = mesh
         if chunk_size is None:
             feval_p = rule_eval.rule_tables(ndim, self.dtype.name).feval_padded
             per_region = feval_p * self.dtype.itemsize * 4
@@ -154,12 +161,23 @@ class Workspace:
                 16384), 1024)
         self.chunk_size = chunk_size
 
+    def _shard(self, *arrays):
+        """Place pool arrays with the region-axis sharding (mesh mode)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from gpuintegration_tpu.parallel.mesh import region_sharding
+        sh = region_sharding(self.mesh)
+        out = tuple(jax.device_put(a, sh) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
     def _eval_pool(self, f, lows, lengths, global_lo, global_range):
-        """Host loop over fixed-size chunks; one compile of the hot kernel."""
+        """Host loop over fixed-size chunks; one compile of the hot kernel.
+        In mesh mode the whole (sharded) pool is evaluated in one SPMD call
+        -- per-device footprint is pool/n_devices, so no chunking needed."""
         cap = lows.shape[0]
         chunk = self.chunk_size
         dtype_name = self.dtype.name
-        if cap <= chunk:
+        if self.mesh is not None or cap <= chunk:
             return _eval_stage(f, self.ndim, dtype_name, lows, lengths,
                                global_lo, global_range)
         outs = []
@@ -236,6 +254,7 @@ class Workspace:
             cap = max(region_pool.next_pow2(n), min_cap)
             lows, lengths, n = region_pool.uniform_split(
                 ndim, parts, cap, dtype)
+        lows, lengths = self._shard(lows, lengths)
 
         parent_est = jnp.zeros((max(cap // 2, 1),), dtype)
         use_refine = jnp.asarray(False)
@@ -367,6 +386,7 @@ class Workspace:
             lows, lengths, n_children = region_pool.split(
                 c_lows, c_lengths, c_sdim, n_active_d,
                 out_capacity=child_cap)
+            lows, lengths = self._shard(lows, lengths)
             n = 2 * n_active
             n_dev = jnp.asarray(n, jnp.int32)
             cap = child_cap

@@ -83,6 +83,21 @@ def test_sharded_vegas_converges(mesh):
     assert abs(r.estimate - g.true_value) / g.true_value < 2e-2
 
 
+def test_mesh_workspace_matches_single_device(mesh):
+    """End-to-end adaptive PAGANI with the region pool sharded over 8
+    devices converges to the same answer as the single-device run."""
+    from gpuintegration_tpu import Workspace
+    g = genz.f1_oscillatory(4)
+    r1 = Workspace(4, chunk_size=1024).integrate(
+        g, epsrel=1e-7, epsabs=1e-40)
+    r8 = Workspace(4, chunk_size=1024, mesh=mesh).integrate(
+        g, epsrel=1e-7, epsabs=1e-40)
+    assert r1.status == 0 and r8.status == 0
+    assert abs(r1.estimate - r8.estimate) <= 1e-9 * abs(r1.estimate) \
+        + 1e-3 * (r1.errorest + r8.errorest)
+    assert r1.iters == r8.iters
+
+
 def test_sharded_vegas_deterministic(mesh):
     g = genz.f4_gaussian(2, a=3.0)
     r1 = sharded.vegas_sharded(g, ncall=1e4, mesh=mesh, total_iters=6,
