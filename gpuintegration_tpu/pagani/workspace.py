@@ -143,7 +143,8 @@ class Workspace:
                  max_pool_regions: int = 16 * 1024 * 1024,
                  chunk_size: int | None = None,
                  chunk_budget_bytes: int = 256 * 1024 * 1024,
-                 mesh=None):
+                 mesh=None,
+                 rule_backend: str = "xla"):
         """``mesh``: optional jax.sharding.Mesh -- the region pool is
         sharded over its axis and every stage runs SPMD (rule evaluation
         is communication-free; reductions/compaction lower to
@@ -153,6 +154,14 @@ class Workspace:
         self.dtype = jnp.dtype(dtype)
         self.max_pool_regions = max_pool_regions
         self.mesh = mesh
+        if rule_backend not in ("xla", "pallas"):
+            raise ValueError(f"rule_backend {rule_backend!r}")
+        if rule_backend == "pallas" and self.dtype != jnp.float32:
+            raise ValueError("the Pallas rule backend is f32-only "
+                             "(Mosaic has no f64 on TPU); pass "
+                             "dtype=jnp.float32")
+        self.rule_backend = rule_backend
+        self._f_axes = None  # original scalar-per-axis callable (pallas)
         if chunk_size is None:
             feval_p = rule_eval.rule_tables(ndim, self.dtype.name).feval_padded
             per_region = feval_p * self.dtype.itemsize * 4
@@ -170,22 +179,29 @@ class Workspace:
         out = tuple(jax.device_put(a, sh) for a in arrays)
         return out if len(out) > 1 else out[0]
 
+    def _eval_one(self, f, lows, lengths, global_lo, global_range):
+        if self.rule_backend == "pallas":
+            from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
+            return pallas_apply_rule(
+                self._f_axes, self.ndim, lows, lengths,
+                global_lo, global_range,
+                interpret=jax.default_backend() != "tpu")
+        return _eval_stage(f, self.ndim, self.dtype.name, lows, lengths,
+                           global_lo, global_range)
+
     def _eval_pool(self, f, lows, lengths, global_lo, global_range):
         """Host loop over fixed-size chunks; one compile of the hot kernel.
         In mesh mode the whole (sharded) pool is evaluated in one SPMD call
         -- per-device footprint is pool/n_devices, so no chunking needed."""
         cap = lows.shape[0]
         chunk = self.chunk_size
-        dtype_name = self.dtype.name
         if self.mesh is not None or cap <= chunk:
-            return _eval_stage(f, self.ndim, dtype_name, lows, lengths,
-                               global_lo, global_range)
+            return self._eval_one(f, lows, lengths, global_lo, global_range)
         outs = []
         for i in range(cap // chunk):
             sl = slice(i * chunk, (i + 1) * chunk)
-            outs.append(_eval_stage(f, self.ndim, dtype_name,
-                                    lows[sl], lengths[sl],
-                                    global_lo, global_range))
+            outs.append(self._eval_one(f, lows[sl], lengths[sl],
+                                       global_lo, global_range))
         est = jnp.concatenate([o[0] for o in outs])
         err = jnp.concatenate([o[1] for o in outs])
         sdim = jnp.concatenate([o[2] for o in outs])
@@ -229,6 +245,13 @@ class Workspace:
         f, f_ndim = make_integrand(integrand, ndim)
         if f_ndim != ndim:
             raise ValueError(f"integrand ndim {f_ndim} != workspace {ndim}")
+        if self.rule_backend == "pallas":
+            from gpuintegration_tpu.integrand import _positional_arity
+            if _positional_arity(integrand) != ndim:
+                raise ValueError(
+                    "the Pallas backend needs a scalar-per-axis integrand "
+                    "f(x0, ..., x{n-1}) (cubacpp convention)")
+            self._f_axes = integrand
         if vol is None:
             vol = Volume(ndim=ndim)
         global_lo = jnp.asarray(vol.lows, dtype)

@@ -119,3 +119,37 @@ class TestMaxIterExit:
         r = ws.integrate(g, epsrel=1e-12, epsabs=1e-300, max_iterations=3)
         assert r.status == 1
         assert abs(r.estimate - g.true_value) / g.true_value < 1e-2
+
+
+class TestF32AndPallasBackend:
+    def test_f32_workspace_converges(self):
+        import math
+        g = genz.f4_gaussian(3, a=5.0)
+        ws = Workspace(3, dtype=jnp.float32, chunk_size=1024)
+        r = ws.integrate(g, epsrel=1e-4, epsabs=1e-30)
+        assert r.status == 0
+        assert abs(r.estimate - g.true_value) / g.true_value < 1e-4
+
+    def test_pallas_backend_matches_xla(self):
+        def g3(x, y, z):
+            return jnp.exp(-25.0 * ((x - .5) ** 2 + (y - .5) ** 2
+                                    + (z - .5) ** 2))
+        r_x = Workspace(3, dtype=jnp.float32, chunk_size=1024).integrate(
+            g3, epsrel=1e-4, epsabs=1e-30)
+        r_p = Workspace(3, dtype=jnp.float32, chunk_size=1024,
+                        rule_backend="pallas").integrate(
+            g3, epsrel=1e-4, epsabs=1e-30)
+        assert r_p.status == 0
+        assert abs(r_p.estimate - r_x.estimate) < 1e-5 * abs(r_x.estimate)
+
+    def test_pallas_backend_needs_f32(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            Workspace(3, rule_backend="pallas")
+
+    def test_pallas_backend_needs_per_axis_integrand(self):
+        import pytest as _pytest
+        ws = Workspace(3, dtype=jnp.float32, rule_backend="pallas",
+                       chunk_size=1024)
+        with _pytest.raises(ValueError):
+            ws.integrate(lambda x: x[..., 0], epsrel=1e-3)
