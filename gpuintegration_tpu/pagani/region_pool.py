@@ -88,22 +88,35 @@ def compact(
     # Target slot for active regions; inactive -> out_capacity (dropped).
     target = jnp.where(active > 0, scan - 1, out_capacity)
 
-    def scatter(src, fill_first: bool, extra_shape=()):
-        out = jnp.zeros((out_capacity,) + extra_shape, dtype=src.dtype)
-        out = out.at[target].set(src, mode="drop")
+    def scatter_1d(src):
+        out = jnp.zeros((out_capacity,), dtype=src.dtype)
+        return out.at[target].set(src, mode="drop")
+
+    def scatter_pool(src, fill_first: bool):
+        # NOTE: scattered as a FLAT (cap*ndim,) array.  Scattering the
+        # (cap, ndim) shape directly makes the x64 rewriter's f32 halves
+        # (X64SplitHigh custom-calls) take lane-tiled T(8,128) layouts --
+        # a 16x HBM blow-up that OOMs 16M-region pools.
+        dim_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, ndim), 1)
+        flat_target = jnp.where(
+            (active > 0)[:, None],
+            target[:, None] * ndim + dim_ids,
+            out_capacity * ndim).reshape(-1)
+        out = jnp.zeros((out_capacity * ndim,), dtype=src.dtype)
+        out = out.at[flat_target].set(src.reshape(-1), mode="drop")
+        out = out.reshape(out_capacity, ndim)
         if fill_first:
             # replicate slot 0 into padding for finite padded evals
             pad_mask = jax.lax.broadcasted_iota(
                 jnp.int32, (out_capacity,), 0) >= n_active
-            shape = (out_capacity,) + (1,) * len(extra_shape)
-            out = jnp.where(pad_mask.reshape(shape), out[0], out)
+            out = jnp.where(pad_mask[:, None], out[0], out)
         return out
 
-    new_lows = scatter(lows, True, (ndim,))
-    new_lengths = scatter(lengths, True, (ndim,))
-    new_split = scatter(split_dim, False)
-    parent_est = scatter(estimates, False)
-    parent_err = scatter(errorests, False)
+    new_lows = scatter_pool(lows, True)
+    new_lengths = scatter_pool(lengths, True)
+    new_split = scatter_1d(split_dim)
+    parent_est = scatter_1d(estimates)
+    parent_err = scatter_1d(errorests)
     return n_active, new_lows, new_lengths, new_split, parent_est, parent_err
 
 
@@ -139,7 +152,17 @@ def split(
     src = jnp.where(ids < 2 * n, src, 0)
     is_right = (ids >= n) & (ids < 2 * n)
     src = jnp.clip(src, 0, cap - 1)
+
+    # flat gathers (see compact: 2-D gathers on (cap, ndim) f64 trigger
+    # 16x-padded tiled layouts via the x64 rewriter)
+    dim_ids = jax.lax.broadcasted_iota(jnp.int32, (out_capacity, ndim), 1)
+    flat_src = (src[:, None] * ndim + dim_ids).reshape(-1)
+
+    def gather_pool(arr):
+        return jnp.take(arr.reshape(-1), flat_src).reshape(
+            out_capacity, ndim)
+
     child_lows = jnp.where(
-        is_right[:, None], right_lows[src], left_lows[src])
-    child_lengths = child_len[src]
+        is_right[:, None], gather_pool(right_lows), gather_pool(left_lows))
+    child_lengths = gather_pool(child_len)
     return child_lows, child_lengths, 2 * n
