@@ -91,6 +91,47 @@ class FuncEvals:
                 print(",".join(row), file=outfile)
 
 
+def apply_cubature_rules_vector(
+    integrand: Callable,
+    lows,
+    lengths,
+    vol: Volume | None = None,
+    *,
+    ndim: int,
+    ncomp: int,
+    dtype=jnp.float64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vector-valued rule application: ``integrand`` maps (..., ndim) to
+    (..., ncomp) and all components are integrated in one sweep over the
+    shared point set (the cubacpp integrand_traits array<double,N> /
+    vector<double> capability, integrand_traits.hh:81-93 -- which the
+    reference's GPU layer itself lacks).
+
+    Returns (estimates (ncomp,), per-region estimates (R, ncomp))."""
+    lows = jnp.asarray(lows, dtype)
+    lengths = jnp.asarray(lengths, dtype)
+    if vol is None:
+        vol = Volume(ndim=ndim)
+    tables = rule_eval.rule_tables(ndim, jnp.dtype(dtype).name)
+    gl = jnp.asarray(vol.lows, dtype)
+    gr = jnp.asarray(vol.highs - vol.lows, dtype)
+
+    center = lows + 0.5 * lengths
+    x = (gl + (center[:, None, :]
+               - jnp.asarray(tables.gen)[None, :, :] * lengths[:, None, :])
+         * gr)                                           # (R, P, ndim)
+    jac = jnp.prod(gr)
+    vals = jnp.asarray(integrand(x), dtype) * jac        # (R, P, ncomp)
+    if vals.ndim != 3 or vals.shape[-1] != ncomp:
+        raise ValueError(f"integrand returned {vals.shape}, expected "
+                         f"(R, P, {ncomp})")
+    w0 = jnp.asarray(tables.wts[:, 0], dtype)
+    sums = jnp.einsum("rpk,p->rk", vals, w0)
+    reg_vol = jnp.prod(lengths, axis=1)
+    per_region = reg_vol[:, None] * sums                 # (R, ncomp)
+    return np.asarray(jnp.sum(per_region, axis=0)), np.asarray(per_region)
+
+
 def capture_func_evals(
     integrand: Callable,
     lows,

@@ -153,3 +153,34 @@ class TestF32AndPallasBackend:
                        chunk_size=1024)
         with _pytest.raises(ValueError):
             ws.integrate(lambda x: x[..., 0], epsrel=1e-3)
+
+
+class TestVectorIntegrands:
+    def test_vector_rule_application(self):
+        """Three components integrated in one sweep: 1, x0, x0*x1."""
+        lows, lengths, n = region_pool.uniform_split(2, 2, 4)
+
+        def f(x):
+            return jnp.stack([jnp.ones(x.shape[:-1]), x[..., 0],
+                              x[..., 0] * x[..., 1]], axis=-1)
+
+        est, per_region = oneshot.apply_cubature_rules_vector(
+            f, lows, lengths, ndim=2, ncomp=3)
+        np.testing.assert_allclose(est, [1.0, 0.5, 0.25], atol=1e-13)
+        assert per_region.shape == (4, 3)
+
+    def test_bad_shape_raises(self):
+        lows, lengths, _ = region_pool.uniform_split(2, 2, 4)
+        with pytest.raises(ValueError):
+            oneshot.apply_cubature_rules_vector(
+                lambda x: x[..., 0], lows, lengths, ndim=2, ncomp=3)
+
+
+class TestSuave:
+    def test_suave_converges(self):
+        from gpuintegration_tpu.pagani.suave import suave
+        g = genz.f4_gaussian(2, a=5.0)
+        ws = Workspace(2, chunk_size=1024)
+        r = suave(g, epsrel=5e-3, epsabs=1e-40, max_iterations=10,
+                  nnew=512, seed=2, workspace=ws)
+        assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-5)
