@@ -185,20 +185,3 @@ def apply_rule(
     ln_c = lengths.reshape(num_chunks, chunk_size, -1)
     est, err, sd = jax.lax.map(body, (lo_c, ln_c))
     return est.reshape(n), err.reshape(n), sd.reshape(n)
-
-
-def default_chunk_size(ndim: int, pool_size: int, dtype_bytes: int = 8,
-                       budget_bytes: int = 256 * 1024 * 1024) -> int | None:
-    """Pick a region chunk size so the (chunk, feval_padded) activations stay
-    within ``budget_bytes``.  Returns None when no chunking is needed."""
-    feval = rule_tables(ndim).feval_padded
-    per_region = feval * (ndim + 2) * dtype_bytes
-    chunk = max(256, budget_bytes // max(per_region, 1))
-    # round down to a power of two for shape reuse
-    chunk = 1 << (chunk.bit_length() - 1)
-    if pool_size <= chunk:
-        return None
-    # need chunk to divide pool (pools are power-of-two padded)
-    while pool_size % chunk != 0:
-        chunk >>= 1
-    return chunk

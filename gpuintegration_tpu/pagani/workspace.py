@@ -109,11 +109,6 @@ def _post_stage(
 
 
 @jax.jit
-def _count_active(active):
-    return jnp.sum(active)
-
-
-@jax.jit
 def _all_active(active, n):
     ids = jax.lax.broadcasted_iota(jnp.int32, active.shape, 0)
     return jnp.where(ids < n, 1.0, 0.0).astype(active.dtype)
