@@ -83,8 +83,8 @@ def _make_kernel(f_axes: Callable, ndim: int):
 def pallas_apply_rule(
     f_axes: Callable,
     ndim: int,
-    lows: jax.Array,        # (C, ndim) f32, unit space
-    lengths: jax.Array,     # (C, ndim)
+    lows: jax.Array,        # (ndim, C) f32, unit space (dims-major)
+    lengths: jax.Array,     # (ndim, C)
     global_lo: jax.Array,   # (ndim,)
     global_range: jax.Array,
     *,
@@ -97,7 +97,7 @@ def pallas_apply_rule(
     elementwise on (TILE_R, P) coordinate arrays (cubacpp convention; jnp
     ops only).  Returns (estimate (C,), errorest (C,), split_dim (C,)).
     """
-    C = lows.shape[0]
+    C = lows.shape[1]
     assert C % tile_r == 0, (C, tile_r)
     f32 = jnp.float32
     lows = lows.astype(f32)
@@ -105,9 +105,9 @@ def pallas_apply_rule(
     gl = global_lo.astype(f32)
     gr = global_range.astype(f32)
 
-    # fold the global volume transform into dims-major pool arrays
-    gcenter = (gl[None, :] + (lows + 0.5 * lengths) * gr[None, :]).T  # (n, C)
-    glen = (lengths * gr[None, :]).T                                   # (n, C)
+    # fold the global volume transform into the dims-major pool arrays
+    gcenter = gl[:, None] + (lows + 0.5 * lengths) * gr[:, None]  # (n, C)
+    glen = lengths * gr[:, None]                                   # (n, C)
 
     m, gen, scale, norm, ratio, feval, P = _combined_matrix(ndim)
     kernel = _make_kernel(f_axes, ndim)
@@ -138,7 +138,7 @@ def pallas_apply_rule(
     o1 = mixed[:, 6:6 + ndim]
     o2 = mixed[:, 6 + ndim:6 + 2 * ndim]
     fourth = jnp.abs((2.0 * (1.0 - ratio)) * f0[:, None] + ratio * o1 - o2)
-    widest = jnp.argmax(lengths, axis=1).astype(jnp.int32)
+    widest = jnp.argmax(lengths, axis=0).astype(jnp.int32)
     best = jnp.argmax(fourth, axis=1).astype(jnp.int32)
     split_dim = jnp.where(jnp.max(fourth, axis=1) > 0, best, widest)
 

@@ -71,26 +71,34 @@ def rule_tables(ndim: int, dtype_name: str = "float64") -> RuleTables:
 def _eval_chunk(
     f: Callable[[jax.Array], jax.Array],
     tables: RuleTables,
-    lows: jax.Array,       # (C, ndim) region lower bounds, unit space
-    lengths: jax.Array,    # (C, ndim) region lengths, unit space
+    lows: jax.Array,       # (ndim, C) region lower bounds, unit space
+    lengths: jax.Array,    # (ndim, C) region lengths, unit space
     global_lo: jax.Array,  # (ndim,)
     global_range: jax.Array,  # (ndim,)
 ):
-    """Apply the rule to a chunk of C regions.
+    """Apply the rule to a chunk of C regions (dims-major pools -- see
+    region_pool.py for the TPU layout rationale).
 
     Returns (estimate (C,), errorest (C,), split_dim (C,) int32).
     ``f`` must be batched: maps (..., ndim) -> (...).
     """
     ndim = tables.ndim
     dtype = lows.dtype
-    center = lows + 0.5 * lengths                         # (C, ndim)
+    center = lows + 0.5 * lengths                         # (ndim, C)
     # Point mapping parity with Sample.cuh:126-131:
     #   x = gl + ((.5+g)*lower + (.5-g)*upper) * range
     #     = gl + (center - g*length) * range
-    x = (global_lo
-         + (center[:, None, :]
-            - tables.gen[None, :, :] * lengths[:, None, :])
-         * global_range)                                   # (C, P, ndim)
+    # built per dimension as (C, P) planes so no (..., ndim)-minor array is
+    # ever resident; the stack into the integrand's (..., ndim) convention
+    # fuses into its elementwise chain.
+    planes = []
+    for d in range(ndim):
+        planes.append(
+            global_lo[d]
+            + (center[d][:, None]
+               - tables.gen[None, :, d] * lengths[d][:, None])
+            * global_range[d])                             # (C, P)
+    x = jnp.stack(planes, axis=-1)                         # (C, P, ndim)
     jacobian = jnp.prod(global_range)
     vals = f(x) * jacobian                                 # (C, P)
     vals = vals.astype(dtype)
@@ -122,7 +130,7 @@ def _eval_chunk(
     # Reference semantics: strict '>' scan starting from maxdiff=0 with
     # fallback to the widest dimension, so when every diff is 0 (or NaN) the
     # widest dim is used; otherwise first-argmax wins (Sample.cuh:202-218).
-    widest = jnp.argmax(lengths, axis=1).astype(jnp.int32)
+    widest = jnp.argmax(lengths, axis=0).astype(jnp.int32)
     best = jnp.argmax(fourth_diff, axis=1).astype(jnp.int32)
     any_positive = jnp.max(fourth_diff, axis=1) > 0
     split_dim = jnp.where(any_positive, best, widest)
@@ -146,7 +154,7 @@ def _eval_chunk(
         _ERRCOEFF[2] * jnp.maximum(jnp.maximum(e1, e2), e3),
     )
 
-    vol = jnp.prod(lengths, axis=1)                        # unit-space volume
+    vol = jnp.prod(lengths, axis=0)                        # unit-space volume
     estimate = vol * sums[:, 0]
     errorest = vol * gated
     return estimate, errorest, split_dim
@@ -164,24 +172,26 @@ def apply_rule(
 ):
     """Apply the rule to the whole (possibly padded) region pool.
 
-    ``lows``/``lengths``: (R, ndim).  If ``chunk_size`` divides R the pool is
-    processed in chunks via ``lax.map`` to bound the (R, feval) intermediate;
-    otherwise it is evaluated in one shot.
+    ``lows``/``lengths``: (ndim, R) dims-major.  If ``chunk_size`` divides R
+    the pool is processed in chunks via ``lax.map`` to bound the (chunk,
+    feval) intermediate; otherwise it is evaluated in one shot.
 
     Returns (estimate (R,), errorest (R,), split_dim (R,)).
     Padded (zero-length) regions yield zero estimate/error since their unit
     volume is zero.
     """
-    n = lows.shape[0]
+    n = lows.shape[1]
     if chunk_size is None or n <= chunk_size or n % chunk_size != 0:
         return _eval_chunk(f, tables, lows, lengths, global_lo, global_range)
+
+    ndim = lows.shape[0]
 
     def body(args):
         lo, ln = args
         return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
 
     num_chunks = n // chunk_size
-    lo_c = lows.reshape(num_chunks, chunk_size, -1)
-    ln_c = lengths.reshape(num_chunks, chunk_size, -1)
+    lo_c = lows.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
+    ln_c = lengths.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     est, err, sd = jax.lax.map(body, (lo_c, ln_c))
     return est.reshape(n), err.reshape(n), sd.reshape(n)

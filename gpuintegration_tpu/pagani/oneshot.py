@@ -38,12 +38,21 @@ def apply_cubature_rules(
     """Evaluate the rule on regions (unit-space lows/lengths) mapped onto
     ``vol``; returns (result, per_region_estimates, per_region_errors,
     split_dims).  result.errorest is +inf when compute_error=False
-    (PaganiUtils.cuh:280-288 parity)."""
+    (PaganiUtils.cuh:280-288 parity).
+
+    Accepts regions as (n, ndim) [user convention] or dims-major
+    (ndim, n) [internal pool convention]; disambiguated by matching
+    ``ndim``."""
     lows = jnp.asarray(lows, dtype)
     lengths = jnp.asarray(lengths, dtype)
-    n, nd = lows.shape
     if ndim is None:
-        ndim = nd
+        if lows.shape[0] == lows.shape[1]:
+            raise ValueError("square region array: pass ndim explicitly")
+        ndim = int(min(lows.shape))
+    if lows.shape[0] != ndim:        # region-major input -> dims-major
+        lows = lows.T
+        lengths = lengths.T
+    n = lows.shape[1]
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
         vol = Volume(ndim=ndim)
@@ -110,6 +119,9 @@ def apply_cubature_rules_vector(
     Returns (estimates (ncomp,), per-region estimates (R, ncomp))."""
     lows = jnp.asarray(lows, dtype)
     lengths = jnp.asarray(lengths, dtype)
+    if lows.shape[0] == ndim and lows.shape[1] != ndim:
+        lows = lows.T        # accept dims-major pools
+        lengths = lengths.T
     if vol is None:
         vol = Volume(ndim=ndim)
     tables = rule_eval.rule_tables(ndim, jnp.dtype(dtype).name)

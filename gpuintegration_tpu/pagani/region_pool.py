@@ -8,6 +8,13 @@ capacities with the first ``n`` slots holding real regions and the rest
 padding; every stage is a jitted function of static capacity and a traced
 region count.
 
+Pool memory layout is DIMS-MAJOR: coordinates are (ndim, R) with the huge
+region axis minor.  TPU tiles rank-2 arrays as (8 sublanes, 128 lanes); a
+region-major (R, ndim<=~16) array pads its minor axis 16x (measured: an
+8M-region f64 pool ballooned to 16 GB of HLO temps through the x64
+rewriter's f32 halves).  Dims-major is also the reference's own layout
+(dLeftCoord[dim * size + i], Sub_regions.cuh:131).
+
 Layout contract (load-bearing for the two-level error estimate): after a
 split of ``m`` parents, the left children occupy slots [0, m) and the right
 children slots [m, 2m), and the compacted parent estimates align with
@@ -35,20 +42,20 @@ def uniform_split(ndim: int, partitions_per_axis: int, capacity: int,
     (>= div**ndim) replicate region 0 so padded evaluations stay finite;
     they are masked out by the region count downstream.
 
-    Returns (lows (capacity, ndim), lengths (capacity, ndim), n_regions).
+    Returns (lows (ndim, capacity), lengths (ndim, capacity), n_regions).
     """
     div = partitions_per_axis
     n_regions = div ** ndim
     if capacity < n_regions:
         raise ValueError(f"capacity {capacity} < {n_regions} initial regions")
     length = 1.0 / div
-    idx = jax.lax.broadcasted_iota(jnp.int32, (capacity, ndim), 0)
-    dim = jax.lax.broadcasted_iota(jnp.int32, (capacity, ndim), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (ndim, capacity), 1)
+    dim = jax.lax.broadcasted_iota(jnp.int32, (ndim, capacity), 0)
     idx = jnp.where(idx < n_regions, idx, 0)  # padding replicates region 0
     strides = (div ** dim.astype(jnp.int64)).astype(jnp.int64)
     interval_id = (idx.astype(jnp.int64) // strides) % div
     lows = interval_id.astype(dtype) * jnp.asarray(length, dtype)
-    lengths = jnp.full((capacity, ndim), length, dtype=dtype)
+    lengths = jnp.full((ndim, capacity), length, dtype=dtype)
     return lows, lengths, n_regions
 
 
@@ -61,8 +68,8 @@ def region_mask(capacity: int, n: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def compact(
     active: jax.Array,      # (cap,) 0/1 flags (already masked to idx < n)
-    lows: jax.Array,        # (cap, ndim)
-    lengths: jax.Array,     # (cap, ndim)
+    lows: jax.Array,        # (ndim, cap)
+    lengths: jax.Array,     # (ndim, cap)
     split_dim: jax.Array,   # (cap,) int32
     estimates: jax.Array,   # (cap,)
     errorests: jax.Array,   # (cap,)
@@ -81,7 +88,7 @@ def compact(
              parent_estimates, parent_errorests); padding slots replicate
     slot 0 so later evaluations stay finite.
     """
-    cap, ndim = lows.shape
+    ndim, cap = lows.shape
     flags = active.astype(jnp.int32)
     scan = jnp.cumsum(flags)
     n_active = scan[-1]
@@ -92,24 +99,17 @@ def compact(
         out = jnp.zeros((out_capacity,), dtype=src.dtype)
         return out.at[target].set(src, mode="drop")
 
+    pad_mask = jax.lax.broadcasted_iota(
+        jnp.int32, (out_capacity,), 0) >= n_active
+
     def scatter_pool(src, fill_first: bool):
-        # NOTE: scattered as a FLAT (cap*ndim,) array.  Scattering the
-        # (cap, ndim) shape directly makes the x64 rewriter's f32 halves
-        # (X64SplitHigh custom-calls) take lane-tiled T(8,128) layouts --
-        # a 16x HBM blow-up that OOMs 16M-region pools.
-        dim_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, ndim), 1)
-        flat_target = jnp.where(
-            (active > 0)[:, None],
-            target[:, None] * ndim + dim_ids,
-            out_capacity * ndim).reshape(-1)
-        out = jnp.zeros((out_capacity * ndim,), dtype=src.dtype)
-        out = out.at[flat_target].set(src.reshape(-1), mode="drop")
-        out = out.reshape(out_capacity, ndim)
+        # dims-major: scatter each of the ndim rows along the minor region
+        # axis (layouts stay lane-linear)
+        out = jnp.zeros((ndim, out_capacity), dtype=src.dtype)
+        out = out.at[:, target].set(src, mode="drop")
         if fill_first:
             # replicate slot 0 into padding for finite padded evals
-            pad_mask = jax.lax.broadcasted_iota(
-                jnp.int32, (out_capacity,), 0) >= n_active
-            out = jnp.where(pad_mask[:, None], out[0], out)
+            out = jnp.where(pad_mask[None, :], out[:, 0:1], out)
         return out
 
     new_lows = scatter_pool(lows, True)
@@ -122,8 +122,8 @@ def compact(
 
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def split(
-    lows: jax.Array,       # (cap, ndim) compacted active regions
-    lengths: jax.Array,    # (cap, ndim)
+    lows: jax.Array,       # (ndim, cap) compacted active regions
+    lengths: jax.Array,    # (ndim, cap)
     split_dim: jax.Array,  # (cap,) int32
     n: jax.Array,          # traced number of real regions
     *,
@@ -137,13 +137,13 @@ def split(
 
     Returns (child_lows, child_lengths, n_children).
     """
-    cap, ndim = lows.shape
-    assert out_capacity >= 2 * cap or True  # capacity checked by caller
-    one_hot = jax.nn.one_hot(split_dim, ndim, dtype=lengths.dtype)
+    ndim, cap = lows.shape
+    dim_ids = jax.lax.broadcasted_iota(jnp.int32, (ndim, cap), 0)
+    sel = dim_ids == split_dim[None, :]
     half = lengths * 0.5
-    child_len = jnp.where(one_hot > 0, half, lengths)
+    child_len = jnp.where(sel, half, lengths)
     left_lows = lows
-    right_lows = jnp.where(one_hot > 0, lows + half, lows)
+    right_lows = jnp.where(sel, lows + half, lows)
 
     ids = jax.lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
     # slot i: left child i if i < n; right child (i - n) if n <= i < 2n;
@@ -153,16 +153,7 @@ def split(
     is_right = (ids >= n) & (ids < 2 * n)
     src = jnp.clip(src, 0, cap - 1)
 
-    # flat gathers (see compact: 2-D gathers on (cap, ndim) f64 trigger
-    # 16x-padded tiled layouts via the x64 rewriter)
-    dim_ids = jax.lax.broadcasted_iota(jnp.int32, (out_capacity, ndim), 1)
-    flat_src = (src[:, None] * ndim + dim_ids).reshape(-1)
-
-    def gather_pool(arr):
-        return jnp.take(arr.reshape(-1), flat_src).reshape(
-            out_capacity, ndim)
-
     child_lows = jnp.where(
-        is_right[:, None], gather_pool(right_lows), gather_pool(left_lows))
-    child_lengths = gather_pool(child_len)
+        is_right[None, :], right_lows[:, src], left_lows[:, src])
+    child_lengths = child_len[:, src]
     return child_lows, child_lengths, 2 * n

@@ -73,7 +73,7 @@ def vegas_assisted_estimates(
     nbins: int,
     dtype_name: str,
     key,
-    lows, lengths,          # (R, ndim) unit-space regions
+    lows, lengths,          # (ndim, R) unit-space regions (dims-major)
     global_lo, global_range,
 ):
     """Per-region adaptive-importance MC estimates.
@@ -85,9 +85,9 @@ def vegas_assisted_estimates(
     vegasT-style, without its 64-thread block constant folded in).
     """
     dtype = jnp.dtype(dtype_name)
-    R = lows.shape[0]
+    R = lows.shape[1]
     jac = jnp.prod(global_range).astype(dtype)
-    vol = jnp.prod(lengths, axis=1).astype(dtype)      # unit region volume
+    vol = jnp.prod(lengths, axis=0).astype(dtype)      # unit region volume
 
     grids0 = jnp.broadcast_to(
         jnp.linspace(0.0, 1.0, nbins + 1, dtype=jnp.float32),
@@ -110,7 +110,7 @@ def vegas_assisted_estimates(
         w = jnp.prod((width * nbins).astype(dtype), axis=-1)  # (R, spp)
 
         x = (global_lo
-             + (lows[:, None, :] + u.astype(dtype) * lengths[:, None, :])
+             + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
              * global_range)
         fx = f(x).astype(dtype) * jac                   # (R, spp)
         wf = w * fx

@@ -169,8 +169,8 @@ class Workspace:
         """Place pool arrays with the region-axis sharding (mesh mode)."""
         if self.mesh is None:
             return arrays if len(arrays) > 1 else arrays[0]
-        from gpuintegration_tpu.parallel.mesh import region_sharding
-        sh = region_sharding(self.mesh)
+        from gpuintegration_tpu.parallel.mesh import pool_sharding
+        sh = pool_sharding(self.mesh)
         out = tuple(jax.device_put(a, sh) for a in arrays)
         return out if len(out) > 1 else out[0]
 
@@ -188,14 +188,14 @@ class Workspace:
         """Host loop over fixed-size chunks; one compile of the hot kernel.
         In mesh mode the whole (sharded) pool is evaluated in one SPMD call
         -- per-device footprint is pool/n_devices, so no chunking needed."""
-        cap = lows.shape[0]
+        cap = lows.shape[1]
         chunk = self.chunk_size
         if self.mesh is not None or cap <= chunk:
             return self._eval_one(f, lows, lengths, global_lo, global_range)
         outs = []
         for i in range(cap // chunk):
             sl = slice(i * chunk, (i + 1) * chunk)
-            outs.append(self._eval_one(f, lows[sl], lengths[sl],
+            outs.append(self._eval_one(f, lows[:, sl], lengths[:, sl],
                                        global_lo, global_range))
         est = jnp.concatenate([o[0] for o in outs])
         err = jnp.concatenate([o[1] for o in outs])
@@ -256,16 +256,17 @@ class Workspace:
         # kernel compiles exactly once per run) -------------------------------
         min_cap = self.chunk_size
         if initial_regions is not None:
-            lows0, lengths0 = initial_regions
-            n = int(lows0.shape[0])
+            # user-facing region-major (n, ndim); stored dims-major
+            lows0 = jnp.asarray(initial_regions[0], dtype).T
+            lengths0 = jnp.asarray(initial_regions[1], dtype).T
+            n = int(lows0.shape[1])
             cap = max(region_pool.next_pow2(n), min_cap)
             pad = cap - n
             lows = jnp.concatenate(
-                [jnp.asarray(lows0, dtype),
-                 jnp.broadcast_to(jnp.asarray(lows0[0], dtype), (pad, ndim))])
+                [lows0, jnp.broadcast_to(lows0[:, :1], (ndim, pad))], axis=1)
             lengths = jnp.concatenate(
-                [jnp.asarray(lengths0, dtype),
-                 jnp.broadcast_to(jnp.asarray(lengths0[0], dtype), (pad, ndim))])
+                [lengths0, jnp.broadcast_to(lengths0[:, :1], (ndim, pad))],
+                axis=1)
         else:
             parts = partitions_per_axis or default_partitions_per_axis(ndim)
             n = parts ** ndim
@@ -427,6 +428,6 @@ class Workspace:
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
         lows, lengths, n = self.final_pool
         return PaganiCheckpoint(
-            lows=np.asarray(lows)[:n], lengths=np.asarray(lengths)[:n],
+            lows=np.asarray(lows).T[:n], lengths=np.asarray(lengths).T[:n],
             estimate=result.estimate, errorest=result.errorest,
             nregions=result.nregions, iters=result.iters)

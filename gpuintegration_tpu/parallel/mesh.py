@@ -25,8 +25,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def region_sharding(mesh: Mesh) -> NamedSharding:
-    """Region/cube-axis sharding for (R, ...) pool arrays."""
+    """Region/cube-axis sharding for (R,) per-region arrays."""
     return NamedSharding(mesh, P(REGION_AXIS))
+
+
+def pool_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for dims-major (ndim, R) pool arrays: split the region
+    (minor) axis."""
+    return NamedSharding(mesh, P(None, REGION_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -47,7 +47,7 @@ def sharded_eval_stage(f, ndim, dtype_name, mesh,
     def local_eval(lo, ln, gl, gr):
         return rule_eval.apply_rule(f, tables, lo, ln, gl, gr)
 
-    spec_pool = P(REGION_AXIS, None)
+    spec_pool = P(None, REGION_AXIS)   # dims-major (ndim, R) pools
     spec_vec = P(REGION_AXIS)
     fn = shard_map(
         local_eval, mesh=mesh,

@@ -165,8 +165,8 @@ def call_cubature_rules(
             outs = []
             for i in range(cap // chunk):
                 sl = slice(i * chunk, (i + 1) * chunk)
-                outs.append(W._eval_stage(f, ndim, dtype, lows[sl],
-                                          lengths[sl], gl, gr))
+                outs.append(W._eval_stage(f, ndim, dtype, lows[:, sl],
+                                          lengths[:, sl], gl, gr))
             return outs
 
         jax.block_until_ready(one_pass())

@@ -4,6 +4,9 @@ Mirrors the reference's pipeline-stage fixtures:
   * RegionFiltering.cu:42-388  -- scan+compaction against flag patterns
   * RegionSplitting.cu:41,111  -- children coordinates after split
   * Uniform_sub_division.cu:23-73 -- initial partition bounds
+
+Pools are dims-major (ndim, R) -- see region_pool.py for the TPU layout
+rationale (it is also the reference's own layout).
 """
 import jax.numpy as jnp
 import numpy as np
@@ -13,10 +16,6 @@ from gpuintegration_tpu.pagani import region_pool
 from gpuintegration_tpu.pagani.two_level import refine_error
 
 
-def _pool(lows, lengths):
-    return jnp.asarray(lows, jnp.float64), jnp.asarray(lengths, jnp.float64)
-
-
 class TestUniformSplit:
     @pytest.mark.parametrize("ndim,parts", [(2, 4), (3, 2), (5, 2), (3, 3)])
     def test_partition_covers_unit_cube(self, ndim, parts):
@@ -24,24 +23,26 @@ class TestUniformSplit:
         cap = region_pool.next_pow2(n)
         lows, lengths, count = region_pool.uniform_split(ndim, parts, cap)
         assert count == n
-        lows = np.asarray(lows)[:n]
-        lengths = np.asarray(lengths)[:n]
+        lows = np.asarray(lows)[:, :n]            # (ndim, n)
+        lengths = np.asarray(lengths)[:, :n]
         np.testing.assert_allclose(lengths, 1.0 / parts)
         # all region corners distinct and on the grid
-        corners = {tuple(np.round(row * parts).astype(int)) for row in lows}
+        corners = {tuple(np.round(lows[:, i] * parts).astype(int))
+                   for i in range(n)}
         assert len(corners) == n
         assert np.all(lows >= 0) and np.all(lows + lengths <= 1 + 1e-12)
 
     def test_volume_sums_to_one(self):
         lows, lengths, n = region_pool.uniform_split(4, 3, 128)
-        vols = np.prod(np.asarray(lengths)[:n], axis=1)
+        vols = np.prod(np.asarray(lengths)[:, :n], axis=0)
         assert vols.sum() == pytest.approx(1.0)
 
 
 class TestCompaction:
     def _run(self, active, n_total, out_cap=8):
         ndim = 2
-        lows = np.arange(n_total * ndim, dtype=np.float64).reshape(n_total, ndim)
+        lows = np.arange(n_total * ndim, dtype=np.float64).reshape(
+            ndim, n_total)
         lengths = lows + 100.0
         sdim = np.arange(n_total, dtype=np.int32) % ndim
         est = np.arange(n_total, dtype=np.float64) * 1.5
@@ -55,8 +56,8 @@ class TestCompaction:
         keep = [i for i in range(n_total) if active[i] == 1]
         assert int(n_active) == len(keep)
         for j, i in enumerate(keep):
-            np.testing.assert_array_equal(np.asarray(nl)[j], lows[i])
-            np.testing.assert_array_equal(np.asarray(nn)[j], lengths[i])
+            np.testing.assert_array_equal(np.asarray(nl)[:, j], lows[:, i])
+            np.testing.assert_array_equal(np.asarray(nn)[:, j], lengths[:, i])
             assert int(np.asarray(nsd)[j]) == sdim[i]
             assert float(np.asarray(pest)[j]) == est[i]
             assert float(np.asarray(perr)[j]) == err[i]
@@ -82,32 +83,32 @@ class TestCompaction:
 
 class TestSplitting:
     def test_children_coordinates(self):
-        # two regions, split along dim 1 and dim 0 resp.
-        lows = jnp.asarray([[0.0, 0.0], [0.5, 0.25]], jnp.float64)
-        lengths = jnp.asarray([[0.5, 1.0], [0.25, 0.5]], jnp.float64)
+        # two regions, split along dim 1 and dim 0 resp. (dims-major)
+        lows = jnp.asarray([[0.0, 0.5], [0.0, 0.25]], jnp.float64)
+        lengths = jnp.asarray([[0.5, 0.25], [1.0, 0.5]], jnp.float64)
         sdim = jnp.asarray([1, 0], jnp.int32)
         cl, cn, n_children = region_pool.split(
             lows, lengths, sdim, jnp.asarray(2), out_capacity=8)
         cl, cn = np.asarray(cl), np.asarray(cn)
-        # left children at [0, 2): same lows, halved length on split dim
-        np.testing.assert_allclose(cl[0], [0.0, 0.0])
-        np.testing.assert_allclose(cn[0], [0.5, 0.5])
-        np.testing.assert_allclose(cl[1], [0.5, 0.25])
-        np.testing.assert_allclose(cn[1], [0.125, 0.5])
-        # right children at [2, 4): lows shifted by half on split dim
-        np.testing.assert_allclose(cl[2], [0.0, 0.5])
-        np.testing.assert_allclose(cn[2], [0.5, 0.5])
-        np.testing.assert_allclose(cl[3], [0.625, 0.25])
-        np.testing.assert_allclose(cn[3], [0.125, 0.5])
+        # left children at columns [0, 2): same lows, halved split dim
+        np.testing.assert_allclose(cl[:, 0], [0.0, 0.0])
+        np.testing.assert_allclose(cn[:, 0], [0.5, 0.5])
+        np.testing.assert_allclose(cl[:, 1], [0.5, 0.25])
+        np.testing.assert_allclose(cn[:, 1], [0.125, 0.5])
+        # right children at columns [2, 4): lows shifted by half
+        np.testing.assert_allclose(cl[:, 2], [0.0, 0.5])
+        np.testing.assert_allclose(cn[:, 2], [0.5, 0.5])
+        np.testing.assert_allclose(cl[:, 3], [0.625, 0.25])
+        np.testing.assert_allclose(cn[:, 3], [0.125, 0.5])
 
     def test_children_tile_parent(self):
-        lows = jnp.asarray([[0.25, 0.5, 0.0]], jnp.float64)
-        lengths = jnp.asarray([[0.5, 0.25, 1.0]], jnp.float64)
+        lows = jnp.asarray([[0.25], [0.5], [0.0]], jnp.float64)
+        lengths = jnp.asarray([[0.5], [0.25], [1.0]], jnp.float64)
         for d in range(3):
             cl, cn, _ = region_pool.split(
                 lows, lengths, jnp.asarray([d], jnp.int32),
                 jnp.asarray(1), out_capacity=4)
-            v = np.prod(np.asarray(cn)[:2], axis=1).sum()
+            v = np.prod(np.asarray(cn)[:, :2], axis=0).sum()
             assert v == pytest.approx(np.prod(np.asarray(lengths)))
 
 

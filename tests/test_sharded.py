@@ -14,7 +14,7 @@ from gpuintegration_tpu.models import genz
 from gpuintegration_tpu.ops import rule_eval
 from gpuintegration_tpu.pagani import region_pool
 from gpuintegration_tpu.parallel import sharded
-from gpuintegration_tpu.parallel.mesh import make_mesh, region_sharding
+from gpuintegration_tpu.parallel.mesh import make_mesh, pool_sharding
 
 
 @pytest.fixture(scope="module")
@@ -45,8 +45,8 @@ def test_sharded_eval_matches_single_device(mesh):
     tables = rule_eval.rule_tables(ndim)
     est0, err0, sd0 = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr)
 
-    lows_s = jax.device_put(lows, region_sharding(mesh))
-    lengths_s = jax.device_put(lengths, region_sharding(mesh))
+    lows_s = jax.device_put(lows, pool_sharding(mesh))
+    lengths_s = jax.device_put(lengths, pool_sharding(mesh))
     est1, err1, sd1 = sharded.sharded_eval_stage(
         f, ndim, "float64", mesh, lows_s, lengths_s, gl, gr)
 

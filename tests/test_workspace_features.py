@@ -95,7 +95,7 @@ class TestPredictSplit:
                      max_iterations=17, partitions_per_axis=2)
         assert hasattr(ws, "last_snapshot")
         lows, lengths, n = ws.last_snapshot
-        assert lows.shape[1] == 3 and n > 0
+        assert lows.shape[0] == 3 and n > 0  # dims-major pool
 
 
 class TestVegasAssisted:
