@@ -103,14 +103,18 @@ def compact(
         jnp.int32, (out_capacity,), 0) >= n_active
 
     def scatter_pool(src, fill_first: bool):
-        # dims-major: scatter each of the ndim rows along the minor region
-        # axis (layouts stay lane-linear)
-        out = jnp.zeros((ndim, out_capacity), dtype=src.dtype)
-        out = out.at[:, target].set(src, mode="drop")
-        if fill_first:
-            # replicate slot 0 into padding for finite padded evals
-            out = jnp.where(pad_mask[None, :], out[:, 0:1], out)
-        return out
+        # dims-major: ndim separate 1-D scatters.  A single 2-D scatter on
+        # axis 1 makes XLA transpose the operand to put indices leading,
+        # re-creating the 16x-padded (R, ndim) temps this layout avoids.
+        rows = []
+        for d in range(ndim):
+            row = jnp.zeros((out_capacity,), dtype=src.dtype)
+            row = row.at[target].set(src[d], mode="drop")
+            if fill_first:
+                # replicate slot 0 into padding for finite padded evals
+                row = jnp.where(pad_mask, row[0], row)
+            rows.append(row)
+        return jnp.stack(rows)
 
     new_lows = scatter_pool(lows, True)
     new_lengths = scatter_pool(lengths, True)
@@ -153,7 +157,12 @@ def split(
     is_right = (ids >= n) & (ids < 2 * n)
     src = jnp.clip(src, 0, cap - 1)
 
-    child_lows = jnp.where(
-        is_right[None, :], right_lows[:, src], left_lows[:, src])
-    child_lengths = child_len[:, src]
+    # per-dim 1-D gathers (see scatter_pool: 2-D axis-1 gathers transpose)
+    lo_rows, len_rows = [], []
+    for d in range(ndim):
+        lo_rows.append(jnp.where(is_right, jnp.take(right_lows[d], src),
+                                 jnp.take(left_lows[d], src)))
+        len_rows.append(jnp.take(child_len[d], src))
+    child_lows = jnp.stack(lo_rows)
+    child_lengths = jnp.stack(len_rows)
     return child_lows, child_lengths, 2 * n
