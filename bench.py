@@ -74,6 +74,20 @@ def bench_suite(ndim=8):
     return {name: bench_one(g, ndim) for name, g in suite.items()}
 
 
+def bench_vegas(ndim=6, ncall=1e7, importance="poly"):
+    """Warm VEGAS sampling throughput (samples/s) on a 6D Gaussian."""
+    from gpuintegration_tpu.mcubes.vegas import integrate as vegas
+    g = genz.f4_gaussian(ndim, a=8.0)
+    vegas(g, epsrel=0.0, epsabs=0.0, ncall=ncall, total_iters=4,
+          adjust_iters=2, skip_iters=0, seed=1, importance=importance)
+    t0 = time.perf_counter()
+    r = vegas(g, epsrel=0.0, epsabs=0.0, ncall=ncall, total_iters=4,
+              adjust_iters=2, skip_iters=0, seed=2, importance=importance)
+    dt = time.perf_counter() - t0
+    rel = abs(r.estimate - g.true_value) / abs(g.true_value)
+    return r.neval / dt, rel
+
+
 def bench_time_to_tolerance(ndim=8, epsrel=1e-6):
     g = genz.f4_gaussian(ndim)
     ws = Workspace(ndim)
@@ -88,6 +102,7 @@ def bench_time_to_tolerance(ndim=8, epsrel=1e-6):
 def main():
     rates = bench_suite()
     headline = statistics.median(rates.values())
+    vegas_rate, vegas_rel = bench_vegas()
     ttt, res, rel_err = bench_time_to_tolerance()
     out = {
         "metric": "integrand evals/sec/chip (PAGANI 8D Genz suite median, f64)",
@@ -96,6 +111,8 @@ def main():
         "vs_baseline": headline / BASELINE_EVALS_PER_SEC,
         "detail": {
             "per_integrand_evals_per_sec": rates,
+            "vegas_6d_poly_samples_per_sec": vegas_rate,
+            "vegas_6d_rel_err": vegas_rel,
             "time_to_1e-6_8d_gaussian_s": ttt,
             "achieved_rel_err": rel_err,
             "converged": res.status == 0,
