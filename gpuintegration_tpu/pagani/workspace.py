@@ -135,7 +135,8 @@ class Workspace:
     """
 
     def __init__(self, ndim: int, *, dtype=jnp.float64,
-                 max_pool_regions: int = 16 * 1024 * 1024,
+                 max_pool_regions: int | None = None,
+                 pool_bytes_budget: int = 6 * 1024 ** 3,
                  chunk_size: int | None = None,
                  chunk_budget_bytes: int = 256 * 1024 * 1024,
                  mesh=None,
@@ -147,6 +148,15 @@ class Workspace:
         (SURVEY.md section 2.7)."""
         self.ndim = ndim
         self.dtype = jnp.dtype(dtype)
+        if max_pool_regions is None:
+            # the reference's free-device-memory model
+            # (heuristic_classifier.cuh:89-145) against a bytes budget:
+            # the loop keeps ~10 region-sized f64 arrays live per dim slot
+            # (pool + children + parents + per-region outputs)
+            per_region = self.dtype.itemsize * (4 * ndim + 12)
+            max_pool_regions = min(
+                1 << (pool_bytes_budget // per_region).bit_length() - 1,
+                16 * 1024 * 1024)
         self.max_pool_regions = max_pool_regions
         self.mesh = mesh
         if rule_backend not in ("xla", "pallas"):
