@@ -18,6 +18,7 @@ three iteration estimates (heuristic_classifier.cuh:170-216).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -33,6 +34,31 @@ class ClassificationResult:
     active_flags: jax.Array | None = None
     num_active: int = 0
     finished_errorest: float = 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ladder_probe(errorests, mask, k: int):
+    """Evaluate a K-point geometric threshold ladder in ONE device call:
+    for each candidate threshold, the active count and the error mass the
+    threshold would keep active.  Replaces the reference's per-probe
+    kernel+reduction round trips (heuristic_classifier.cuh:283-346) --
+    each probe there costs a D2H sync (~30-60 ms on this runtime)."""
+    big = jnp.asarray(jnp.inf, errorests.dtype)
+    lo = jnp.maximum(jnp.min(jnp.where(mask, errorests, big)), 1e-300)
+    hi = jnp.maximum(jnp.max(jnp.where(mask, errorests, -big)),
+                     lo * (1 + 1e-12))
+    ts = jnp.exp(jnp.linspace(jnp.log(lo * (1 - 1e-12)), jnp.log(hi), k))
+    active_k = (errorests[None, :] > ts[:, None]) & mask[None, :]
+    counts = jnp.sum(active_k, axis=1).astype(errorests.dtype)
+    err_masked = jnp.where(mask, errorests, 0.0)
+    kept = jnp.sum(jnp.where(active_k, err_masked[None, :], 0.0), axis=1)
+    return jnp.stack([ts, counts, kept])                      # (3, K)
+
+
+@jax.jit
+def _flags_for_threshold(errorests, mask, threshold):
+    flags = jnp.where((errorests > threshold) & mask, 1.0, 0.0)
+    return flags.astype(errorests.dtype)
 
 
 @jax.jit
@@ -115,7 +141,52 @@ class HeuristicClassifier:
             return True
         return ratio > 0.1 and self.estimate_converged()
 
-    # -- the search ---------------------------------------------------------
+    # -- the search (batched ladder; default) --------------------------------
+    def classify_ladder(
+        self,
+        errorests: jax.Array,   # (cap,) refined two-level errors
+        mask: jax.Array,        # (cap,) bool validity mask
+        num_regions: int,
+        iter_errorest: float,
+        iter_finished_errorest: float,
+        total_finished_errorest: float,
+        k: int = 64,
+    ) -> ClassificationResult:
+        """Same decision procedure as ``classify`` but evaluated over a
+        geometric threshold ladder in one device call + one D2H transfer
+        (the bisection walks thresholds one sync at a time).  The
+        percentage-relaxation schedule mirrors the reference
+        (heuristic_classifier.cuh:425-437): error budget 0.25 -> 0.65 in
+        0.1 steps first, then active share 0.5 -> 0.7."""
+        table = np.asarray(_ladder_probe(errorests, mask, k))
+        ts, counts, kept = table[0], table[1], table[2]
+        target_error = abs(self._estimates[2]) * self.epsrel
+        error_budget = target_error - total_finished_errorest
+        extra = iter_errorest - kept - iter_finished_errorest   # (K,)
+        pct_active = counts / num_regions
+
+        res = ClassificationResult()
+        for active_pct in (0.5, 0.6, 0.7):
+            for budget_pct in (0.25, 0.35, 0.45, 0.55, 0.65):
+                ok = (pct_active <= active_pct) & \
+                     (extra <= budget_pct * error_budget) & (counts > 0)
+                if ok.any():
+                    # smallest qualifying threshold finishes the least error
+                    i = int(np.argmax(ok))
+                    res.pass_mem = True
+                    res.pass_errorest_budget = True
+                    res.threshold = float(ts[i])
+                    res.num_active = int(counts[i])
+                    res.finished_errorest = float(extra[i])
+                    res.active_flags = _flags_for_threshold(
+                        errorests, mask, jnp.asarray(ts[i]))
+                    return res
+        # no qualifying threshold: report the best-memory candidate
+        res.pass_mem = bool((pct_active <= 0.7).any())
+        res.pass_errorest_budget = False
+        return res
+
+    # -- the search (reference-style bisection; kept for parity) ------------
     def classify(
         self,
         errorests: jax.Array,   # (cap,) refined two-level errors

@@ -368,9 +368,8 @@ class Workspace:
             must_terminate = False
             classification_necessary = not classifier.split_fits(n)
             if classifier.classification_criteria_met(n):
-                mask = np.arange(cap) < n  # host mask only for min/max probe
-                hs = classifier.classify(
-                    refined, jnp.asarray(mask), n,
+                hs = classifier.classify_ladder(
+                    refined, region_pool.region_mask(cap, n_dev), n,
                     iter_err, finished_err, cum.errorest)
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
