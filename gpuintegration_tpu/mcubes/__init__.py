@@ -1,0 +1,13 @@
+"""m-CUBES / VEGAS Monte Carlo integration (public surface).
+
+Mirrors the reference's cuda_mcubes namespace entry points
+(reference: cuda/mcubes/vegasT.cuh:1023-1135 integrate/simple_integrate).
+"""
+from gpuintegration_tpu.mcubes.vegas import (  # noqa: F401
+    VegasState,
+    integrate,
+    simple_integrate,
+    vegas,
+)
+
+__all__ = ["VegasState", "integrate", "simple_integrate", "vegas"]

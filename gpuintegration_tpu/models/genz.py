@@ -110,7 +110,9 @@ def f1_oscillatory(ndim: int, coeffs: Sequence[float] | None = None,
 
 def f2_product_peak(ndim: int, a: float = 50.0, b: float = 0.5) -> GenzIntegrand:
     def f(x):
-        return jnp.prod(1.0 / (1.0 / a ** 2 + (x - b) ** 2), axis=-1)
+        # one f64 division of the denominator product instead of ndim
+        # divisions (f64 divide is the most expensive emulated VPU op)
+        return 1.0 / jnp.prod(1.0 / a ** 2 + (x - b) ** 2, axis=-1)
 
     return GenzIntegrand("f2_product_peak", ndim, f,
                          _product_peak_truth(a, b, ndim))
@@ -121,7 +123,10 @@ def f3_corner_peak(ndim: int, coeffs: Sequence[float] | None = None) -> GenzInte
                    else np.arange(1, ndim + 1), dtype=np.float64)
 
     def f(x):
-        return (1.0 + jnp.sum(x * a, axis=-1)) ** (-(ndim + 1.0))
+        # integer exponent -> lax.integer_pow (squared-multiply chain +
+        # one divide); a float exponent lowers to exp(y*log(x)), ~5x the
+        # cost under f64 emulation
+        return (1.0 + jnp.sum(x * a, axis=-1)) ** (-(ndim + 1))
 
     return GenzIntegrand("f3_corner_peak", ndim, f, _corner_peak_truth(a))
 

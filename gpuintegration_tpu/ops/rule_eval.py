@@ -46,6 +46,8 @@ class RuleTables:
     feval_padded: int     # padded to a lane multiple for MXU tiling
     gen: np.ndarray       # (feval_padded, ndim) signed abscissae
     wts: np.ndarray       # (feval_padded, NRULES)
+    orbit_wts: np.ndarray  # (NSETS, NRULES) per-orbit weights
+    orbit_bounds: tuple   # NSETS+1 point-axis offsets of the orbit segments
     scale: np.ndarray     # (NSETS, NRULES)
     norm: np.ndarray      # (NSETS, NRULES)
     ratio: float
@@ -62,6 +64,9 @@ def rule_tables(ndim: int, dtype_name: str = "float64") -> RuleTables:
         feval_padded=pts.shape[0],
         gen=np.asarray(pts, dtype=dtype),
         wts=np.asarray(wts, dtype=dtype),
+        orbit_wts=np.asarray(rule.orbit_weights, dtype=dtype),
+        orbit_bounds=tuple(int(b) for b in
+                           np.concatenate([[0], np.cumsum(rule.counts)])),
         scale=np.asarray(rule.scale, dtype=dtype),
         norm=np.asarray(rule.norm, dtype=dtype),
         ratio=float(rule.ratio),
@@ -84,39 +89,52 @@ def _eval_chunk(
     """
     ndim = tables.ndim
     dtype = lows.dtype
-    center = lows + 0.5 * lengths                         # (ndim, C)
     # Point mapping parity with Sample.cuh:126-131:
     #   x = gl + ((.5+g)*lower + (.5-g)*upper) * range
     #     = gl + (center - g*length) * range
-    # built per dimension as (C, P) planes so no (..., ndim)-minor array is
-    # ever resident; the stack into the integrand's (..., ndim) convention
-    # fuses into its elementwise chain.
+    # Pre-scaled into global space on the cheap (ndim, C) arrays so the big
+    # (C, P) planes see 2 f64 ops per point-dim (one mul, one sub) instead
+    # of 4 -- f64 elementwise is ~5x f32 on TPU (XLA emulation), so halving
+    # the plane work matters.  Built per dimension as (C, P) planes so no
+    # (..., ndim)-minor array is ever resident; the stack into the
+    # integrand's (..., ndim) convention fuses into its elementwise chain.
+    len_g = lengths * global_range[:, None]                # (ndim, C)
+    center_g = global_lo[:, None] + (lows + 0.5 * lengths) * \
+        global_range[:, None]                              # (ndim, C)
     planes = []
     for d in range(ndim):
         planes.append(
-            global_lo[d]
-            + (center[d][:, None]
-               - tables.gen[None, :, d] * lengths[d][:, None])
-            * global_range[d])                             # (C, P)
+            center_g[d][:, None]
+            - tables.gen[None, :, d] * len_g[d][:, None])  # (C, P)
     x = jnp.stack(planes, axis=-1)                         # (C, P, ndim)
     jacobian = jnp.prod(global_range)
-    vals = f(x) * jacobian                                 # (C, P)
-    vals = vals.astype(dtype)
+    # The jacobian scale is applied to the tiny (C, NRULES) rule sums below,
+    # not the (C, P) value plane (the fourth-difference bisection logic is
+    # invariant under positive scaling of vals).
+    vals = f(x).astype(dtype)                              # (C, P)
 
-    # Five embedded rule sums.  In f64, expressed as a broadcast-multiply +
-    # reduce rather than dot_general: XLA's TPU f64-emulated matmul lowering
-    # is ~5x slower than the fused VPU multiply+reduce for this K=feval,
-    # N=5 contraction (measured 5.4 ms vs 1.0 ms per 8192x1152 chunk at
-    # 8D), and f64 precision here is required -- the null-rule sums are
-    # cancellation-heavy and a lower-precision path would put a noise floor
-    # under every error estimate.  In f32, the MXU matmul wins.
+    # Five embedded rule sums.  The rule is fully symmetric: the weight of a
+    # point depends only on its orbit (9 orbits, genz_malik._rule_weights),
+    # and the point list is orbit-contiguous.  So instead of a (P, NRULES)
+    # per-point contraction (10 f64 ops/point as multiply+reduce; XLA's
+    # TPU f64-emulated dot_general is 5x worse still), reduce each orbit
+    # segment (1 f64 add/point) and combine with the tiny (NSETS, NRULES)
+    # orbit-weight table.  Null-rule cancellation behaviour is unchanged:
+    # the sums are the same values up to summation-order reassociation.
+    # In f32 the MXU matmul on the padded per-point table wins.
     if dtype == jnp.float64:
-        sums = jnp.sum(vals[:, :, None] * tables.wts[None, :, :], axis=1)
+        ob = tables.orbit_bounds
+        orbit_sums = jnp.stack(
+            [jnp.sum(vals[:, ob[s]:ob[s + 1]], axis=1)
+             for s in range(len(ob) - 1)], axis=1)          # (C, NSETS)
+        sums = jnp.sum(
+            orbit_sums[:, :, None] * tables.orbit_wts[None, :, :], axis=1)
     else:
         sums = jax.lax.dot_general(
             vals, tables.wts.astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype)
+    sums = sums * jacobian
 
     # Fourth-difference bisection dimension (Sample.cuh:194-218):
     # diff_d = |2(1-ratio) f0 + ratio (f1p+f1m) - (f2p+f2m)| where the a1

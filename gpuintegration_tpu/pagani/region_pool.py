@@ -15,11 +15,18 @@ region-major (R, ndim<=~16) array pads its minor axis 16x (measured: an
 rewriter's f32 halves).  Dims-major is also the reference's own layout
 (dLeftCoord[dim * size + i], Sub_regions.cuh:131).
 
-Layout contract (load-bearing for the two-level error estimate): after a
-split of ``m`` parents, the left children occupy slots [0, m) and the right
-children slots [m, 2m), and the compacted parent estimates align with
-child index mod m -- exactly the layout RefineError assumes
-(reference: Phases.cuh:219-268, Sub_region_splitter.cuh:25-44).
+Layout contract (load-bearing for the two-level error estimate): a pool of
+capacity ``cap`` produced by ``split`` is BLOCKED at the STATIC half --
+the left children of the (compacted, out_capacity = cap/2) parents occupy
+slots [0, cap/2) and the right children [cap/2, cap), with real children
+filling [0, n/2) of each block.  A child's sibling is therefore at a
+static offset of cap/2 (a roll, two slices) and its parent index is
+``slot % (cap/2)`` (a tile) -- no dynamic gathers, which serialize on TPU
+(~1 s per 8M-element f64 gather/scatter measured vs ~10 ms for the static
+relayouts).  This is the reference's own [0, m)/[m, 2m) layout
+(Sub_region_splitter.cuh:25-44) except the block boundary is the static
+pool half rather than the traced region count, which is what makes every
+lookup static.  Validity masks come from ``block_mask``.
 """
 from __future__ import annotations
 
@@ -65,6 +72,21 @@ def region_mask(capacity: int, n: jax.Array) -> jax.Array:
     return ids < n
 
 
+def block_mask(capacity: int, n: jax.Array, blocked: bool) -> jax.Array:
+    """Validity mask of a pool holding ``n`` real regions.
+
+    ``blocked=False``: a contiguous pool (initial uniform split or
+    user-supplied regions) -- real slots are [0, n).
+    ``blocked=True``: a pool produced by ``split`` -- real slots are the
+    first n/2 of each static half (see the module layout contract).
+    """
+    if not blocked:
+        return region_mask(capacity, n)
+    half = capacity // 2
+    ids = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    return (ids % half) < (n // 2)
+
+
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
 def compact(
     active: jax.Array,      # (cap,) 0/1 flags (already masked to idx < n)
@@ -79,48 +101,68 @@ def compact(
     """Stream-compact active regions to the front of a new pool.
 
     Replaces the reference's thrust exclusive_scan + alignRegions gather
-    (reference: Sub_region_filter.cuh:8-47, 61-138) with a cumsum and a
-    scatter whose out-of-bounds (inactive) writes are dropped.  The
-    surviving regions' estimates become the next iteration's parents
-    (alignRegions:39-40).
+    (reference: Sub_region_filter.cuh:8-47, 61-138) with BITWISE SHIFT
+    compaction: each active element must move left by its deficit
+    d_i = slot_i - rank_i (rank = exclusive cumsum of the active flags; d
+    is non-decreasing across actives), and the move is executed one
+    deficit bit at a time -- pass b shifts every element whose remaining
+    deficit has bit b set left by 2^b.  Monotone deficits make the passes
+    collision-free (validated exhaustively on random masks).  Every pass
+    is a static roll + select over the payload arrays: no sort (variadic
+    f64 sort takes MINUTES of XLA-TPU compile time even at 64k elements),
+    no scatter/gather (~1 s per 8M f64 array -- they serialize).  Passes
+    whose bit no element needs are skipped with lax.cond, so an all-active
+    pool (the entire growth phase) costs one cumsum + log2(cap) scalar
+    predicates.  The surviving regions' estimates become the next
+    iteration's parents (alignRegions:39-40).
 
     Returns (n_active, new_lows, new_lengths, new_split_dim,
-             parent_estimates, parent_errorests); padding slots replicate
-    slot 0 so later evaluations stay finite.
+             parent_estimates, parent_errorests).  Tail slots beyond
+    n_active hold leftover (inactive/duplicate) regions with finite real
+    bounds, so padded evaluations stay finite; downstream masking is by
+    region count.
     """
     ndim, cap = lows.shape
-    flags = active.astype(jnp.int32)
-    scan = jnp.cumsum(flags)
-    n_active = scan[-1]
-    # Target slot for active regions; inactive -> out_capacity (dropped).
-    target = jnp.where(active > 0, scan - 1, out_capacity)
+    v = active > 0
+    flags = v.astype(jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    rank = jnp.cumsum(flags) - flags
+    deficit = jnp.where(v, ids - rank, 0)
+    n_active = jnp.sum(flags)
 
-    def scatter_1d(src):
-        out = jnp.zeros((out_capacity,), dtype=src.dtype)
-        return out.at[target].set(src, mode="drop")
+    payload = ([lows[d] for d in range(ndim)]
+               + [lengths[d] for d in range(ndim)]
+               + [split_dim, estimates, errorests])
 
-    pad_mask = jax.lax.broadcasted_iota(
-        jnp.int32, (out_capacity,), 0) >= n_active
+    nbits = max(cap - 1, 1).bit_length()
+    for b in range(nbits):
+        s = 1 << b
+        move = v & (((deficit >> b) & 1) == 1)
+        in_range = ids < (cap - s)
+        inc = jnp.roll(move, -s) & in_range
 
-    def scatter_pool(src, fill_first: bool):
-        # dims-major: ndim separate 1-D scatters.  A single 2-D scatter on
-        # axis 1 makes XLA transpose the operand to put indices leading,
-        # re-creating the 16x-padded (R, ndim) temps this layout avoids.
-        rows = []
-        for d in range(ndim):
-            row = jnp.zeros((out_capacity,), dtype=src.dtype)
-            row = row.at[target].set(src[d], mode="drop")
-            if fill_first:
-                # replicate slot 0 into padding for finite padded evals
-                row = jnp.where(pad_mask, row[0], row)
-            rows.append(row)
-        return jnp.stack(rows)
+        def apply_pass(args):
+            v_, d_, pay = args
+            stay = v_ & ~move
+            new_v = stay | inc
+            new_d = jnp.where(inc, jnp.roll(d_, -s) - s, d_)
+            new_pay = [jnp.where(inc, jnp.roll(p, -s), p) for p in pay]
+            return new_v, new_d, new_pay
 
-    new_lows = scatter_pool(lows, True)
-    new_lengths = scatter_pool(lengths, True)
-    new_split = scatter_1d(split_dim)
-    parent_est = scatter_1d(estimates)
-    parent_err = scatter_1d(errorests)
+        v, deficit, payload = jax.lax.cond(
+            jnp.any(move), apply_pass, lambda args: args,
+            (v, deficit, payload))
+
+    def fit(row):
+        if out_capacity <= cap:
+            return row[:out_capacity]
+        return jnp.pad(row, (0, out_capacity - cap), mode="edge")
+
+    new_lows = jnp.stack([fit(payload[d]) for d in range(ndim)])
+    new_lengths = jnp.stack([fit(payload[ndim + d]) for d in range(ndim)])
+    new_split = fit(payload[2 * ndim])
+    parent_est = fit(payload[2 * ndim + 1])
+    parent_err = fit(payload[2 * ndim + 2])
     return n_active, new_lows, new_lengths, new_split, parent_est, parent_err
 
 
@@ -135,9 +177,13 @@ def split(
 ):
     """Bisect each region along its chosen dimension.
 
-    Left children -> slots [0, n), right children -> slots [n, 2n)
-    (layout parity with divideIntervalsGPU, Sub_region_splitter.cuh:25-44).
-    Padding beyond 2n replicates child 0.
+    The whole (compacted, padding included) input pool's left children
+    land in slots [0, cap) and the right children in [cap, 2*cap): a pure
+    rank-2 concatenate -- no gather, no small-minor-axis intermediate (an
+    interleaved (ndim, cap, 2) layout gets 64x lane padding from the TPU's
+    (8, 128) tiling).  Real children occupy the first n of each block.
+    Padding-slot children have finite real bounds so later evaluations
+    stay finite; downstream masking is block_mask(2*cap, 2*n, True).
 
     Returns (child_lows, child_lengths, n_children).
     """
@@ -146,23 +192,13 @@ def split(
     sel = dim_ids == split_dim[None, :]
     half = lengths * 0.5
     child_len = jnp.where(sel, half, lengths)
-    left_lows = lows
     right_lows = jnp.where(sel, lows + half, lows)
 
-    ids = jax.lax.broadcasted_iota(jnp.int32, (out_capacity,), 0)
-    # slot i: left child i if i < n; right child (i - n) if n <= i < 2n;
-    # else replicate child 0.
-    src = jnp.where(ids < n, ids, ids - n)
-    src = jnp.where(ids < 2 * n, src, 0)
-    is_right = (ids >= n) & (ids < 2 * n)
-    src = jnp.clip(src, 0, cap - 1)
-
-    # per-dim 1-D gathers (see scatter_pool: 2-D axis-1 gathers transpose)
-    lo_rows, len_rows = [], []
-    for d in range(ndim):
-        lo_rows.append(jnp.where(is_right, jnp.take(right_lows[d], src),
-                                 jnp.take(left_lows[d], src)))
-        len_rows.append(jnp.take(child_len[d], src))
-    child_lows = jnp.stack(lo_rows)
-    child_lengths = jnp.stack(len_rows)
-    return child_lows, child_lengths, 2 * n
+    lo2 = jnp.concatenate([lows, right_lows], axis=1)
+    ln2 = jnp.concatenate([child_len, child_len], axis=1)
+    if out_capacity != 2 * cap:
+        raise ValueError(
+            f"split: out_capacity {out_capacity} != 2*cap {2 * cap}; the "
+            "blocked child layout requires the output to be exactly twice "
+            "the (compacted) input pool -- compact to out_capacity//2 first")
+    return lo2, ln2, 2 * n

@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gpuintegration_tpu.pagani.region_pool import block_mask
+
 
 def refine_error(
     estimates: jax.Array,      # (cap,) child integral estimates
@@ -26,23 +28,24 @@ def refine_error(
 ):
     """Returns (refined_errorests (cap,), active (cap,) float 0/1 masked to n).
 
-    Child layout: left children in [0, n/2), right children in [n/2, n)
-    with parent index = child index mod n/2 (Phases.cuh:239-243).
+    Child layout: BLOCKED at the static pool half (region_pool.split) --
+    parent i's left child is slot i, its right child slot i + cap/2, so
+    the sibling lookup is a static roll by cap/2 and the parent index is
+    slot % (cap/2), a tile.  (The reference pairs at the traced region
+    count instead, Phases.cuh:239-243, which would need dynamic gathers
+    here -- those serialize on TPU.)
     """
     cap = estimates.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    half = n // 2
-    in_right = ids >= half
-    sibling = jnp.where(in_right, ids - half, ids + half)
-    sibling = jnp.clip(sibling, 0, cap - 1)
-    parent = jnp.where(in_right, ids - half, ids)
-    parent = jnp.clip(parent, 0, parent_estimates.shape[0] - 1)
+    half = cap // 2
+
+    def other_block(a):
+        return jnp.concatenate([a[half:], a[:half]])
 
     self_err = errorests
     self_res = estimates
-    sibl_err = errorests[sibling]
-    sibl_res = estimates[sibling]
-    par_res = parent_estimates[parent]
+    sibl_err = other_block(errorests)
+    sibl_res = other_block(estimates)
+    par_res = jnp.tile(parent_estimates[:half], 2)
 
     diff = jnp.abs(0.25 * (sibl_res + self_res - par_res))
     err_sum = self_err + sibl_err
@@ -50,7 +53,7 @@ def refine_error(
         err_sum > 0.0, self_err * (1.0 + 2.0 * diff / err_sum), self_err)
     refined = inflated + diff
 
-    mask = ids < n
+    mask = block_mask(cap, n, blocked=True)
     refined = jnp.where(mask, refined, 0.0)
 
     if relerr_classification:

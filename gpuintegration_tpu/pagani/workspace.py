@@ -54,24 +54,31 @@ def accuracy_reached(epsrel, epsabs, estimate, errorest) -> bool:
     return errorest <= epsabs
 
 
-@functools.partial(jax.jit, static_argnames=("f", "ndim", "dtype_name"))
+@functools.partial(jax.jit,
+                   static_argnames=("f", "ndim", "dtype_name", "chunk_size"))
 def _eval_stage(f, ndim: int, dtype_name: str,
-                lows, lengths, global_lo, global_range):
-    """Rule application over one fixed-size region chunk.
+                lows, lengths, global_lo, global_range, chunk_size=None):
+    """Rule application over one pool bucket, chunked inside the jit.
 
-    This is the hot kernel; its shape is (chunk, ndim) for every bucket, so
-    it compiles exactly once per (integrand, ndim, dtype, chunk) for the
-    whole adaptive run (unlike the reference, which relaunches
-    INTEGRATE_GPU_PHASE1 with a grid equal to the current pool size,
-    PaganiUtils.cuh:313-331)."""
+    The (chunk, feval) intermediate is bounded by ``chunk_size`` via an
+    in-jit ``lax.map`` over chunks, so each bucket capacity is ONE device
+    dispatch per iteration regardless of pool size.  (A host-side chunk
+    loop reuses a single compiled kernel but pays per-dispatch runtime
+    overhead times pool/chunk -- at a 16M-region bucket that is 2048
+    dispatches per iteration, which dominates wall time on remote-dispatch
+    runtimes.  The reference relaunches INTEGRATE_GPU_PHASE1 with a grid
+    equal to the pool size instead, PaganiUtils.cuh:313-331.)"""
     tables = rule_eval.rule_tables(ndim, dtype_name)
     return rule_eval.apply_rule(
-        f, tables, lows, lengths, global_lo, global_range, chunk_size=None)
+        f, tables, lows, lengths, global_lo, global_range,
+        chunk_size=chunk_size)
 
 
-@functools.partial(jax.jit, static_argnames=("relerr_classification",))
+@functools.partial(jax.jit,
+                   static_argnames=("relerr_classification", "blocked"))
 def _post_stage(
     relerr_classification: bool,
+    blocked: bool,        # pool layout: blocked halves (post-split) or [0,n)
     est, err, n,
     parent_estimates,
     use_refine,           # traced bool: parents valid?
@@ -83,8 +90,7 @@ def _post_stage(
     Returns per-region (estimates, refined_errors, active) and scalar
     (iter_estimate, iter_errorest, finished_est, finished_err)."""
     cap = est.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    mask = ids < n
+    mask = region_pool.block_mask(cap, n, blocked)
     est = jnp.where(mask, est, 0.0)
     err = jnp.where(mask, err, 0.0)
 
@@ -108,10 +114,10 @@ def _post_stage(
     return est, refined, active, scalars
 
 
-@jax.jit
-def _all_active(active, n):
-    ids = jax.lax.broadcasted_iota(jnp.int32, active.shape, 0)
-    return jnp.where(ids < n, 1.0, 0.0).astype(active.dtype)
+@functools.partial(jax.jit, static_argnames=("blocked",))
+def _all_active(active, n, blocked: bool):
+    mask = region_pool.block_mask(active.shape[0], n, blocked)
+    return jnp.where(mask, 1.0, 0.0).astype(active.dtype)
 
 
 @jax.jit
@@ -184,7 +190,8 @@ class Workspace:
         out = tuple(jax.device_put(a, sh) for a in arrays)
         return out if len(out) > 1 else out[0]
 
-    def _eval_one(self, f, lows, lengths, global_lo, global_range):
+    def _eval_one(self, f, lows, lengths, global_lo, global_range,
+                  chunk_size=None):
         if self.rule_backend == "pallas":
             from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
             return pallas_apply_rule(
@@ -192,25 +199,19 @@ class Workspace:
                 global_lo, global_range,
                 interpret=jax.default_backend() != "tpu")
         return _eval_stage(f, self.ndim, self.dtype.name, lows, lengths,
-                           global_lo, global_range)
+                           global_lo, global_range, chunk_size=chunk_size)
 
     def _eval_pool(self, f, lows, lengths, global_lo, global_range):
-        """Host loop over fixed-size chunks; one compile of the hot kernel.
-        In mesh mode the whole (sharded) pool is evaluated in one SPMD call
-        -- per-device footprint is pool/n_devices, so no chunking needed."""
+        """One device dispatch for the whole bucket; the (chunk, feval)
+        intermediate is bounded by in-jit lax.map chunking.  In mesh mode
+        the whole (sharded) pool is evaluated in one SPMD call --
+        per-device footprint is pool/n_devices."""
         cap = lows.shape[1]
         chunk = self.chunk_size
         if self.mesh is not None or cap <= chunk:
             return self._eval_one(f, lows, lengths, global_lo, global_range)
-        outs = []
-        for i in range(cap // chunk):
-            sl = slice(i * chunk, (i + 1) * chunk)
-            outs.append(self._eval_one(f, lows[:, sl], lengths[:, sl],
-                                       global_lo, global_range))
-        est = jnp.concatenate([o[0] for o in outs])
-        err = jnp.concatenate([o[1] for o in outs])
-        sdim = jnp.concatenate([o[2] for o in outs])
-        return est, err, sdim
+        return self._eval_one(f, lows, lengths, global_lo, global_range,
+                              chunk_size=chunk)
 
     def integrate(
         self,
@@ -296,6 +297,7 @@ class Workspace:
 
         cum = IntegrationResult(status=1)
         result_nregions = 0
+        blocked = False   # pool layout: [0,n) contiguous until first split
 
         for it in range(max_iterations):
             if n <= 0:
@@ -320,13 +322,13 @@ class Workspace:
                     dtype_name, key, lows, lengths,
                     global_lo, global_range)
             est, refined, active, scalars_d = _post_stage(
-                effective_relerr, est_raw, err_raw, n_dev,
+                effective_relerr, blocked, est_raw, err_raw, n_dev,
                 parent_est, use_refine, eps_dev)
             if predict_split and result_nregions == 0 and it == 15:
                 # pool snapshot (Workspace.cuh:244-248)
                 self.last_snapshot = (lows, lengths, n)
             # live pool reference for checkpointing (utils.checkpoint)
-            self.final_pool = (lows, lengths, n)
+            self.final_pool = (lows, lengths, n, blocked)
             # single D2H sync per iteration
             scalars = np.asarray(scalars_d)
             iter_est, iter_err, finished_est, finished_err = (
@@ -359,7 +361,7 @@ class Workspace:
             leaves_est = cum.estimate + iter_est
             leaves_fin_err = cum.errorest + finished_err
             if leaves_fin_err > abs(leaves_est) * epsrel:
-                active = _all_active(active, n_dev)
+                active = _all_active(active, n_dev, blocked)
                 finished_est = 0.0
                 finished_err = 0.0
                 n_active = n
@@ -369,7 +371,7 @@ class Workspace:
             classification_necessary = not classifier.split_fits(n)
             if classifier.classification_criteria_met(n):
                 hs = classifier.classify_ladder(
-                    refined, region_pool.region_mask(cap, n_dev), n,
+                    refined, region_pool.block_mask(cap, n_dev, blocked), n,
                     iter_err, finished_err, cum.errorest)
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
@@ -419,6 +421,7 @@ class Workspace:
             n_dev = jnp.asarray(n, jnp.int32)
             cap = child_cap
             use_refine = jnp.asarray(True)
+            blocked = True
         else:
             # max_iterations exhausted: include the last sweep's active
             # contribution so the estimate is complete.
@@ -435,8 +438,17 @@ class Workspace:
         ``integrate(..., initial_regions=(ckpt.lows, ckpt.lengths))`` and
         add ``ckpt.estimate/errorest`` to the result."""
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
-        lows, lengths, n = self.final_pool
+        lows, lengths, n, blocked = self.final_pool
+        lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
+        if blocked:
+            # real regions fill the first n/2 slots of each static half
+            half = lo_np.shape[1] // 2
+            keep = np.concatenate(
+                [np.arange(n // 2), half + np.arange(n // 2)])
+            lo_np, ln_np = lo_np[:, keep], ln_np[:, keep]
+        else:
+            lo_np, ln_np = lo_np[:, :n], ln_np[:, :n]
         return PaganiCheckpoint(
-            lows=np.asarray(lows).T[:n], lengths=np.asarray(lengths).T[:n],
+            lows=lo_np.T, lengths=ln_np.T,
             estimate=result.estimate, errorest=result.errorest,
             nregions=result.nregions, iters=result.iters)

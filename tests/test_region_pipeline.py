@@ -88,14 +88,13 @@ class TestSplitting:
         lengths = jnp.asarray([[0.5, 0.25], [1.0, 0.5]], jnp.float64)
         sdim = jnp.asarray([1, 0], jnp.int32)
         cl, cn, n_children = region_pool.split(
-            lows, lengths, sdim, jnp.asarray(2), out_capacity=8)
+            lows, lengths, sdim, jnp.asarray(2), out_capacity=4)
         cl, cn = np.asarray(cl), np.asarray(cn)
-        # left children at columns [0, 2): same lows, halved split dim
+        # blocked: left children in [0, cap), right children in [cap, 2cap)
         np.testing.assert_allclose(cl[:, 0], [0.0, 0.0])
         np.testing.assert_allclose(cn[:, 0], [0.5, 0.5])
         np.testing.assert_allclose(cl[:, 1], [0.5, 0.25])
         np.testing.assert_allclose(cn[:, 1], [0.125, 0.5])
-        # right children at columns [2, 4): lows shifted by half
         np.testing.assert_allclose(cl[:, 2], [0.0, 0.5])
         np.testing.assert_allclose(cn[:, 2], [0.5, 0.5])
         np.testing.assert_allclose(cl[:, 3], [0.625, 0.25])
@@ -107,7 +106,7 @@ class TestSplitting:
         for d in range(3):
             cl, cn, _ = region_pool.split(
                 lows, lengths, jnp.asarray([d], jnp.int32),
-                jnp.asarray(1), out_capacity=4)
+                jnp.asarray(1), out_capacity=2)
             v = np.prod(np.asarray(cn)[:, :2], axis=0).sum()
             assert v == pytest.approx(np.prod(np.asarray(lengths)))
 
@@ -117,6 +116,7 @@ class TestTwoLevelError:
         """When self+sibling == parent the error is unchanged (diff=0)."""
         est = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float64)
         err = jnp.asarray([0.1, 0.2, 0.3, 0.4], jnp.float64)
+        # blocked pairing: siblings (0,2) and (1,3); parent = slot % 2
         parents = jnp.asarray([1.0 + 3.0, 2.0 + 4.0], jnp.float64)
         refined, active = refine_error(est, err, parents, jnp.asarray(4),
                                        epsrel=1e-3)
@@ -153,10 +153,14 @@ class TestTwoLevelError:
         np.testing.assert_array_equal(np.asarray(active), [1.0, 1.0])
 
     def test_padding_masked(self):
-        est = jnp.asarray([1.0, 1.0, 99.0, 99.0], jnp.float64)
-        err = jnp.asarray([0.1, 0.1, 99.0, 99.0], jnp.float64)
+        # blocked layout, n=2: real children at slot 0 (left block) and
+        # slot 2 (right block); slots 1 and 3 are padding.
+        est = jnp.asarray([1.0, 99.0, 1.0, 99.0], jnp.float64)
+        err = jnp.asarray([0.1, 99.0, 0.1, 99.0], jnp.float64)
         parents = jnp.asarray([2.0, 0.0], jnp.float64)
         refined, active = refine_error(est, err, parents, jnp.asarray(2),
                                        epsrel=1e-3)
-        assert float(refined[2]) == 0.0 and float(refined[3]) == 0.0
-        assert float(active[2]) == 0.0 and float(active[3]) == 0.0
+        assert float(refined[0]) == pytest.approx(0.1)
+        assert float(refined[2]) == pytest.approx(0.1)
+        assert float(refined[1]) == 0.0 and float(refined[3]) == 0.0
+        assert float(active[1]) == 0.0 and float(active[3]) == 0.0
