@@ -80,6 +80,33 @@ class TestCompaction:
     def test_alternating(self):
         self._run([1, 0, 1, 0, 1, 0], 6)
 
+    def test_randomized_masks(self):
+        """Property test of the bitwise shift compaction (region_pool.compact)
+        against a NumPy reference on random flag patterns."""
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            cap = int(rng.choice([4, 16, 64, 256]))
+            ndim = int(rng.integers(2, 6))
+            active = (rng.uniform(size=cap) < rng.uniform()).astype(float)
+            lows = rng.uniform(size=(ndim, cap))
+            lengths = rng.uniform(size=(ndim, cap))
+            sdim = rng.integers(0, ndim, cap).astype(np.int32)
+            est = rng.normal(size=cap)
+            err = rng.uniform(size=cap)
+            na, nl, nn, nsd, pe, pr = region_pool.compact(
+                jnp.asarray(active), jnp.asarray(lows), jnp.asarray(lengths),
+                jnp.asarray(sdim), jnp.asarray(est), jnp.asarray(err),
+                out_capacity=cap)
+            keep = np.nonzero(active)[0]
+            assert int(na) == len(keep)
+            k = len(keep)
+            np.testing.assert_array_equal(np.asarray(nl)[:, :k], lows[:, keep])
+            np.testing.assert_array_equal(np.asarray(nn)[:, :k],
+                                          lengths[:, keep])
+            np.testing.assert_array_equal(np.asarray(nsd)[:k], sdim[keep])
+            np.testing.assert_array_equal(np.asarray(pe)[:k], est[keep])
+            np.testing.assert_array_equal(np.asarray(pr)[:k], err[keep])
+
 
 class TestSplitting:
     def test_children_coordinates(self):
