@@ -161,6 +161,25 @@ class TestVegasIntegration:
         assert r1.estimate == r2.estimate
         assert r1.errorest == r2.errorest
 
+    def test_fused_frozen_phase_matches_per_iteration(self):
+        """The single-dispatch frozen phase (vegas._frozen_phase) must
+        reproduce the per-iteration host loop exactly (same fold_in keys,
+        same accumulation order).  A debug logger forces the host loop."""
+        from gpuintegration_tpu.mcubes.debug import VegasDebugLogger
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=1e-9, epsabs=1e-300, ncall=2e4, total_iters=9,
+                  adjust_iters=3, skip_iters=3, seed=13)
+        fused = V.integrate(g, **kw)
+        logged = V.integrate(g, debug_logger=VegasDebugLogger(), **kw)
+        # identical sampling streams; accumulation differs only by XLA FMA
+        # contraction in the on-device combine (observed: 1 ULP)
+        assert fused.estimate == pytest.approx(logged.estimate, rel=1e-14)
+        assert fused.errorest == pytest.approx(logged.errorest, rel=1e-14)
+        # chi2 = (schi - si*tgral)/(it-1) is cancellation-amplified
+        assert fused.chi_sq == pytest.approx(logged.chi_sq, abs=1e-6)
+        assert fused.status == logged.status
+        assert fused.iters == logged.iters
+
     def test_volume_transform(self):
         from gpuintegration_tpu.types import Volume
         s = misc.sin_sum(2, lows=[0.0, 0.0], highs=[2.0, 2.0])
