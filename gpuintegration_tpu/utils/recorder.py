@@ -48,3 +48,33 @@ class IterationRecorder:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def dump_regions_csv(lows, lengths, n: int, outfile: IO,
+                     blocked: bool = False):
+    """Dump a region pool's population to CSV, one row per real region:
+    ``id, low_0..low_{d-1}, length_0..length_{d-1}``.
+
+    The TPU analogue of the reference's Snapshot region dumper
+    (reference: cuda/pagani/quad/quad.h:78-152), for offline analysis of
+    how the adaptive subdivision distributed regions.  ``blocked`` selects
+    the post-split block layout (real regions fill the first n/2 slots of
+    each static pool half -- region_pool.block_mask); a Workspace's final
+    pool is ``(lows, lengths, n, blocked) = ws.final_pool``.
+    """
+    import numpy as np
+    lo = np.asarray(lows)
+    ln = np.asarray(lengths)
+    ndim, cap = lo.shape
+    if blocked:
+        half = cap // 2
+        keep = np.concatenate([np.arange(n // 2), half + np.arange(n // 2)])
+    else:
+        keep = np.arange(n)
+    cols = ([f"low_{d}" for d in range(ndim)]
+            + [f"length_{d}" for d in range(ndim)])
+    print("id," + ",".join(cols), file=outfile)
+    for j, i in enumerate(keep):
+        vals = [f"{lo[d, i]:.17e}" for d in range(ndim)]
+        vals += [f"{ln[d, i]:.17e}" for d in range(ndim)]
+        print(f"{j}," + ",".join(vals), file=outfile)

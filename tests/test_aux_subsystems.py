@@ -64,6 +64,37 @@ class TestVegasCheckpoint:
         np.testing.assert_array_equal(np.asarray(st.xi), np.asarray(st10.xi))
 
 
+class TestRegionSnapshotDump:
+    def test_csv_schema_and_block_layout(self):
+        """Snapshot-style region dump (reference: quad.h:78-152)."""
+        import io
+        from gpuintegration_tpu.utils.recorder import dump_regions_csv
+        lo = np.arange(8.0).reshape(2, 4)
+        ln = lo + 10.0
+        buf = io.StringIO()
+        dump_regions_csv(lo, ln, 4, buf)
+        lines = buf.getvalue().strip().split("\n")
+        assert lines[0] == "id,low_0,low_1,length_0,length_1"
+        assert len(lines) == 5
+        # blocked layout: n=2 real regions live at slots 0 and cap/2=2
+        buf = io.StringIO()
+        dump_regions_csv(lo, ln, 2, buf, blocked=True)
+        rows = [r.split(",") for r in buf.getvalue().strip().split("\n")[1:]]
+        assert float(rows[0][1]) == lo[0, 0]
+        assert float(rows[1][1]) == lo[0, 2]
+
+    def test_workspace_final_pool_dumps(self):
+        import io
+        from gpuintegration_tpu.utils.recorder import dump_regions_csv
+        g = genz.f4_gaussian(2, a=3.0)
+        ws = Workspace(2, chunk_size=256)
+        ws.integrate(g, epsrel=1e-4, epsabs=1e-40, max_iterations=3)
+        lo, ln, n, blocked = ws.final_pool
+        buf = io.StringIO()
+        dump_regions_csv(lo, ln, n, buf, blocked=blocked)
+        assert len(buf.getvalue().strip().split("\n")) == n + 1
+
+
 class TestPaganiCheckpoint:
     def test_checkpoint_roundtrip_and_resume(self, tmp_path):
         g = genz.f4_gaussian(3, a=8.0)
