@@ -73,7 +73,9 @@ def _onehot_hist(ia, f2, nbins: int):
 
     ia: (C, npg, ndim) int32 bin ids in [0, nbins); f2: (C, npg) values.
     One (1, N) @ (N, nbins) one-hot contraction per dimension rides the
-    MXU; dynamic scatters (segment_sum) serialize on TPU.
+    MXU; dynamic scatters (segment_sum) serialize on TPU (measured 3.7x
+    slower; a coarse x fine factored two-one-hot variant measured no
+    faster than this).
     """
     ndim = ia.shape[-1]
     f2f = f2.astype(jnp.float32).reshape(-1)
