@@ -187,6 +187,8 @@ def apply_rule(
     global_range: jax.Array,
     *,
     chunk_size: int | None = None,
+    n: jax.Array | None = None,
+    blocked: bool = False,
 ):
     """Apply the rule to the whole (possibly padded) region pool.
 
@@ -194,22 +196,71 @@ def apply_rule(
     the pool is processed in chunks via ``lax.map`` to bound the (chunk,
     feval) intermediate; otherwise it is evaluated in one shot.
 
+    ``n`` (traced region count) enables the dynamic-trip path: only chunks
+    that intersect occupied slots are evaluated -- skipped chunks cost a
+    scalar predicate, and their outputs stay zero (downstream masking by
+    region count makes the two indistinguishable).  The pool is padded to
+    the next power-of-two bucket, so a full-capacity sweep wastes up to 2x
+    integrand evaluations when ``n`` is just past half the bucket; this
+    path makes eval work proportional to the real population.  ``blocked``
+    selects the post-split layout (real slots are the first n/2 of each
+    static pool half, region_pool.block_mask) vs a contiguous [0, n) pool.
+
     Returns (estimate (R,), errorest (R,), split_dim (R,)).
     Padded (zero-length) regions yield zero estimate/error since their unit
     volume is zero.
     """
-    n = lows.shape[1]
-    if chunk_size is None or n <= chunk_size or n % chunk_size != 0:
+    cap = lows.shape[1]
+    if chunk_size is None or cap <= chunk_size or cap % chunk_size != 0:
         return _eval_chunk(f, tables, lows, lengths, global_lo, global_range)
 
     ndim = lows.shape[0]
+    num_chunks = cap // chunk_size
+
+    if n is not None and (not blocked or cap >= 2 * chunk_size):
+        # Dynamic trip count: fori over all chunk slots, lax.cond skipping
+        # the unoccupied ones.  dynamic_slice/dynamic_update_slice at
+        # chunk-aligned offsets are contiguous block copies, NOT the
+        # per-element gathers/scatters that serialize on TPU
+        # (docs/DESIGN.md section 3).
+        half = cap // 2
+        dtype = lows.dtype
+
+        def body(i, outs):
+            start = i * chunk_size
+            if blocked:
+                # cap >= 2*chunk and both are powers of two, so no chunk
+                # straddles the half boundary; chunk i lives in the block
+                # starting at 0 or at half and is occupied iff its offset
+                # within the block is below n//2.
+                offset_in_block = start % half
+                needed = offset_in_block < (n // 2)
+            else:
+                needed = start < n
+
+            def do(outs):
+                est, err, sd = outs
+                lo_c = jax.lax.dynamic_slice(
+                    lows, (0, start), (ndim, chunk_size))
+                ln_c = jax.lax.dynamic_slice(
+                    lengths, (0, start), (ndim, chunk_size))
+                e, r, s = _eval_chunk(
+                    f, tables, lo_c, ln_c, global_lo, global_range)
+                return (jax.lax.dynamic_update_slice(est, e, (start,)),
+                        jax.lax.dynamic_update_slice(err, r, (start,)),
+                        jax.lax.dynamic_update_slice(sd, s, (start,)))
+
+            return jax.lax.cond(needed, do, lambda o: o, outs)
+
+        outs0 = (jnp.zeros((cap,), dtype), jnp.zeros((cap,), dtype),
+                 jnp.zeros((cap,), jnp.int32))
+        return jax.lax.fori_loop(0, num_chunks, body, outs0)
 
     def body(args):
         lo, ln = args
         return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
 
-    num_chunks = n // chunk_size
     lo_c = lows.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     ln_c = lengths.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     est, err, sd = jax.lax.map(body, (lo_c, ln_c))
-    return est.reshape(n), err.reshape(n), sd.reshape(n)
+    return est.reshape(cap), err.reshape(cap), sd.reshape(cap)

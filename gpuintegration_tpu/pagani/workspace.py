@@ -55,9 +55,11 @@ def accuracy_reached(epsrel, epsabs, estimate, errorest) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("f", "ndim", "dtype_name", "chunk_size"))
+                   static_argnames=("f", "ndim", "dtype_name", "chunk_size",
+                                    "blocked"))
 def _eval_stage(f, ndim: int, dtype_name: str,
-                lows, lengths, global_lo, global_range, chunk_size=None):
+                lows, lengths, global_lo, global_range, chunk_size=None,
+                n=None, blocked=False):
     """Rule application over one pool bucket, chunked inside the jit.
 
     The (chunk, feval) intermediate is bounded by ``chunk_size`` via an
@@ -71,7 +73,7 @@ def _eval_stage(f, ndim: int, dtype_name: str,
     tables = rule_eval.rule_tables(ndim, dtype_name)
     return rule_eval.apply_rule(
         f, tables, lows, lengths, global_lo, global_range,
-        chunk_size=chunk_size)
+        chunk_size=chunk_size, n=n, blocked=blocked)
 
 
 @functools.partial(jax.jit,
@@ -191,7 +193,7 @@ class Workspace:
         return out if len(out) > 1 else out[0]
 
     def _eval_one(self, f, lows, lengths, global_lo, global_range,
-                  chunk_size=None):
+                  chunk_size=None, n=None, blocked=False):
         if self.rule_backend == "pallas":
             from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
             return pallas_apply_rule(
@@ -199,11 +201,16 @@ class Workspace:
                 global_lo, global_range,
                 interpret=jax.default_backend() != "tpu")
         return _eval_stage(f, self.ndim, self.dtype.name, lows, lengths,
-                           global_lo, global_range, chunk_size=chunk_size)
+                           global_lo, global_range, chunk_size=chunk_size,
+                           n=n, blocked=blocked)
 
-    def _eval_pool(self, f, lows, lengths, global_lo, global_range):
+    def _eval_pool(self, f, lows, lengths, global_lo, global_range,
+                   n=None, blocked=False):
         """One device dispatch for the whole bucket; the (chunk, feval)
-        intermediate is bounded by in-jit lax.map chunking.  In mesh mode
+        intermediate is bounded by in-jit chunking, and with a traced
+        region count ``n`` only the occupied chunks of the padded bucket
+        are evaluated (dynamic trip count) -- eval work tracks the real
+        population instead of the power-of-two capacity.  In mesh mode
         the whole (sharded) pool is evaluated in one SPMD call --
         per-device footprint is pool/n_devices."""
         cap = lows.shape[1]
@@ -211,7 +218,7 @@ class Workspace:
         if self.mesh is not None or cap <= chunk:
             return self._eval_one(f, lows, lengths, global_lo, global_range)
         return self._eval_one(f, lows, lengths, global_lo, global_range,
-                              chunk_size=chunk)
+                              chunk_size=chunk, n=n, blocked=blocked)
 
     def integrate(
         self,
@@ -308,7 +315,8 @@ class Workspace:
                     and result_nregions == 0):
                 effective_relerr = False  # (Workspace.cuh:206-211)
             est_raw, err_raw, sdim = self._eval_pool(
-                f, lows, lengths, global_lo, global_range)
+                f, lows, lengths, global_lo, global_range,
+                n=n_dev, blocked=blocked)
             if vegas_assisted:
                 # hybrid mode: keep the rule's bisection dimension but
                 # overwrite estimates/errors with per-region adaptive MC

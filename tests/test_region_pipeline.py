@@ -191,3 +191,60 @@ class TestTwoLevelError:
         assert float(refined[2]) == pytest.approx(0.1)
         assert float(refined[1]) == 0.0 and float(refined[3]) == 0.0
         assert float(active[1]) == 0.0 and float(active[3]) == 0.0
+
+
+class TestDynamicTripEval:
+    """apply_rule(n=..., blocked=...) must agree with the full-capacity
+    sweep on every occupied slot and return exact zeros on skipped chunks
+    (the dynamic-trip path makes eval work proportional to the real
+    population instead of the power-of-two bucket capacity)."""
+
+    def _pool(self, ndim, cap, seed=0):
+        rng = np.random.default_rng(seed)
+        lows = jnp.asarray(rng.uniform(0.0, 0.6, (ndim, cap)))
+        lengths = jnp.asarray(rng.uniform(0.05, 0.4, (ndim, cap)))
+        return lows, lengths
+
+    @pytest.mark.parametrize("blocked,n", [(False, 40), (False, 64),
+                                           (True, 24), (True, 64)])
+    def test_matches_full_sweep(self, blocked, n):
+        from gpuintegration_tpu.ops import rule_eval
+        ndim, cap, chunk = 3, 64, 16
+        lows, lengths = self._pool(ndim, cap)
+        tables = rule_eval.rule_tables(ndim, "float64")
+
+        def f(x):
+            return jnp.sum(x ** 3, axis=-1) + jnp.prod(x, axis=-1)
+
+        gl = jnp.zeros(ndim)
+        gr = jnp.ones(ndim)
+        full = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr,
+                                    chunk_size=chunk)
+        dyn = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr,
+                                   chunk_size=chunk,
+                                   n=jnp.asarray(n, jnp.int32),
+                                   blocked=blocked)
+        mask = np.asarray(region_pool.block_mask(
+            cap, jnp.asarray(n, jnp.int32), blocked))
+        for a, b in zip(dyn, full):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_array_equal(a[mask], b[mask])
+        # every chunk with no occupied slot stays exactly zero
+        est = np.asarray(dyn[0])
+        for c in range(cap // chunk):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            if not mask[sl].any():
+                np.testing.assert_array_equal(est[sl], 0.0)
+
+    def test_workspace_uses_dynamic_path(self):
+        """End-to-end: a Workspace run with cap > chunk converges to the
+        same result whether or not the pool is padded (the dynamic path is
+        exercised whenever bucket capacity exceeds chunk_size)."""
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import genz
+        g = genz.f4_gaussian(3, a=4.0)
+        res = Workspace(3, chunk_size=64).integrate(
+            g, epsrel=1e-6, epsabs=1e-40)
+        assert res.status == 0
+        assert abs(res.estimate - g.true_value) <= max(
+            res.errorest, 1e-6 * abs(g.true_value))
