@@ -89,11 +89,13 @@ def bench_vegas(ndim=6, ncall=1e7, importance="poly"):
 
 
 def bench_time_to_tolerance(ndim=8, epsrel=1e-5):
-    """Warm time-to-tolerance at a certifiable epsrel.  (At 1e-6 the 8D
-    gaussian's conservative null-rule error model needs more than this
-    chip's 16 GB pool budget to CERTIFY convergence even though the actual
-    achieved error is ~2e-9 -- same cap the reference's 16 GB memory model
-    imposes, heuristic_classifier.cuh:89-94.)"""
+    """Warm wall time of a full adaptive run at epsrel.  On the default 8D
+    gaussian the conservative null-rule error model cannot CERTIFY 1e-5
+    within the 16M-region pool budget (the run ends at the budget wall
+    with status 1 -- the same termination the reference's 16 GB memory
+    model imposes, heuristic_classifier.cuh:89-94), so this measures the
+    wall time of a complete budget-bounded adaptive run: 26 iterations,
+    ~73e9 integrand evals, deterministic across runs."""
     g = genz.f4_gaussian(ndim)
     ws = Workspace(ndim)
     res = ws.integrate(g, epsrel=epsrel, epsabs=1e-40)  # warm/compiles

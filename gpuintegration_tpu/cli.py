@@ -35,17 +35,27 @@ def _resolve_integrand(name: str, ndim: int):
         "addition": misc.addition,
         "oscillatory": misc.oscillatory,
     }
-    if name == "gauss9d":
-        g, vol = misc.gauss9d()
-        return g, 9, g.true_value, vol
+    fixed_dim = {
+        "abs_cos_sum_5d": lambda: (misc.abs_cos_sum_5d(), None),
+        "genz_1abs_5d": lambda: (misc.abs_cos_sum_5d(normalized=True), None),
+        "cos_sum_plus1_5d": lambda: (misc.cos_sum_plus1_5d(), None),
+        "fun6": lambda: (misc.fun6(), None),
+        "xyz": lambda: (misc.xyz(), None),
+        "diagonal_ridge_2d": lambda: misc.diagonal_ridge_2d(),
+        "gauss9d": lambda: misc.gauss9d(),
+    }
+    if name in fixed_dim:
+        g, vol = fixed_dim[name]()
+        return g, g.ndim, g.true_value, vol
     if name.startswith("box_"):
         # box_<s> e.g. box_5
         s = float(name.split("_")[1])
         b = misc.box_integral(ndim, s)
         return b, ndim, b.true_value, None
     if name not in factories:
-        raise SystemExit(f"unknown integrand {name!r}; choices: "
-                         f"{sorted(factories) + ['gauss9d', 'box_<s>']}")
+        raise SystemExit(
+            f"unknown integrand {name!r}; choices: "
+            f"{sorted(factories) + sorted(fixed_dim) + ['box_<s>']}")
     g = factories[name](ndim)
     return g, g.ndim, g.true_value, None
 

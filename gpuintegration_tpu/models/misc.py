@@ -85,6 +85,76 @@ def gauss9d(sigma: float = 0.01):
     return GenzIntegrand("gauss9d", ndim, f, truth), vol
 
 
+def abs_cos_sum_5d(normalized: bool = False) -> GenzIntegrand:
+    """|cos(4v + 5w + 6x + 7y + 8z)| over the unit 5-cube (reference:
+    cuda/pagani/demos/function.cuh:83-91 absCosSum5DWithoutK;
+    genz_1abs_5d.cuh:14-23 is the same integrand scaled by 1/0.6371054).
+    No closed form; the reference's stated estimate is 0.6371054."""
+    truth = 0.6371054
+    norm = 1.0 / truth if normalized else 1.0
+
+    def f(x):
+        w = jnp.array([4.0, 5.0, 6.0, 7.0, 8.0])
+        return norm * jnp.abs(jnp.cos(jnp.sum(w * x, axis=-1)))
+
+    name = "genz_1abs_5d" if normalized else "abs_cos_sum_5d"
+    return GenzIntegrand(name, 5, f, 1.0 if normalized else truth)
+
+
+def cos_sum_plus1_5d() -> GenzIntegrand:
+    """cos(4v + 5w + 6x + 7y + 8z) + 1 over the unit 5-cube (reference:
+    function.cuh:93-101 absCosSum5DWithoutKPlus1).  Exact truth:
+    Re prod_j (e^{i a_j} - 1)/(i a_j) + 1."""
+    a = np.array([4.0, 5.0, 6.0, 7.0, 8.0])
+    z = np.prod((np.exp(1j * a) - 1.0) / (1j * a))
+    truth = float(z.real) + 1.0
+
+    def f(x):
+        w = jnp.array([4.0, 5.0, 6.0, 7.0, 8.0])
+        return jnp.cos(jnp.sum(w * x, axis=-1)) + 1.0
+
+    return GenzIntegrand("cos_sum_plus1_5d", 5, f, truth)
+
+
+def diagonal_ridge_2d():
+    """4k u^2 / (0.01 + (u - v - 1/3)^2) over [-1,1]^2, a narrow diagonal
+    ridge; k chosen so the integral is 1 (reference:
+    cuda/pagani/demos/diagonalRidge2D.cu:10-25).
+
+    Returns (integrand, Volume)."""
+    k = 0.01890022674239546529975841
+
+    def f(x):
+        u, v = x[..., 0], x[..., 1]
+        return 4.0 * k * u * u / (0.01 + (u - v - 1.0 / 3.0) ** 2)
+
+    vol = Volume(lows=[-1.0, -1.0], highs=[1.0, 1.0])
+    return GenzIntegrand("diagonal_ridge_2d", 2, f, 1.0), vol
+
+
+def fun6() -> GenzIntegrand:
+    """fun6(u,v,w,x,y,z) = N (uv + w^y x y / (1+u) + z^2), normalised to
+    integrate to 1 over the unit 6-cube (reference:
+    cuda/pagani/demos/fun6.cuh:9-17, normalization from Mathematica)."""
+    norm = 12.0 / (7.0 - 6.0 * math.log(2.0) ** 2 + math.log(64.0))
+
+    def f(x):
+        u, v, w, xx, y, z = (x[..., i] for i in range(6))
+        return norm * (u * v + (w ** y) * xx * y / (1.0 + u) + z * z)
+
+    return GenzIntegrand("fun6", 6, f, 1.0)
+
+
+def xyz() -> GenzIntegrand:
+    """x*y*z over the unit cube, truth 1/8 (reference:
+    cuda/pagani/demos/XYZ.cu:9-23)."""
+
+    def f(x):
+        return jnp.prod(x, axis=-1)
+
+    return GenzIntegrand("xyz", 3, f, 0.125)
+
+
 def box_integral(ndim: int, s: float) -> GenzIntegrand:
     """Box integral B_n(s) = integral of (sum x_i^2)^(s/2) over [0,1]^n
     (reference: test/cuda/pagani/BoxIntegrals.cu:16-51 uses n=6, s in

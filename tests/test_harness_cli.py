@@ -70,3 +70,63 @@ class TestCLI:
         from gpuintegration_tpu.cli import main
         with pytest.raises(SystemExit):
             main(["pagani", "--integrand", "nope"])
+
+
+class TestDemoIntegrands:
+    """The remaining reference-demo integrand families (fixed-dimension
+    demos: cuda/pagani/demos/{absCosSum5D,XYZ,fun6,diagonalRidge2D}.cu,
+    genz_1abs_5d.cuh) converge to their stated truths."""
+
+    def test_xyz(self):
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import misc
+        g = misc.xyz()
+        r = Workspace(3, chunk_size=1024).integrate(
+            g, epsrel=1e-6, epsabs=1e-40)
+        assert r.status == 0
+        assert abs(r.estimate - 0.125) < 1e-6 * 0.125
+
+    def test_fun6(self):
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import misc
+        g = misc.fun6()
+        r = Workspace(6, chunk_size=1024).integrate(
+            g, epsrel=1e-4, epsabs=1e-40)
+        assert r.status == 0
+        assert abs(r.estimate - 1.0) < 1e-4
+
+    def test_cos_sum_plus1_truth_is_exact(self):
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import misc
+        g = misc.cos_sum_plus1_5d()
+        r = Workspace(5, chunk_size=1024).integrate(
+            g, epsrel=1e-5, epsabs=1e-40)
+        assert r.status == 0
+        assert abs(r.estimate - g.true_value) < 1e-5 * abs(g.true_value)
+
+    def test_diagonal_ridge(self):
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import misc
+        g, vol = misc.diagonal_ridge_2d()
+        r = Workspace(2, chunk_size=1024).integrate(
+            g, epsrel=1e-4, epsabs=1e-40, vol=vol)
+        assert r.status == 0
+        assert abs(r.estimate - 1.0) < 5e-4  # k constant is itself ~8-digit
+
+    def test_abs_cos_sum_variants_scale(self):
+        # genz_1abs_5d is abs_cos_sum_5d / 0.6371054 by construction
+        from gpuintegration_tpu.models import misc
+        import jax.numpy as jnp
+        import numpy as np
+        g = misc.abs_cos_sum_5d()
+        gn = misc.abs_cos_sum_5d(normalized=True)
+        x = jnp.asarray(np.random.default_rng(0).random((32, 5)))
+        np.testing.assert_allclose(
+            np.asarray(g.f(x)) / 0.6371054, np.asarray(gn.f(x)), rtol=1e-12)
+
+    def test_cli_fixed_dim_integrands(self, capsys):
+        from gpuintegration_tpu.cli import main
+        rc = main(["pagani", "--integrand", "xyz", "--epsrel", "1e-3",
+                   "--runs", "1"])
+        assert rc == 0
+        assert capsys.readouterr().out.startswith(timing.PAGANI_CSV_HEADER)
