@@ -107,7 +107,8 @@ def _decode_cube(cube_id, ng: int, ndim: int):
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
-                     "nbins", "accumulate_hist", "dtype_name"))
+                     "nbins", "accumulate_hist", "dtype_name",
+                     "eval_dtype_name"))
 def _vegas_iteration(
     f,
     ndim: int,
@@ -125,14 +126,24 @@ def _vegas_iteration(
     xjac,         # scalar: prod(dx)/calls
     ncubes,       # traced: true number of cubes (cube axis is padded)
     cube_offset=0,  # traced: first cube id owned by this shard
+    *,
+    eval_dtype_name: str | None = None,
 ):
     """One full VEGAS iteration on device.
 
     Returns (ti, tsi_raw, d) where d is the (ndim, nbins) f^2 histogram
     (zeros when accumulate_hist=False) and tsi_raw must still be scaled by
     dv2g on the host (vegasT.cuh:849-851).
+
+    ``eval_dtype_name``: dtype the integrand is EVALUATED in (accumulators
+    always stay in ``dtype_name``).  Sample coordinates are already
+    f32-granular (rc below is f32), so evaluating f in f32 only adds the
+    integrand's internal ~6e-8 relative rounding per sample -- far below
+    Monte-Carlo noise at any epsrel this method can reach -- while
+    skipping the 5x-emulated f64 transcendentals on TPU.
     """
     dtype = jnp.dtype(dtype_name)
+    ed = jnp.dtype(eval_dtype_name) if eval_dtype_name else dtype
     # Sampling machinery runs in f32: the estimator is unbiased as long as
     # the coordinates and the importance weight derive from the SAME table
     # values, whatever their precision -- and f32 gathers/randoms are
@@ -180,8 +191,15 @@ def _vegas_iteration(
         edge_hi = jnp.stack(hi_rows, axis=-1)
         xo = edge_hi - edge_lo                          # bin width
         rc = edge_lo + (xn - ia.astype(f32)) * xo
-        x = (regn_lo + rc.astype(dtype) * dx)           # (C, npg, ndim)
-        wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
+        if ed == dtype:
+            x = (regn_lo + rc.astype(dtype) * dx)       # (C, npg, ndim)
+            wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
+        else:
+            # f32 eval path: point arithmetic and the importance-weight
+            # product stay in f32 (rc is f32-granular either way); only
+            # the per-cube/global accumulation below is in ``dtype``.
+            x = (regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed))
+            wgt = xjac * jnp.prod(xo * xnd32, axis=-1).astype(dtype)
 
         fx = f(x).astype(dtype) * wgt                   # (C, npg)
         fx = jnp.where(valid[:, None], fx, 0.0)
@@ -218,7 +236,8 @@ def _vegas_iteration(
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
-                     "nbins", "accumulate_hist", "dtype_name"))
+                     "nbins", "accumulate_hist", "dtype_name",
+                     "eval_dtype_name"))
 def _vegas_iteration_poly(
     f,
     ndim: int,
@@ -230,21 +249,25 @@ def _vegas_iteration_poly(
     accumulate_hist: bool,
     dtype_name: str,
     key,
-    p_coeffs,     # (ndim, kp) f32: importance map P per dim, Horner order
-    dp_coeffs,    # (ndim, kd) f32: P' per dim
+    p_coeffs,     # (ndim, kp) f32: importance map P per dim, Cheb series
+    q_coeffs,     # (ndim, kq) f32: q per dim; P' = q^2
     regn_lo,      # (ndim,)
     dx,           # (ndim,)
     xjac,         # scalar: prod(dx)/calls
     ncubes,
     cube_offset=0,
+    *,
+    eval_dtype_name: str | None = None,
 ):
     """Gather-free VEGAS iteration: polynomial inverse-CDF sampling
     (mcubes.poly_importance).  Same stratification, accumulators and
     histogram as _vegas_iteration; coordinates and weights come from
-    Horner chains instead of grid lookups."""
+    Horner chains instead of grid lookups.  ``eval_dtype_name`` as in
+    _vegas_iteration (f32 integrand evaluation, ``dtype`` accumulation)."""
     from gpuintegration_tpu.mcubes.poly_importance import (
         eval_map_and_weight)
     dtype = jnp.dtype(dtype_name)
+    ed = jnp.dtype(eval_dtype_name) if eval_dtype_name else dtype
     f32 = jnp.float32
 
     def chunk_body(c, carry):
@@ -258,8 +281,11 @@ def _vegas_iteration_poly(
         ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), f32)
         # stratified position in [0,1): s = (kg - ran)/ng
         s = (kg[:, None, :].astype(f32) - ran) * (1.0 / ng)
-        rc, wgt_imp = eval_map_and_weight(p_coeffs, dp_coeffs, s)
-        x = regn_lo + rc.astype(dtype) * dx
+        rc, wgt_imp = eval_map_and_weight(p_coeffs, q_coeffs, s)
+        if ed == dtype:
+            x = regn_lo + rc.astype(dtype) * dx
+        else:
+            x = regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed)
         wgt = xjac * wgt_imp.astype(dtype)              # (C, npg)
 
         fx = f(x).astype(dtype) * wgt
@@ -291,14 +317,16 @@ def _vegas_iteration_poly(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "importance", "total_iters",
-                     "skip_iters"))
+                     "skip_iters", "eval_dtype_name"))
 def _frozen_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, importance: str, total_iters: int,
     skip_iters: int,
-    base_key, map_a, map_b,   # grid: (xi, unused); poly: (p_coeffs, dp_coeffs)
+    base_key, map_a, map_b,   # grid: (xi, unused); poly: (p_coeffs, q_coeffs)
     regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
     start_it, si0, swgt0, schi0,
+    *,
+    eval_dtype_name: str | None = None,
 ):
     """ALL remaining frozen-grid iterations in ONE dispatch.
 
@@ -325,11 +353,13 @@ def _frozen_phase(
         if importance == "poly":
             ti, tsi, _ = _vegas_iteration_poly(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
-                dtype_name, key, map_a, map_b, regn_lo, dx, xjac, ncubes)
+                dtype_name, key, map_a, map_b, regn_lo, dx, xjac, ncubes,
+                eval_dtype_name=eval_dtype_name)
         else:
             ti, tsi, _ = _vegas_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
-                dtype_name, key, map_a, regn_lo, dx, xjac, ncubes)
+                dtype_name, key, map_a, regn_lo, dx, xjac, ncubes,
+                eval_dtype_name=eval_dtype_name)
         tsi = tsi * dv2g
         wgt = 1.0 / jnp.maximum(tsi, tiny)
         acc = it > skip_iters
@@ -379,6 +409,7 @@ def vegas(
     debug_logger=None,
     importance: str = "grid",
     poly_degree: int = 14,
+    eval_dtype=None,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -389,11 +420,20 @@ def vegas(
     (mcubes.poly_importance) -- typically >10x faster on TPU, identical
     statistics (unbiased for any monotone map), marginally less optimal
     variance on extremely peaked integrands.
+
+    ``eval_dtype``: dtype the integrand is EVALUATED in (default: same as
+    ``dtype``).  ``eval_dtype=jnp.float32`` skips TPU f64 emulation in the
+    integrand while keeping all accumulators and the weighted combination
+    in ``dtype`` -- the f32 rounding (~6e-8 relative per sample, and the
+    sample coordinates are f32-granular on both paths) is far below MC
+    noise at any practical epsrel; avoid it only when pushing epsrel
+    toward 1e-7.
     """
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
         vol = Volume(ndim=ndim)
     dtype = jnp.dtype(dtype)
+    ed_name = jnp.dtype(eval_dtype).name if eval_dtype is not None else None
 
     ng, ncubes = compute_ncubes(ncall, ndim)
     npg = samples_per_cube(ncall, ncubes)
@@ -450,7 +490,8 @@ def vegas(
                 jnp.asarray(dv2g, dtype), jnp.asarray(epsrel, dtype),
                 jnp.asarray(epsabs, dtype),
                 jnp.asarray(it, jnp.int32), jnp.asarray(si, dtype),
-                jnp.asarray(swgt, dtype), jnp.asarray(schi, dtype))
+                jnp.asarray(swgt, dtype), jnp.asarray(schi, dtype),
+                eval_dtype_name=ed_name)
             out = np.asarray(jnp.stack([
                 it_d.astype(dtype), si_d, swgt_d, schi_d,
                 done_d.astype(dtype)]))
@@ -478,11 +519,12 @@ def vegas(
                 dtype.name, key,
                 jnp.asarray(p_np, jnp.float32),
                 jnp.asarray(dp_np, jnp.float32),
-                regn_lo, dx, xjac_d, ncubes_d)
+                regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name)
         else:
             ti_d, tsi_d, d = _vegas_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
-                dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d)
+                dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d,
+                eval_dtype_name=ed_name)
         if adjusting:
             # grid refinement on host in exact f64, like the reference's
             # per-iteration xi/d round trip (vegasT.cuh:797-927); ~32 KB.

@@ -80,11 +80,13 @@ def sharded_reductions(mesh, est, refined, active):
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes",
                      "num_chunks_per_dev", "nbins", "accumulate_hist",
-                     "dtype_name", "mesh"))
+                     "dtype_name", "mesh", "eval_dtype_name"))
 def sharded_vegas_iteration(
     f, ndim, ng, npg, chunk_cubes, num_chunks_per_dev, nbins,
     accumulate_hist, dtype_name, mesh,
     key, xi, regn_lo, dx, xjac, ncubes,
+    *,
+    eval_dtype_name=None,
 ):
     """One VEGAS iteration with the sub-cube lattice split across the mesh.
 
@@ -103,7 +105,8 @@ def sharded_vegas_iteration(
         ti, tsi, d = V._vegas_iteration.__wrapped__(
             f, ndim, ng, npg, chunk_cubes, num_chunks_per_dev, nbins,
             accumulate_hist, dtype_name,
-            dev_key, xi, regn_lo, dx, xjac, ncubes, offset)
+            dev_key, xi, regn_lo, dx, xjac, ncubes, offset,
+            eval_dtype_name=eval_dtype_name)
         ti = jax.lax.psum(ti, REGION_AXIS)
         tsi = jax.lax.psum(tsi, REGION_AXIS)
         d = jax.lax.psum(d, REGION_AXIS)
@@ -121,7 +124,7 @@ def sharded_vegas_iteration(
 def vegas_sharded(
     integrand, epsrel=1e-3, epsabs=1e-12, ncall=1e6, vol=None, *,
     mesh: Mesh, ndim=None, total_iters=15, adjust_iters=15, skip_iters=5,
-    seed=0, dtype=jnp.float64, nbins=None,
+    seed=0, dtype=jnp.float64, nbins=None, eval_dtype=None,
 ):
     """Multi-chip m-CUBES driver: same control flow as mcubes.vegas.vegas
     but with each iteration's sampling spread over the mesh.
@@ -142,6 +145,7 @@ def vegas_sharded(
     if vol is None:
         vol = Volume(ndim=ndim)
     dtype = jnp.dtype(dtype)
+    ed_name = jnp.dtype(eval_dtype).name if eval_dtype is not None else None
     nbins = nbins or vgrid.NDMX
 
     ng, ncubes = V.compute_ncubes(ncall, ndim)
@@ -172,7 +176,8 @@ def vegas_sharded(
         key = jax.random.fold_in(base_key, it)
         ti_d, tsi_d, d = sharded_vegas_iteration(
             f, ndim, ng, npg, chunk, num_chunks_per_dev, nbins, adjusting,
-            dtype.name, mesh, key, xi, regn_lo, dx, xjac_d, ncubes_d)
+            dtype.name, mesh, key, xi, regn_lo, dx, xjac_d, ncubes_d,
+            eval_dtype_name=ed_name)
         if adjusting:
             xi = jnp.asarray(vgrid.smooth_and_refine(xi, d), dtype)
         out = np.asarray(jnp.stack([ti_d, tsi_d]))

@@ -13,13 +13,13 @@ from gpuintegration_tpu.models import genz
 
 def test_uniform_grid_fits_identity():
     xi = np.asarray(vgrid.uniform_grid(3, 100))
-    p, dp = fit_importance_poly(xi, 10)
+    p, q = fit_importance_poly(xi, 10)
     s = np.linspace(0, 1, 41)
     t = 2 * s - 1
     for d in range(3):
         fitted = np.polynomial.chebyshev.chebval(t, p[d])
         np.testing.assert_allclose(fitted, s, atol=1e-12)
-        deriv = np.polynomial.chebyshev.chebval(t, dp[d])
+        deriv = np.polynomial.chebyshev.chebval(t, q[d]) ** 2  # P' = q^2
         np.testing.assert_allclose(deriv, 1.0, atol=1e-12)
 
 
@@ -30,11 +30,11 @@ def test_map_endpoints_and_monotonicity():
     edges = np.cumsum(np.concatenate([[0], rng.random(200) ** 4 + 1e-4]))
     edges /= edges[-1]
     xi = edges[None, :]
-    p, dp = fit_importance_poly(xi, 14)
+    p, q = fit_importance_poly(xi, 14)
     s = np.linspace(0, 1, 1001)
     t = 2 * s - 1
     P = np.polynomial.chebyshev.chebval(t, p[0])
-    dP = np.polynomial.chebyshev.chebval(t, dp[0])
+    dP = np.polynomial.chebyshev.chebval(t, q[0]) ** 2  # P' = q^2
     assert abs(P[0]) < 1e-10 and abs(P[-1] - 1) < 1e-10
     assert (dP >= 0).all()                      # q^2 construction
     assert (np.diff(P) >= -1e-12).all()
@@ -58,11 +58,11 @@ def test_weight_is_map_derivative():
     edges = np.cumsum(np.concatenate([[0], rng.random(100) + 0.1]))
     edges /= edges[-1]
     xi = np.stack([edges, np.linspace(0, 1, 101)])
-    p, dp = fit_importance_poly(xi, 12)
+    p, q = fit_importance_poly(xi, 12)
     s = np.linspace(0, 1, 20001)
     grid = np.stack([s, s], axis=-1)
     coords, w = eval_map_and_weight(
-        jnp.asarray(p), jnp.asarray(dp), jnp.asarray(grid))
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(grid))
     mean_w = float(np.trapezoid(np.asarray(w), s))
     assert mean_w == pytest.approx(1.0, abs=2e-3)
 

@@ -211,3 +211,59 @@ class TestVegasIntegration:
                               total_iters=12, adjust_iters=8, skip_iters=8,
                               seed=9)
         assert r_adapt.errorest < r_flat.errorest
+
+
+class TestEvalDtype:
+    """eval_dtype=float32: integrand evaluated in f32, accumulators in f64.
+    The f32 rounding is far below MC noise, so results must agree with the
+    f64-eval run within combined statistical error and stay deterministic."""
+
+    @pytest.mark.parametrize("importance", ["grid", "poly"])
+    def test_converges_and_agrees_with_f64(self, importance):
+        import jax.numpy as jnp
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=5e-3, ncall=5e4, total_iters=12, adjust_iters=8,
+                  seed=1, importance=importance)
+        r32 = V.integrate(g, eval_dtype=jnp.float32, **kw)
+        r64 = V.integrate(g, **kw)
+        assert r32.status == 0
+        assert abs(r32.estimate - g.true_value) / g.true_value < 2e-2
+        # statistical agreement: identical streams, only f(x) rounding
+        tol = 3.0 * max(r32.errorest, r64.errorest)
+        assert abs(r32.estimate - r64.estimate) < max(tol, 1e-6)
+
+    def test_deterministic(self):
+        import jax.numpy as jnp
+        g = genz.f4_gaussian(2, a=3.0)
+        kw = dict(ncall=1e4, total_iters=6, adjust_iters=4, seed=42,
+                  eval_dtype=jnp.float32)
+        r1 = V.integrate(g, **kw)
+        r2 = V.integrate(g, **kw)
+        assert r1.estimate == r2.estimate
+
+    def test_frozen_phase_honors_eval_dtype(self):
+        """Fused frozen phase with eval_dtype must match the per-iteration
+        host loop with the same eval_dtype (debug logger forces the host
+        loop), exactly as the f64 equivalence test does."""
+        import jax.numpy as jnp
+        from gpuintegration_tpu.mcubes.debug import VegasDebugLogger
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=1e-9, epsabs=1e-300, ncall=2e4, total_iters=9,
+                  adjust_iters=4, seed=3, eval_dtype=jnp.float32)
+        fused = V.integrate(g, **kw)
+        host = V.integrate(g, debug_logger=VegasDebugLogger(), **kw)
+        np.testing.assert_allclose(fused.estimate, host.estimate, rtol=1e-12)
+        np.testing.assert_allclose(fused.errorest, host.errorest, rtol=1e-12)
+
+    def test_sharded_accepts_eval_dtype(self, ):
+        import jax
+        import jax.numpy as jnp
+        from gpuintegration_tpu.parallel.mesh import make_mesh
+        from gpuintegration_tpu.parallel.sharded import vegas_sharded
+        mesh = make_mesh(len(jax.devices()))
+        g = genz.f4_gaussian(2, a=3.0)
+        r = vegas_sharded(g, epsrel=5e-3, ncall=2e4, mesh=mesh,
+                          total_iters=10, adjust_iters=6, seed=5,
+                          eval_dtype=jnp.float32)
+        assert r.status == 0
+        assert abs(r.estimate - g.true_value) / g.true_value < 3e-2
