@@ -94,7 +94,9 @@ def abs_cos_sum_5d(normalized: bool = False) -> GenzIntegrand:
     norm = 1.0 / truth if normalized else 1.0
 
     def f(x):
-        w = jnp.array([4.0, 5.0, 6.0, 7.0, 8.0])
+        # weak-typed constants: keep evaluation in x.dtype (a strong f64
+        # array here would silently defeat eval_dtype=float32 sampling)
+        w = jnp.asarray([4.0, 5.0, 6.0, 7.0, 8.0], x.dtype)
         return norm * jnp.abs(jnp.cos(jnp.sum(w * x, axis=-1)))
 
     name = "genz_1abs_5d" if normalized else "abs_cos_sum_5d"
@@ -104,13 +106,11 @@ def abs_cos_sum_5d(normalized: bool = False) -> GenzIntegrand:
 def cos_sum_plus1_5d() -> GenzIntegrand:
     """cos(4v + 5w + 6x + 7y + 8z) + 1 over the unit 5-cube (reference:
     function.cuh:93-101 absCosSum5DWithoutKPlus1).  Exact truth:
-    Re prod_j (e^{i a_j} - 1)/(i a_j) + 1."""
-    a = np.array([4.0, 5.0, 6.0, 7.0, 8.0])
-    z = np.prod((np.exp(1j * a) - 1.0) / (1j * a))
-    truth = float(z.real) + 1.0
+    the Genz-oscillatory closed form plus the unit-cube volume."""
+    truth = _osc_truth(np.array([4.0, 5.0, 6.0, 7.0, 8.0])) + 1.0
 
     def f(x):
-        w = jnp.array([4.0, 5.0, 6.0, 7.0, 8.0])
+        w = jnp.asarray([4.0, 5.0, 6.0, 7.0, 8.0], x.dtype)
         return jnp.cos(jnp.sum(w * x, axis=-1)) + 1.0
 
     return GenzIntegrand("cos_sum_plus1_5d", 5, f, truth)

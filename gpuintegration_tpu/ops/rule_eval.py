@@ -217,7 +217,13 @@ def apply_rule(
     ndim = lows.shape[0]
     num_chunks = cap // chunk_size
 
-    if n is not None and (not blocked or cap >= 2 * chunk_size):
+    # The blocked occupancy predicate below assumes no chunk straddles the
+    # static half boundary (true iff the half is chunk-aligned).  Workspace
+    # pools always satisfy this (power-of-two caps and chunks); a direct
+    # caller violating it falls back to the full-capacity sweep rather than
+    # silently zeroing occupied straddled chunks.
+    half_aligned = (cap // 2) % chunk_size == 0
+    if n is not None and (not blocked or half_aligned):
         # Dynamic trip count: fori over all chunk slots, lax.cond skipping
         # the unoccupied ones.  dynamic_slice/dynamic_update_slice at
         # chunk-aligned offsets are contiguous block copies, NOT the
@@ -229,10 +235,9 @@ def apply_rule(
         def body(i, outs):
             start = i * chunk_size
             if blocked:
-                # cap >= 2*chunk and both are powers of two, so no chunk
-                # straddles the half boundary; chunk i lives in the block
-                # starting at 0 or at half and is occupied iff its offset
-                # within the block is below n//2.
+                # chunk i lives entirely in the block starting at 0 or at
+                # half (half_aligned guarantees no straddle) and is
+                # occupied iff its offset within the block is below n//2.
                 offset_in_block = start % half
                 needed = offset_in_block < (n // 2)
             else:

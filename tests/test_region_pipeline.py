@@ -248,3 +248,30 @@ class TestDynamicTripEval:
         assert res.status == 0
         assert abs(res.estimate - g.true_value) <= max(
             res.errorest, 1e-6 * abs(g.true_value))
+
+    def test_unaligned_blocked_cap_falls_back_safely(self):
+        """A blocked pool whose half is NOT chunk-aligned (impossible via
+        Workspace, possible via direct apply_rule) must not take the
+        chunk-skipping path: a straddling chunk would be mis-skipped and
+        silently zero occupied regions.  The fallback is the full sweep."""
+        from gpuintegration_tpu.ops import rule_eval
+        ndim, cap, chunk, n = 3, 12, 4, 4
+        lows, lengths = self._pool(ndim, cap, seed=3)
+        tables = rule_eval.rule_tables(ndim, "float64")
+
+        def f(x):
+            return jnp.sum(x, axis=-1)
+
+        gl, gr = jnp.zeros(ndim), jnp.ones(ndim)
+        full = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr,
+                                    chunk_size=chunk)
+        dyn = rule_eval.apply_rule(f, tables, lows, lengths, gl, gr,
+                                   chunk_size=chunk,
+                                   n=jnp.asarray(n, jnp.int32), blocked=True)
+        # blocked occupied slots: [0, 2) and [6, 8); all must be computed
+        # (bitwise equal to the static chunked sweep it falls back to)
+        mask = np.asarray(region_pool.block_mask(
+            cap, jnp.asarray(n, jnp.int32), True))
+        for a, b in zip(dyn, full):
+            np.testing.assert_array_equal(
+                np.asarray(a)[mask], np.asarray(b)[mask])
