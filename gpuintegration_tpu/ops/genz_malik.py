@@ -12,8 +12,10 @@ The TPU-native design precomputes everything on the host once per ndim:
 * ``points``      -- (feval, ndim) signed generator abscissae, one row per
                      cubature point, in the canonical ordering required by
                      the fourth-difference bisection-dimension logic
-                     (center first, then the a2- and a3-generator orbits in
-                     (dim ascending, +/-) pair order; see Sample.cuh:194-218).
+                     (center first, then the _A1- and _A2-generator orbits
+                     in (dim ascending, +/-) pair order -- the two orbits
+                     entering the fourth difference, whose ratio is
+                     (_A2/_A1)^2; see Sample.cuh:194-218).
 * ``weights``     -- (feval, 5) per-point weights for the 5 embedded rules,
                      ready for a single (regions x feval) @ (feval x 5) MXU
                      matmul.
@@ -202,9 +204,10 @@ def _orbit_points(ndim: int):
     point list. Returns (points (feval, ndim) float64, set_id (feval,) int).
 
     Ordering contract (required by the fourth-difference logic,
-    Sample.cuh:194-218): index 0 is the center; indices 1..2n are the a2
+    Sample.cuh:194-218): index 0 is the center; indices 1..2n are the _A1
     orbit in (dim 0 +, dim 0 -, dim 1 +, ...) order; indices 2n+1..4n the
-    a3 orbit in the same order.  Orbits 3+ may be in any fixed order.
+    _A2 orbit in the same order (ratio = (_A2/_A1)^2 in rule_eval).
+    Orbits 3+ may be in any fixed order.
     """
     n = ndim
     pts: list[np.ndarray] = []

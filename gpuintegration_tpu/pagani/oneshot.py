@@ -46,9 +46,22 @@ def apply_cubature_rules(
     lows = jnp.asarray(lows, dtype)
     lengths = jnp.asarray(lengths, dtype)
     if ndim is None:
-        if lows.shape[0] == lows.shape[1]:
+        # Prefer the integrand's arity (unambiguous); a shape heuristic
+        # like min(shape) silently mis-orients e.g. 3 regions in 5-D.
+        from gpuintegration_tpu.integrand import _positional_arity
+        arity = _positional_arity(integrand)
+        if arity is not None and arity > 1:
+            ndim = arity
+        elif getattr(integrand, "ndim", None) is not None:
+            ndim = int(integrand.ndim)
+        elif lows.shape[0] == lows.shape[1]:
             raise ValueError("square region array: pass ndim explicitly")
-        ndim = int(min(lows.shape))
+        else:
+            ndim = int(lows.shape[1])  # user convention: (n, ndim)
+    if ndim not in lows.shape:
+        raise ValueError(
+            f"region array shape {tuple(lows.shape)} has no axis of "
+            f"length ndim={ndim}")
     if lows.shape[0] != ndim:        # region-major input -> dims-major
         lows = lows.T
         lengths = lengths.T

@@ -63,15 +63,3 @@ def refine_error(
         finished = jnp.zeros_like(refined, dtype=bool)
     active = jnp.where(mask & ~finished, 1.0, 0.0).astype(estimates.dtype)
     return refined, active
-
-
-def first_iteration_active(estimates, errorests, n, epsrel,
-                           relerr_classification: bool = True):
-    """Active flags when no parents exist yet (iteration 0): the reference
-    skips RefineError entirely and leaves all regions active
-    (hybrid.cuh:26-28 returns early; active was pre-set to 1 in
-    PaganiUtils.cuh:310-311)."""
-    cap = estimates.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    mask = ids < n
-    return jnp.where(mask, 1.0, 0.0).astype(estimates.dtype)

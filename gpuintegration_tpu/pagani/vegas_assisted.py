@@ -12,9 +12,14 @@ adapted over a few passes.
 
 TPU design notes: the per-region grids and their refinement run on device
 in f32 (grid coordinates steer sampling only -- estimates accumulate in
-the workspace dtype), because f64 cumsum/gather emulation on TPU carries
-pathological compile cost.  Bin histograms use deterministic segment-sums
-instead of the reference's shared-memory atomics (Sample.cuh:438-440).
+the workspace dtype).  There are NO dynamic gathers, scatters, sorts or
+searchsorted on region-sized arrays anywhere (the CLAUDE.md invariant;
+they serialize or blow up compile time on TPU): bin-edge lookups and the
+per-(region, dim) histogram are fused one-hot contractions (the
+vegas._onehot_hist pattern), and the per-region grid rebin replaces
+searchsorted with a compare-count and its gathers with one one-hot
+matmul over stacked operands.  The reference's shared-memory atomics
+(Sample.cuh:438-440) are likewise gone.
 """
 from __future__ import annotations
 
@@ -23,11 +28,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
+_HIGH = jax.lax.Precision.HIGHEST
+
 
 def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     """Batched per-region grid refinement: 3-bin smoothing + log-damped
     rebin (the device-side rebin of Sample.cuh:299-326, 483-523),
-    vectorised over (R, ndim) in f32."""
+    vectorised over (R, ndim) in f32, scatter/gather/sort-free."""
     nb = hist.shape[-1]
     left = jnp.concatenate([hist[..., :1], hist[..., :-1]], axis=-1)
     right = jnp.concatenate([hist[..., 1:], hist[..., -1:]], axis=-1)
@@ -45,20 +52,29 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     targets = (jnp.arange(1, nb, dtype=grids.dtype)
                * (total / nb))                         # (R, ndim, nb-1)
 
-    def row_rebin(row_cum, row_targets, row_grid, row_r):
-        k = jnp.searchsorted(row_cum, row_targets, side="left",
-                             method="sort")
-        k = jnp.clip(k, 0, nb - 1)
-        dr = row_cum[k] - row_targets
-        xo = row_grid[k]
-        xn = row_grid[k + 1]
-        rk = jnp.where(row_r[k] > 0, row_r[k], 1.0)
-        inner = xn - (xn - xo) * dr / rk
-        return jnp.concatenate([jnp.zeros((1,), row_grid.dtype), inner,
-                                jnp.ones((1,), row_grid.dtype)])
+    # searchsorted(left) == count of cum entries < target; the compare
+    # fuses into the reduction (no (.., nb-1, nb) array resident)
+    k = jnp.sum(
+        (cum[..., None, :] < targets[..., :, None]).astype(jnp.int32),
+        axis=-1)                                       # (R, ndim, nb-1)
+    k = jnp.clip(k, 0, nb - 1)
 
-    rebin = jax.vmap(jax.vmap(row_rebin))
-    refined = rebin(cum, targets, grids, r)
+    # one one-hot contraction gathers all four per-k operands at once:
+    # stack [cum, r, grid[k], grid[k+1]] -> (R, ndim, nb, 4)
+    vals = jnp.stack(
+        [cum, r, grids[..., :nb], grids[..., 1:nb + 1]], axis=-1)
+    ohk = (k[..., None]
+           == jnp.arange(nb, dtype=jnp.int32)).astype(grids.dtype)
+    picked = jnp.einsum('rdjb,rdbe->rdje', ohk, vals,
+                        precision=_HIGH)               # (R, ndim, nb-1, 4)
+    cum_k, r_k, xo, xn = (picked[..., 0], picked[..., 1],
+                          picked[..., 2], picked[..., 3])
+    dr = cum_k - targets
+    rk = jnp.where(r_k > 0, r_k, 1.0)
+    inner = xn - (xn - xo) * dr / rk                   # (R, ndim, nb-1)
+    refined = jnp.concatenate(
+        [jnp.zeros(inner.shape[:-1] + (1,), grids.dtype), inner,
+         jnp.ones(inner.shape[:-1] + (1,), grids.dtype)], axis=-1)
     return jnp.where(dt > 0, refined, grids)
 
 
@@ -85,29 +101,41 @@ def vegas_assisted_estimates(
     vegasT-style, without its 64-thread block constant folded in).
     """
     dtype = jnp.dtype(dtype_name)
+    f32 = jnp.float32
     R = lows.shape[1]
     jac = jnp.prod(global_range).astype(dtype)
     vol = jnp.prod(lengths, axis=0).astype(dtype)      # unit region volume
 
     grids0 = jnp.broadcast_to(
-        jnp.linspace(0.0, 1.0, nbins + 1, dtype=jnp.float32),
+        jnp.linspace(0.0, 1.0, nbins + 1, dtype=f32),
         (R, ndim, nbins + 1))
+    bins_ax = jnp.arange(nbins, dtype=jnp.int32)
 
     def one_pass(p, carry):
         grids, sum_wf, sum_wf2, count = carry
         pk = jax.random.fold_in(key, p)
-        u_bin = jax.random.uniform(pk, (R, spp, ndim), jnp.float32)
+        u_bin = jax.random.uniform(pk, (R, spp, ndim), f32)
         pk2 = jax.random.fold_in(pk, 1)
-        u_pos = jax.random.uniform(pk2, (R, spp, ndim), jnp.float32)
+        u_pos = jax.random.uniform(pk2, (R, spp, ndim), f32)
 
         bins = jnp.clip((u_bin * nbins).astype(jnp.int32), 0, nbins - 1)
-        reg_ids = jnp.arange(R)[:, None, None]
-        dim_ids = jnp.arange(ndim)[None, None, :]
-        lo_edge = grids[reg_ids, dim_ids, bins]
-        hi_edge = grids[reg_ids, dim_ids, bins + 1]
-        width = hi_edge - lo_edge
-        u = lo_edge + u_pos * width                     # region-unit coords
-        w = jnp.prod((width * nbins).astype(dtype), axis=-1)  # (R, spp)
+
+        # Bin-edge lookup per dim as a fused one-hot batched matmul
+        # against the stacked (left-edge, width) table -- no gathers.
+        u_planes, wprod = [], None
+        for d in range(ndim):
+            tbl = jnp.stack([grids[:, d, :nbins],
+                             grids[:, d, 1:] - grids[:, d, :nbins]],
+                            axis=-1)                   # (R, nb, 2)
+            oh = (bins[..., d][..., None] == bins_ax).astype(f32)
+            e = jnp.einsum('rsb,rbe->rse', oh, tbl,
+                           precision=_HIGH)            # (R, spp, 2)
+            lo_d, wid_d = e[..., 0], e[..., 1]
+            u_planes.append(lo_d + u_pos[..., d] * wid_d)
+            w_d = (wid_d * nbins).astype(dtype)
+            wprod = w_d if wprod is None else wprod * w_d
+        u = jnp.stack(u_planes, axis=-1)               # (R, spp, ndim)
+        w = wprod                                       # (R, spp)
 
         x = (global_lo
              + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
@@ -119,13 +147,16 @@ def vegas_assisted_estimates(
         sum_wf2 = sum_wf2 + jnp.sum(wf * wf, axis=1)
         count = count + spp
 
-        # per-(region, dim) f^2 histogram -> grid refinement
-        f2 = (wf * wf).astype(jnp.float32)
-        seg = (reg_ids * ndim + dim_ids) * nbins + bins  # (R, spp, ndim)
-        contrib = jnp.broadcast_to(f2[..., None], seg.shape)
-        hist = jax.ops.segment_sum(
-            contrib.reshape(-1), seg.reshape(-1),
-            num_segments=R * ndim * nbins).reshape(R, ndim, nbins)
+        # per-(region, dim) f^2 histogram, scatter-free: one fused
+        # one-hot contraction per dim (vegas._onehot_hist pattern; the
+        # previous segment_sum version also overflowed its int32 segment
+        # ids at R*ndim*nbins > 2^31)
+        f2 = (wf * wf).astype(f32)
+        hist = jnp.stack(
+            [jnp.einsum('rs,rsb->rb', f2,
+                        (bins[..., d][..., None] == bins_ax).astype(f32),
+                        precision=_HIGH)
+             for d in range(ndim)], axis=1)             # (R, ndim, nb)
         grids = _refine_grids(grids, hist)
         return grids, sum_wf, sum_wf2, count
 

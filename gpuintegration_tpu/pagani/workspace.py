@@ -181,7 +181,11 @@ class Workspace:
             chunk_size = max(min(
                 region_pool.next_pow2(chunk_budget_bytes // per_region) // 2,
                 16384), 1024)
-        self.chunk_size = chunk_size
+        # Pool capacities are powers of two; a non-power-of-two chunk would
+        # fail the cap % chunk divisibility check in apply_rule and silently
+        # fall back to ONE unchunked full-pool eval (unbounded (cap, feval)
+        # intermediate).  Round up so chunking always engages.
+        self.chunk_size = region_pool.next_pow2(chunk_size)
 
     def _shard(self, *arrays):
         """Place pool arrays with the region-axis sharding (mesh mode)."""
@@ -333,10 +337,17 @@ class Workspace:
                 effective_relerr, blocked, est_raw, err_raw, n_dev,
                 parent_est, use_refine, eps_dev)
             if predict_split and result_nregions == 0 and it == 15:
-                # pool snapshot (Workspace.cuh:244-248)
-                self.last_snapshot = (lows, lengths, n)
+                # pool snapshot (Workspace.cuh:244-248); carries the layout
+                # flag -- blocked pools keep real slots in the first n/2 of
+                # each static half, NOT [0, n) (region_pool.block_mask)
+                self.last_snapshot = (lows, lengths, n, blocked)
             # live pool reference for checkpointing (utils.checkpoint)
             self.final_pool = (lows, lengths, n, blocked)
+            # cumulative ledger EXCLUDING this sweep: resuming from
+            # final_pool re-evaluates the pool, so the resumable ledger must
+            # not contain its latest contribution (see make_checkpoint)
+            self._ledger_excl_pool = (cum.estimate, cum.errorest,
+                                      result_nregions, cum.iters)
             # single D2H sync per iteration
             scalars = np.asarray(scalars_d)
             iter_est, iter_err, finished_est, finished_err = (
@@ -387,8 +398,12 @@ class Workspace:
                     finished_est = iter_est - float(_dot(active, est))
                     finished_err = hs.finished_errorest
                     n_active = hs.num_active
-                must_terminate = ((not success and classification_necessary)
-                                  or hs.num_active == 0)
+                # Terminate only when classification is BOTH necessary and
+                # failed (Workspace.cuh:76-118).  A failed ladder reports
+                # num_active=0, which must not read as "all finished" --
+                # the all-finished case (success with zero survivors) flows
+                # into the n_active==0 exit below with correct accounting.
+                must_terminate = not success and classification_necessary
             else:
                 must_terminate = classification_necessary
 
@@ -440,13 +455,20 @@ class Workspace:
         cum.nregions = result_nregions + n
         return cum
 
-    def make_checkpoint(self, result: IntegrationResult):
+    def make_checkpoint(self, result: IntegrationResult = None):
         """Package the last run's live pool + ledger into a resumable
-        checkpoint (utils.checkpoint.PaganiCheckpoint).  Resume with
+        checkpoint (utils.checkpoint.PaganiCheckpoint).
+
+        The stored ledger EXCLUDES the final pool's own sweep (every exit
+        path of integrate() folds that sweep into ``result``, and resuming
+        re-evaluates the same pool -- storing ``result.estimate`` would
+        double-count it).  Resume with
         ``integrate(..., initial_regions=(ckpt.lows, ckpt.lengths))`` and
-        add ``ckpt.estimate/errorest`` to the result."""
+        add ``ckpt.estimate``/``ckpt.errorest`` to the resumed result for
+        the complete integral."""
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
         lows, lengths, n, blocked = self.final_pool
+        est, err, nregions, iters = self._ledger_excl_pool
         lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
         if blocked:
             # real regions fill the first n/2 slots of each static half
@@ -458,5 +480,4 @@ class Workspace:
             lo_np, ln_np = lo_np[:, :n], ln_np[:, :n]
         return PaganiCheckpoint(
             lows=lo_np.T, lengths=ln_np.T,
-            estimate=result.estimate, errorest=result.errorest,
-            nregions=result.nregions, iters=result.iters)
+            estimate=est, errorest=err, nregions=nregions, iters=iters)

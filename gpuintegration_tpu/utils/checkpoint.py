@@ -30,8 +30,9 @@ class PaganiCheckpoint:
 
     lows: np.ndarray          # (n, ndim) active regions, unit space
     lengths: np.ndarray       # (n, ndim)
-    estimate: float           # cumulative finished estimate
-    errorest: float
+    estimate: float           # cumulative ledger EXCLUDING the saved
+    errorest: float           #   pool's own sweep (resume re-evaluates it:
+                              #   total = ckpt.estimate + resumed.estimate)
     nregions: int
     iters: int
 

@@ -94,8 +94,9 @@ class TestPredictSplit:
         ws.integrate(g, epsrel=1e-14, epsabs=1e-300, predict_split=True,
                      max_iterations=17, partitions_per_axis=2)
         assert hasattr(ws, "last_snapshot")
-        lows, lengths, n = ws.last_snapshot
+        lows, lengths, n, blocked = ws.last_snapshot
         assert lows.shape[0] == 3 and n > 0  # dims-major pool
+        assert blocked  # post-split pools use the blocked half layout
 
 
 class TestVegasAssisted:
