@@ -110,7 +110,8 @@ def main(argv=None):
         print(timing.PAGANI_CSV_HEADER)
         achieved = timing.epsrel_ladder(
             args.integrand, g, truth, sys.stdout, start=args.epsrel,
-            floor=args.floor, ndim=ndim, runs_per_epsrel=args.runs)
+            floor=args.floor, ndim=ndim, runs_per_epsrel=args.runs,
+            vol=vol, epsabs=args.epsabs)
         print(f"# achieved epsrel: {achieved}")
         return 0
     if args.cmd == "profile":

@@ -30,7 +30,11 @@ _WRAPPER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _positional_arity(f: Callable) -> int | None:
-    """Count positional parameters; None when not introspectable/variadic."""
+    """Count REQUIRED positional parameters; None when not
+    introspectable/variadic.  Parameters with defaults are configuration
+    (e.g. ``lambda x, sigma=0.1: ...``), not integration axes -- counting
+    them would feed a coordinate into the knob and integrate the wrong
+    function."""
     try:
         target = f if inspect.isfunction(f) or inspect.ismethod(f) else f.__call__
         sig = inspect.signature(target)
@@ -39,7 +43,8 @@ def _positional_arity(f: Callable) -> int | None:
     count = 0
     for p in sig.parameters.values():
         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
-            count += 1
+            if p.default is inspect.Parameter.empty:
+                count += 1
         elif p.kind == p.VAR_POSITIONAL:
             return None
     return count
@@ -52,6 +57,15 @@ def make_integrand(f: Callable, ndim: int | None = None) -> tuple[Callable, int]
     arity.hh:36-75 parity); scalar-per-axis callables are wrapped to accept
     (..., ndim) arrays by unstacking the trailing axis.
     """
+    if ndim is None and not (hasattr(f, "ndim")
+                             or (_positional_arity(f) or 0) > 1):
+        # single-argument integrand with no ndim attribute: the documented
+        # error must fire regardless of cache state (a cached entry from an
+        # earlier explicit-ndim call would otherwise silently substitute a
+        # stale dimension)
+        raise ValueError(
+            "cannot deduce ndim from a single-argument integrand; "
+            "pass ndim explicitly")
     try:
         cached = _WRAPPER_CACHE.get(f)
     except TypeError:  # unhashable/weakref-unsupported callables

@@ -73,33 +73,41 @@ class VegasDebugLogger:
 
 
 def capture_samples(f, ndim, ng, npg, nbins, xi, regn_lo, dx, xjac,
-                    ncubes, seed=0, max_samples=100_000):
+                    ncubes, seed=0, it=1, max_samples=100_000):
     """Sample-level capture (points, weights, values, cube ids) of one
     VEGAS iteration -- the funcevals/random_nums CSVs of the reference.
-    Limited to small runs; returns a dict of numpy arrays."""
+    Limited to runs that fit one chunk; returns a dict of numpy arrays.
+
+    Reproduces iteration ``it``'s actual sampling stream and arithmetic
+    (vegas._vegas_iteration): key = fold_in(fold_in(PRNGKey(seed), it), 0)
+    -- the per-iteration then per-chunk folds, single chunk -- and the
+    f32 sampling machinery, so captured points/values match what the
+    integration evaluated, not a lookalike stream."""
     total = ncubes * npg
     if total > max_samples:
         raise ValueError(f"capture limited to {max_samples} samples, "
                          f"got {total}")
-    key = jax.random.PRNGKey(seed)
+    f32 = jnp.float32
     dtype = jnp.float64
+    it_key = jax.random.fold_in(jax.random.PRNGKey(seed), it)
+    ck = jax.random.fold_in(it_key, 0)      # chunk 0 (single-chunk run)
     cube_ids = jnp.arange(ncubes, dtype=jnp.int64)
     from gpuintegration_tpu.mcubes.vegas import _decode_cube
     kg = _decode_cube(cube_ids, ng, ndim)
-    ran = jax.random.uniform(jax.random.fold_in(key, 0),
-                             (ncubes, npg, ndim), dtype)
-    xnd = float(nbins)
-    dxg = xnd / ng
-    xn = (kg[:, None, :].astype(dtype) - ran) * dxg + 1.0
+    ran = jax.random.uniform(ck, (ncubes, npg, ndim), f32)
+    xi32 = xi.astype(f32)
+    xnd32 = jnp.asarray(float(nbins), f32)
+    dxg32 = xnd32 / ng
+    xn = (kg[:, None, :].astype(f32) - ran) * dxg32 + 1.0
     ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)
     dim_ids = jnp.arange(ndim)
-    edge_hi = xi[dim_ids, ia]
-    edge_lo = xi[dim_ids, ia - 1]
+    edge_hi = xi32[dim_ids, ia]
+    edge_lo = xi32[dim_ids, ia - 1]
     xo = edge_hi - edge_lo
-    rc = edge_lo + (xn - ia.astype(dtype)) * xo
-    x = regn_lo + rc * dx
-    wgt = xjac * jnp.prod(xo * xnd, axis=-1)
-    fx = f(x) * wgt
+    rc = edge_lo + (xn - ia.astype(f32)) * xo
+    x = regn_lo + rc.astype(dtype) * dx
+    wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
+    fx = f(x).astype(dtype) * wgt
     return {
         "points": np.asarray(x),
         "weights": np.asarray(wgt),

@@ -72,8 +72,11 @@ def _make_kernel(f_axes: Callable, ndim: int):
             l = glen_ref[d, :]
             xs.append(c[:, None] - gen_ref[d, :][None, :] * l[:, None])
         vals = f_axes(*xs)                               # (TILE_R, P)
+        # HIGHEST: 3-pass bf16 reproduces f32 products exactly -- the
+        # null-rule columns of m are cancelling residues (see rule_eval)
         out_ref[:] = jnp.dot(vals, m_ref[:],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
     return kernel
 

@@ -130,10 +130,15 @@ def _eval_chunk(
         sums = jnp.sum(
             orbit_sums[:, :, None] * tables.orbit_wts[None, :, :], axis=1)
     else:
+        # HIGHEST: default TPU matmul truncates operands to bf16 (~8
+        # mantissa bits); the null-rule columns are small residues of
+        # cancelling O(1) terms, so bf16 products would put ~1e-3 noise
+        # under every f32 error estimate (same reason as vegas._onehot_hist).
         sums = jax.lax.dot_general(
             vals, tables.wts.astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype)
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
     sums = sums * jacobian
 
     # Fourth-difference bisection dimension (Sample.cuh:194-218):

@@ -95,7 +95,6 @@ def sharded_vegas_iteration(
     replacing the reference's atomicAdd(result_dev) global accumulation
     (vegasT.cuh:483-484) with psums over ICI.
     """
-    n_dev = mesh.devices.size
     cubes_per_shard = chunk_cubes * num_chunks_per_dev
 
     def local(key, xi, regn_lo, dx, xjac, ncubes):

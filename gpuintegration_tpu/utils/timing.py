@@ -145,37 +145,47 @@ def call_cubature_rules(
     """Pure rule-kernel throughput probe: sweep initial uniform splits and
     time rule application over the resulting pools
     (reference: new_time_and_call.cuh:30-70 -- splits 5..15, <= 35e6
-    regions, 11 repeats).  Returns list of dicts with evals/sec."""
-    from gpuintegration_tpu.pagani import workspace as W
+    regions, 11 repeats).  Returns list of dicts with evals/sec.
 
+    The ``repeats`` passes run INSIDE one jit with a carried data
+    dependency between passes (the bench.py methodology) -- the axon
+    runtime elides repeated identical top-level dispatches, so a host-side
+    repeat loop would time dispatch overhead, not the kernel (CLAUDE.md)."""
     f, _ = make_integrand(integrand, ndim)
-    feval = rule_eval.rule_tables(ndim, dtype).feval
-    gl = jnp.zeros(ndim, jnp.dtype(dtype))
-    gr = jnp.ones(ndim, jnp.dtype(dtype))
+    tables = rule_eval.rule_tables(ndim, dtype)
+    feval = tables.feval
+    dt = jnp.dtype(dtype)
+    gl = jnp.zeros(ndim, dt)
+    gr = jnp.ones(ndim, dt)
     results = []
     for s in splits_per_dim:
         n_regions = s ** ndim
         if n_regions > max_regions:
             continue
         cap = max(region_pool.next_pow2(n_regions), chunk)
-        lows, lengths, _ = region_pool.uniform_split(
-            ndim, s, cap, jnp.dtype(dtype))
+        lows, lengths, _ = region_pool.uniform_split(ndim, s, cap, dt)
+        chunk_size = chunk if cap > chunk else None
 
-        def one_pass():
-            outs = []
-            for i in range(cap // chunk):
-                sl = slice(i * chunk, (i + 1) * chunk)
-                outs.append(W._eval_stage(f, ndim, dtype, lows[:, sl],
-                                          lengths[:, sl], gl, gr))
-            return outs
+        @jax.jit
+        def loop(lo0, lengths=lengths, chunk_size=chunk_size):
+            def body(i, carry):
+                lo_c, acc = carry
+                est, _, _ = rule_eval.apply_rule(
+                    f, tables, lo_c, lengths, gl, gr,
+                    chunk_size=chunk_size)
+                total = jnp.sum(est)
+                # carried dependency defeats launch memoisation/overlap
+                return (lo_c + total * 1e-30, acc + total)
+            return jax.lax.fori_loop(0, repeats, body,
+                                     (lo0, jnp.zeros((), dt)))
 
-        jax.block_until_ready(one_pass())
-        times = []
-        for _ in range(repeats):
+        jax.block_until_ready(loop(lows))  # compile + warm
+        best = float("inf")
+        for i in range(3):
+            lo_i = lows + i * jnp.asarray(1e-30, dt)  # distinct dispatches
             t0 = time.perf_counter()
-            jax.block_until_ready(one_pass())
-            times.append(time.perf_counter() - t0)
-        best = min(times)
+            jax.block_until_ready(loop(lo_i))
+            best = min(best, (time.perf_counter() - t0) / repeats)
         evals = cap * feval
         rec = {"splits_per_dim": s, "regions": cap, "feval": feval,
                "best_s": best, "evals_per_sec": evals / best}
