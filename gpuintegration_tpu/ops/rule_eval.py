@@ -116,29 +116,21 @@ def _eval_chunk(
     # Five embedded rule sums.  The rule is fully symmetric: the weight of a
     # point depends only on its orbit (9 orbits, genz_malik._rule_weights),
     # and the point list is orbit-contiguous.  So instead of a (P, NRULES)
-    # per-point contraction (10 f64 ops/point as multiply+reduce; XLA's
-    # TPU f64-emulated dot_general is 5x worse still), reduce each orbit
-    # segment (1 f64 add/point) and combine with the tiny (NSETS, NRULES)
+    # per-point contraction, reduce each orbit segment (1 add/point, exact
+    # in the working dtype) and combine with the tiny (NSETS, NRULES)
     # orbit-weight table.  Null-rule cancellation behaviour is unchanged:
     # the sums are the same values up to summation-order reassociation.
-    # In f32 the MXU matmul on the padded per-point table wins.
-    if dtype == jnp.float64:
-        ob = tables.orbit_bounds
-        orbit_sums = jnp.stack(
-            [jnp.sum(vals[:, ob[s]:ob[s + 1]], axis=1)
-             for s in range(len(ob) - 1)], axis=1)          # (C, NSETS)
-        sums = jnp.sum(
-            orbit_sums[:, :, None] * tables.orbit_wts[None, :, :], axis=1)
-    else:
-        # HIGHEST: default TPU matmul truncates operands to bf16 (~8
-        # mantissa bits); the null-rule columns are small residues of
-        # cancelling O(1) terms, so bf16 products would put ~1e-3 noise
-        # under every f32 error estimate (same reason as vegas._onehot_hist).
-        sums = jax.lax.dot_general(
-            vals, tables.wts.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST)
+    # This is the fastest correct form in BOTH dtypes: the f64 per-point
+    # dot_general is 5x-emulated, and the f32 MXU matmul truncates
+    # operands to bf16 by default (fatal to the cancelling null-rule
+    # residues) while Precision.HIGHEST costs 3 passes -- measured 2.7e9
+    # vs 7.5e9 evals/s for the segment sums at 8D f32.
+    ob = tables.orbit_bounds
+    orbit_sums = jnp.stack(
+        [jnp.sum(vals[:, ob[s]:ob[s + 1]], axis=1)
+         for s in range(len(ob) - 1)], axis=1)              # (C, NSETS)
+    sums = jnp.sum(
+        orbit_sums[:, :, None] * tables.orbit_wts[None, :, :], axis=1)
     sums = sums * jacobian
 
     # Fourth-difference bisection dimension (Sample.cuh:194-218):
