@@ -79,6 +79,11 @@ def main(argv=None):
     sp.add_argument("--iters", type=int, default=15)
     sp.add_argument("--adjust-iters", type=int, default=15)
     sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--importance", choices=["grid", "poly"], default="grid")
+    sp.add_argument("--eval-dtype", choices=["float32", "float64"],
+                    default=None, help="integrand evaluation dtype "
+                    "(accumulators stay f64; float32 skips TPU f64 "
+                    "emulation in the integrand)")
     sp = sub.add_parser("ladder", parents=[common],
                         help="tighten epsrel until failure")
     sp.add_argument("--floor", type=float, default=1e-9)
@@ -104,7 +109,8 @@ def main(argv=None):
             args.integrand, g, args.epsrel, truth, sys.stdout,
             ndim=ndim, ncall=args.ncall, vol=vol, epsabs=args.epsabs,
             total_iters=args.iters, adjust_iters=args.adjust_iters,
-            runs=args.runs, seed=args.seed)
+            runs=args.runs, seed=args.seed, importance=args.importance,
+            eval_dtype=args.eval_dtype)
         return 0 if good else 1
     if args.cmd == "ladder":
         print(timing.PAGANI_CSV_HEADER)

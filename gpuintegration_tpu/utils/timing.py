@@ -110,16 +110,20 @@ def mcubes_time_and_call(
     skip_iters: int = 5,
     runs: int = 1,
     seed: int = 0,
+    **vegas_kw,
 ) -> bool:
-    """VEGAS harness with CSV rows (demo_utils.cuh:50-100 schema)."""
+    """VEGAS harness with CSV rows (demo_utils.cuh:50-100 schema).
+    Extra keyword args (importance=, eval_dtype=, ...) pass through to
+    mcubes.vegas.integrate."""
     _, nd = make_integrand(integrand, ndim)
+    vegas_kw = {k: v for k, v in vegas_kw.items() if v is not None}
     good = False
     for i in range(runs):
         t0 = time.perf_counter()
         res = vegas_mod.integrate(
             integrand, epsrel, epsabs, ncall, vol, total_iters=total_iters,
             adjust_iters=adjust_iters, skip_iters=skip_iters,
-            seed=seed + i, ndim=ndim)
+            seed=seed + i, ndim=ndim, **vegas_kw)
         dt_ms = (time.perf_counter() - t0) * 1e3
         if res.status == 0:
             good = True
