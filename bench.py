@@ -88,6 +88,44 @@ def bench_vegas(ndim=6, ncall=1e7, importance="poly"):
     return r.neval / dt, rel
 
 
+def bench_pallas(ndim=8, chunk=1 << 13, inner=30):
+    """f32 Pallas fused rule kernel throughput (the recommended f32 path:
+    VMEM-resident point-gen + integrand + contraction, measured ~2.9x the
+    XLA f32 path -- docs/DESIGN.md section 7)."""
+    from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
+
+    def g8(*xs):
+        s = 0.0
+        for x in xs:
+            s = s + (x - 0.5) ** 2
+        return jnp.exp(-25.0 * s)
+
+    dt = jnp.float32
+    tables = rule_eval.rule_tables(ndim, "float32")
+    gl = jnp.zeros(ndim, dt)
+    gr = jnp.ones(ndim, dt)
+    lo, ln, _ = region_pool.uniform_split(ndim, 2, chunk, dt)
+
+    @jax.jit
+    def loop(lo0):
+        def body(i, carry):
+            lo_c, acc = carry
+            est, _, _ = pallas_apply_rule(g8, ndim, lo_c, ln, gl, gr,
+                                          interpret=False)
+            s = jnp.sum(est)
+            return (lo_c + s * 1e-30, acc + s)
+        return jax.lax.fori_loop(0, inner, body, (lo0, jnp.zeros((), dt)))
+
+    jax.block_until_ready(loop(lo))
+    best = float("inf")
+    for i in range(3):
+        lo_i = lo * (1.0 + (i + 1) * 1e-6)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(lo_i))
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return chunk * tables.feval / best
+
+
 def bench_time_to_tolerance(ndim=8, epsrel=1e-5):
     """Warm wall time of a full adaptive run at epsrel.  On the default 8D
     gaussian the conservative null-rule error model cannot CERTIFY 1e-5
@@ -110,6 +148,10 @@ def main():
     rates = bench_suite()
     headline = statistics.median(rates.values())
     vegas_rate, vegas_rel = bench_vegas()
+    try:
+        pallas_rate = bench_pallas()
+    except Exception:      # non-TPU backend or Mosaic unavailable
+        pallas_rate = None
     ttt, res, rel_err = bench_time_to_tolerance()
     out = {
         "metric": "integrand evals/sec/chip (PAGANI 8D Genz suite median, f64)",
@@ -120,6 +162,7 @@ def main():
             "per_integrand_evals_per_sec": rates,
             "vegas_6d_poly_samples_per_sec": vegas_rate,
             "vegas_6d_rel_err": vegas_rel,
+            "pallas_f32_8d_evals_per_sec": pallas_rate,
             "time_to_1e-5_8d_gaussian_s": ttt,
             "achieved_rel_err": rel_err,
             "converged": res.status == 0,
