@@ -1,0 +1,215 @@
+"""Fused on-device adaptive phase: many PAGANI iterations per dispatch.
+
+The host-orchestrated loop (pagani/workspace.py) pays a floor of ~65 ms
+per iteration on the axon runtime (one dispatch + one scalar D2H sync --
+docs/DESIGN.md section 1), which dominates wall time whenever the pool is
+small: a 5-D run converging in 20 iterations spends ~1.3 s on floors for
+~100 ms of device work.  (The reference pays this floor 8-12x over per
+iteration as kernel launches + cudaDeviceSynchronize, Workspace.cuh:182-353.)
+
+This module runs WHOLE adaptive iterations inside one ``lax.while_loop``
+dispatch -- eval, two-level refinement, accuracy test, error-budget
+rollback, finished accounting, compaction and split -- for as long as the
+pool stays within one static bucket capacity and below the
+memory-pressure classification gate.  It exits back to the host when:
+
+  * accuracy is reached (status 0),
+  * every region finished (status 2),
+  * the next split would overflow the bucket, or the pool crossed the
+    classification gate / the iteration budget -- the host then grows the
+    bucket or runs its (string-arithmetic, host-only) classifier and may
+    re-enter a fused phase at the new capacity.
+
+On a bucket-overflow exit the triggering iteration's updates are NOT
+applied (the pool and ledger are exactly as before it), so the host
+simply re-runs that iteration -- one duplicate rule evaluation per bucket
+growth, ~log2(pool/chunk) times per run, which is noise next to the saved
+per-iteration floors.
+
+The arithmetic is the same IEEE f64 operations in the same order as the
+host loop, so fused and host trajectories agree to reassociation-level
+roundoff (and bit-exactly for the per-region pipeline).
+
+The VEGAS analogue is mcubes.vegas._frozen_phase.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gpuintegration_tpu.ops import rule_eval
+from gpuintegration_tpu.pagani import region_pool, two_level
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "f", "ndim", "dtype_name", "chunk_size", "relerr_classification",
+    "gate", "feval"))
+def fused_adaptive_phase(
+    f,
+    ndim: int,
+    dtype_name: str,
+    chunk_size,               # static int or None (single-shot eval)
+    relerr_classification: bool,
+    gate: int,                # exit (without eval) once 2*n > gate
+    feval: int,               # rule points per region (neval accounting)
+    lows, lengths,            # (ndim, cap) BLOCKED pool (post-split layout)
+    n,                        # int32: real region count
+    parent_est,               # (cap//2,) compacted parent estimates
+    global_lo, global_range,  # (ndim,)
+    epsrel, epsabs,           # dtype scalars
+    cum_est, cum_err,         # dtype scalars: cumulative finished ledger
+    result_nregions,          # f64 scalar (exact integer < 2^53)
+    n_finished,               # f64 scalar
+    iters_done,               # int32: iterations completed so far
+    neval,                    # f64 scalar
+    est_hist,                 # (3,) dtype: last three cumulative estimates
+    max_iters,                # int32: total iteration budget
+):
+    """Returns (lows, lengths, parent_est, sdim, packed) where ``packed``
+    is ONE f64 vector (a single D2H sync on the host -- every separate
+    scalar transfer costs ~30 ms on this runtime) laid out as
+
+      [n, cum_est, cum_err, result_nregions, n_finished, iters_done,
+       neval, status, last_inflight_est, last_inflight_err,
+       prev_est, prev_err, prev_nregions, prev_iters,
+       est_hist[0], est_hist[1], est_hist[2]]
+
+    Every iteration processed is APPLIED to the ledger.  status:
+      0  converged;
+      2  all regions finished;
+      1  bucket overflow: the next split needs 2*cap.  The pool output
+         holds the COMPACTED survivors in slots [0, cap//2) (n = their
+         count; ``sdim`` their bisection dims; ``parent_est`` their
+         estimates) -- the host pads them to cap and splits into the
+         2*cap bucket, so no sweep is ever evaluated twice;
+     -1  stopped by the cond (2*n > classification gate, or the
+         iteration budget ran out).
+    prev_* is the ledger EXCLUDING the last applied sweep (the checkpoint
+    semantics of workspace._ledger_excl_pool); last_inflight_* is that
+    sweep's still-active contribution (the host's max-iterations exit).
+    Counters are exact in f64 (< 2^53).
+    """
+    dtype = jnp.dtype(dtype_name)
+    cap = lows.shape[1]
+    tables = rule_eval.rule_tables(ndim, dtype_name)
+    zero = jnp.zeros((), dtype)
+    # parent slot is carried at FULL capacity (a grow exit returns up to
+    # cap compacted parents); refine_error only reads [:cap//2]
+    if parent_est.shape[0] < cap:
+        parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
+
+    def cond(carry):
+        (_, _, n_c, _, _, _, _, _, iters_c, _, _, status_c,
+         _, _, _, _, _, _, _) = carry
+        return ((status_c == -1)
+                & (2 * n_c <= gate)
+                & (iters_c < max_iters))
+
+    def body(carry):
+        (lo_c, ln_c, n_c, par_c, cum_e, cum_r, res_nreg, n_fin,
+         iters_c, nev, hist, _status, _lie, _lir,
+         _pe, _pr, _pn, _pi, _sd) = carry
+
+        est_raw, err_raw, sdim = rule_eval.apply_rule(
+            f, tables, lo_c, ln_c, global_lo, global_range,
+            chunk_size=chunk_size, n=n_c, blocked=True)
+        mask = region_pool.block_mask(cap, n_c, True)
+        est = jnp.where(mask, est_raw, 0.0)
+        err = jnp.where(mask, err_raw, 0.0)
+        refined, active = two_level.refine_error(
+            est, err, par_c, n_c, epsrel,
+            relerr_classification=relerr_classification)
+
+        iter_est = jnp.sum(est)
+        iter_err = jnp.sum(refined)
+        fin_est = iter_est - jnp.sum(active * est)
+        fin_err = iter_err - jnp.sum(active * refined)
+
+        tot_est = cum_e + iter_est
+        tot_err = cum_r + iter_err
+        # accuracy_reached (PaganiUtils.cuh:387-394)
+        done = jnp.where(
+            jnp.abs(tot_est) > 0,
+            (tot_err / jnp.abs(tot_est) <= epsrel) | (tot_err <= epsabs),
+            tot_err <= epsabs)
+
+        # error-budget-overflow rollback (Workspace.cuh:121-146)
+        overflow = (cum_r + fin_err) > jnp.abs(tot_est) * epsrel
+        all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
+        active = jnp.where(overflow, all_act, active)
+        fin_est = jnp.where(overflow, zero, fin_est)
+        fin_err = jnp.where(overflow, zero, fin_err)
+
+        n_active = jnp.sum(active).astype(jnp.int32)
+        all_fin = (~done) & (n_active == 0)
+        grow = (~done) & (~all_fin) & (2 * n_active > cap)
+        go = (~done) & (~all_fin) & (~grow)
+
+        # compaction at FULL capacity (a grow exit can have up to cap
+        # survivors -- compacting into cap//2 would truncate them); the
+        # in-place split for the normal branch uses the first half, which
+        # is safe there (go implies n_active <= cap/2)
+        n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
+            active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
+        lo2, ln2, _ = region_pool.split(
+            c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
+            n_act_d, out_capacity=cap)
+
+        # Every branch APPLIES the iteration (the grow exit hands the host
+        # the already-compacted pool, so no sweep is ever re-evaluated):
+        #   done     -> accuracy: fold the WHOLE sweep into the ledger
+        #   all_fin  -> everything finished this sweep
+        #   grow     -> next split overflows the bucket: ledger the
+        #               finished part, output the COMPACTED parents in the
+        #               first cap//2 slots (n = n_active); the host pads to
+        #               cap and splits into the 2*cap bucket
+        #   go       -> normal: compact + split in place
+        add_est = jnp.where(done, iter_est, fin_est)
+        add_err = jnp.where(done, iter_err, fin_err)
+        drop = jnp.where(done, 0.0,
+                         jnp.where(all_fin, n_c.astype(jnp.float64),
+                                   (n_c - n_active).astype(jnp.float64)))
+
+        keep = done | all_fin
+        lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
+        ln_out = jnp.where(keep, ln_c, jnp.where(grow, c_ln, ln2))
+        par_out = jnp.where(keep, par_c, par_new)     # (cap,); refine
+        sd_out = c_sd                                 # slices [:cap//2]
+        n_out = jnp.where(keep, n_c,
+                          jnp.where(grow, n_active, 2 * n_active))
+        status = jnp.where(done, 0,
+                           jnp.where(all_fin, 2,
+                                     jnp.where(grow, 1, -1))).astype(jnp.int32)
+
+        hist_out = jnp.where(~done,
+                             jnp.concatenate([hist[1:], tot_est[None]]),
+                             hist)
+        return (lo_out, ln_out, n_out, par_out,
+                cum_e + add_est, cum_r + add_err,
+                res_nreg + drop, n_fin + drop,
+                iters_c + 1,
+                nev + n_c.astype(jnp.float64) * feval,
+                hist_out, status,
+                iter_est - fin_est, iter_err - fin_err,
+                cum_e, cum_r, res_nreg, iters_c, sd_out)
+
+    carry0 = (lows, lengths, n, parent_est,
+              cum_est, cum_err, result_nregions, n_finished,
+              iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
+              zero, zero,
+              cum_est, cum_err, result_nregions, iters_done,
+              jnp.zeros((cap,), jnp.int32))
+    (lo_f, ln_f, n_f, par_f, ce_f, cr_f, rn_f, nf_f, it_f, nev_f,
+     hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, sd_f) = \
+        jax.lax.while_loop(cond, body, carry0)
+    f64 = jnp.float64
+    packed = jnp.stack([
+        n_f.astype(f64), ce_f.astype(f64), cr_f.astype(f64), rn_f, nf_f,
+        it_f.astype(f64), nev_f, st_f.astype(f64),
+        lie_f.astype(f64), lir_f.astype(f64),
+        pe_f.astype(f64), pr_f.astype(f64), pn_f, pi_f.astype(f64),
+        hist_f[0].astype(f64), hist_f[1].astype(f64),
+        hist_f[2].astype(f64)])
+    return lo_f, ln_f, par_f, sd_f, packed

@@ -241,8 +241,17 @@ class Workspace:
         vegas_passes: int = 10,
         vegas_samples_per_pass: int = 320,
         seed: int = 0,
+        fused: bool = True,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
+
+        ``fused``: run bursts of adaptive iterations fully on device
+        (pagani.fused_loop) whenever the pool fits one bucket below the
+        classification gate -- removes the ~65 ms/iteration host
+        dispatch+sync floor that dominates small-pool runs.  The host
+        loop below remains the reference semantics (and handles bucket
+        growth, the classifier, recorders, predict_split, hybrid mode);
+        set ``fused=False`` to force it for every iteration.
 
         ``recorder``: optional utils.recorder.IterationRecorder receiving one
         row per iteration (parity with the reference's cuda_pagani_iters.csv,
@@ -310,9 +319,104 @@ class Workspace:
         result_nregions = 0
         blocked = False   # pool layout: [0,n) contiguous until first split
 
-        for it in range(max_iterations):
+        # classification gate: below 2n <= gate the classifier can never
+        # trigger (classification_criteria_met needs 2n/max_pool > 0.1), so
+        # whole iterations can run on device without its host-side string
+        # arithmetic (pagani/fused_loop.py)
+        fused_gate = int(0.1 * self.max_pool_regions)
+        fused_ok = (fused and self.mesh is None and recorder is None
+                    and not vegas_assisted and not predict_split
+                    and self.rule_backend == "xla")
+        inflight_est = inflight_err = 0.0
+        exhausted = False
+
+        it = 0
+        while True:
+            if it >= max_iterations:
+                exhausted = True
+                break
             if n <= 0:
                 break
+
+            if fused_ok and blocked and 2 * n <= fused_gate:
+                from gpuintegration_tpu.pagani import fused_loop
+                chunk = self.chunk_size if cap > self.chunk_size else None
+                lows, lengths, parent_est, sdim_f, packed_d = \
+                    fused_loop.fused_adaptive_phase(
+                        f, ndim, dtype_name, chunk, relerr_classification,
+                        fused_gate, feval,
+                        lows, lengths, n_dev, parent_est,
+                        global_lo, global_range,
+                        eps_dev, jnp.asarray(epsabs, dtype),
+                        jnp.asarray(cum.estimate, dtype),
+                        jnp.asarray(cum.errorest, dtype),
+                        jnp.asarray(float(result_nregions), jnp.float64),
+                        jnp.asarray(float(cum.nFinishedRegions),
+                                    jnp.float64),
+                        jnp.asarray(cum.iters, jnp.int32),
+                        jnp.asarray(float(cum.neval), jnp.float64),
+                        jnp.asarray(classifier._estimates, dtype),
+                        jnp.asarray(max_iterations, jnp.int32))
+                # ONE D2H sync for every scalar of the whole burst
+                packed = np.asarray(packed_d)
+                n = int(packed[0])
+                n_dev = jnp.asarray(n, jnp.int32)
+                fused_iters = int(packed[5]) - cum.iters
+                status = int(packed[7])
+                cum.estimate, cum.errorest = float(packed[1]), float(packed[2])
+                result_nregions = int(packed[3])
+                cum.nFinishedRegions = int(packed[4])
+                cum.iters = int(packed[5])
+                cum.neval = int(packed[6])
+                classifier._estimates = [float(packed[14]),
+                                         float(packed[15]),
+                                         float(packed[16])]
+                classifier._iters_collected += fused_iters
+                inflight_est, inflight_err = float(packed[8]), float(packed[9])
+                it = cum.iters
+                if status in (0, 2):
+                    # pool unchanged and already swept: the resumable
+                    # ledger excludes that sweep (prev_* from the carry)
+                    self.final_pool = (lows, lengths, n, True)
+                    self._ledger_excl_pool = (float(packed[10]),
+                                              float(packed[11]),
+                                              int(packed[12]),
+                                              int(packed[13]))
+                else:
+                    # pool is post-split (status -1) or about to be split
+                    # (status 1) and NOT yet evaluated: the full current
+                    # ledger already excludes it
+                    self.final_pool = (lows, lengths, n, status != 1)
+                    self._ledger_excl_pool = (cum.estimate, cum.errorest,
+                                              result_nregions, cum.iters)
+                if status == 0:          # accuracy reached
+                    cum.status = 0
+                    cum.nregions = result_nregions + n
+                    return cum
+                if status == 2:          # every region finished
+                    cum.nregions = result_nregions
+                    return cum
+                if it >= max_iterations:
+                    exhausted = True
+                    break
+                if status == 1:
+                    # bucket overflow: the fused phase already applied the
+                    # sweep and handed back the n compacted survivors (full
+                    # cap-sized arrays); split them into the 2*cap bucket
+                    # -- no re-evaluation.
+                    lows, lengths, _ = region_pool.split(
+                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
+                    lows, lengths = self._shard(lows, lengths)
+                    cap = 2 * cap
+                    n = 2 * n
+                    n_dev = jnp.asarray(n, jnp.int32)
+                    use_refine = jnp.asarray(True)
+                    blocked = True
+                    self.final_pool = (lows, lengths, n, True)
+                    continue
+                # gate crossing (status -1): one host iteration handles
+                # the classifier, then the loop may re-enter fused
+
             t_iter = _time.perf_counter()
             effective_relerr = relerr_classification
             if (predict_split and n <= 15_000_000 and it < 15
@@ -445,12 +549,16 @@ class Workspace:
             cap = child_cap
             use_refine = jnp.asarray(True)
             blocked = True
-        else:
+            it += 1
+
+        if exhausted and cum.iters > 0:
             # max_iterations exhausted: include the last sweep's active
-            # contribution so the estimate is complete.
-            if cum.iters > 0:
-                cum.estimate += inflight_est
-                cum.errorest += inflight_err
+            # contribution so the estimate is complete.  (The reference
+            # drops it at its 700-iter exit, Workspace.cuh:354-357,
+            # returning only the finished part -- deliberate deviation for
+            # usability; status stays 1.)
+            cum.estimate += inflight_est
+            cum.errorest += inflight_err
 
         cum.nregions = result_nregions + n
         return cum

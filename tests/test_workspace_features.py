@@ -185,3 +185,57 @@ class TestSuave:
         r = suave(g, epsrel=5e-3, epsabs=1e-40, max_iterations=10,
                   nnew=512, seed=2, workspace=ws)
         assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-5)
+
+
+class TestFusedAdaptivePhase:
+    """pagani.fused_loop runs whole iterations on device; it must agree
+    with the host loop iteration-for-iteration (same neval/iters/status,
+    estimates to reassociation-level roundoff)."""
+
+    def _compare(self, g, ndim, eps, **kw):
+        ws = Workspace(ndim, chunk_size=1024)
+        rh = ws.integrate(g, epsrel=eps, epsabs=1e-40, fused=False, **kw)
+        rf = ws.integrate(g, epsrel=eps, epsabs=1e-40, fused=True, **kw)
+        assert (rh.status, rh.iters, rh.neval, rh.nregions) == \
+               (rf.status, rf.iters, rf.neval, rf.nregions)
+        assert abs(rh.estimate - rf.estimate) <= 1e-12 * abs(rh.estimate)
+        assert abs(rh.errorest - rf.errorest) <= \
+            1e-9 * max(abs(rh.errorest), 1e-300)
+        return rh, rf
+
+    def test_equivalence_3d(self):
+        self._compare(genz.f4_gaussian(3, a=5.0), 3, 1e-6)
+
+    def test_equivalence_with_bucket_growth(self):
+        self._compare(genz.f2_product_peak(4), 4, 1e-6)
+
+    def test_maxiter_exit_and_checkpoint(self):
+        """Fused and host max-iteration exits agree on the result; both
+        checkpoints resume to the truth.  (The snapshots themselves differ
+        by one split: the host saves the last-evaluated pool with its
+        sweep excluded from the ledger, the fused phase the just-split
+        children with the full ledger -- both are consistent.)"""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        rh = ws.integrate(g, epsrel=1e-12, epsabs=1e-300,
+                          max_iterations=6, fused=False)
+        ch = ws.make_checkpoint(rh)
+        rf = ws.integrate(g, epsrel=1e-12, epsabs=1e-300,
+                          max_iterations=6, fused=True)
+        cf = ws.make_checkpoint(rf)
+        assert rh.status == rf.status == 1
+        assert (rh.iters, rh.neval) == (rf.iters, rf.neval)
+        assert abs(rh.estimate - rf.estimate) <= 1e-12 * abs(rh.estimate)
+        for c in (ch, cf):
+            r2 = ws.integrate(g, epsrel=1e-7, epsabs=1e-40,
+                              initial_regions=(c.lows, c.lengths))
+            total = c.estimate + r2.estimate
+            assert r2.status == 0
+            assert abs(total - g.true_value) <= max(
+                c.errorest + r2.errorest, 1e-6 * abs(g.true_value))
+
+    def test_zero_integrand_epsabs(self):
+        from gpuintegration_tpu import Workspace as W
+        r = W(3, chunk_size=1024).integrate(
+            lambda a, b, c: a * 0.0, epsrel=1e-6, epsabs=1e-12, fused=True)
+        assert r.status == 0 and r.estimate == 0.0
