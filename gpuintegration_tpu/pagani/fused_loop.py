@@ -15,20 +15,19 @@ memory-pressure classification gate.  It exits back to the host when:
 
   * accuracy is reached (status 0),
   * every region finished (status 2),
-  * the next split would overflow the bucket, or the pool crossed the
-    classification gate / the iteration budget -- the host then grows the
-    bucket or runs its (string-arithmetic, host-only) classifier and may
-    re-enter a fused phase at the new capacity.
+  * the next split would overflow the bucket (status 1): the sweep IS
+    applied and the compacted survivors are returned -- the host splits
+    them into the doubled bucket without re-evaluating anything,
+  * the pool crossed the classification gate or the iteration budget ran
+    out (status -1): the host runs its (string-arithmetic, host-only)
+    classifier iteration and may re-enter a fused phase.
 
-On a bucket-overflow exit the triggering iteration's updates are NOT
-applied (the pool and ledger are exactly as before it), so the host
-simply re-runs that iteration -- one duplicate rule evaluation per bucket
-growth, ~log2(pool/chunk) times per run, which is noise next to the saved
-per-iteration floors.
-
-The arithmetic is the same IEEE f64 operations in the same order as the
-host loop, so fused and host trajectories agree to reassociation-level
-roundoff (and bit-exactly for the per-region pipeline).
+The per-region pipeline is the SAME traced code as the host loop
+(workspace.iteration_math), and the ledger accumulates in f64 exactly as
+the host's Python-float arithmetic does (iteration sums are reduced in
+the pool dtype, then widened -- widening is exact), so fused and host
+trajectories agree to reassociation-level roundoff for f64 pools and
+bit-for-bit in the per-region pipeline.
 
 The VEGAS analogue is mcubes.vegas._frozen_phase.
 """
@@ -40,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from gpuintegration_tpu.ops import rule_eval
-from gpuintegration_tpu.pagani import region_pool, two_level
+from gpuintegration_tpu.pagani import region_pool
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -58,21 +57,21 @@ def fused_adaptive_phase(
     n,                        # int32: real region count
     parent_est,               # (cap//2,) compacted parent estimates
     global_lo, global_range,  # (ndim,)
-    epsrel, epsabs,           # dtype scalars
-    cum_est, cum_err,         # dtype scalars: cumulative finished ledger
+    epsrel_pool,              # pool-dtype epsrel (two-level classification)
+    epsrel, epsabs,           # f64 ledger tolerances
+    cum_est, cum_err,         # f64 scalars: cumulative finished ledger
     result_nregions,          # f64 scalar (exact integer < 2^53)
-    n_finished,               # f64 scalar
     iters_done,               # int32: iterations completed so far
     neval,                    # f64 scalar
-    est_hist,                 # (3,) dtype: last three cumulative estimates
+    est_hist,                 # (3,) f64: last three cumulative estimates
     max_iters,                # int32: total iteration budget
 ):
     """Returns (lows, lengths, parent_est, sdim, packed) where ``packed``
     is ONE f64 vector (a single D2H sync on the host -- every separate
     scalar transfer costs ~30 ms on this runtime) laid out as
 
-      [n, cum_est, cum_err, result_nregions, n_finished, iters_done,
-       neval, status, last_inflight_est, last_inflight_err,
+      [n, cum_est, cum_err, result_nregions, iters_done, neval, status,
+       last_inflight_est, last_inflight_err,
        prev_est, prev_err, prev_nregions, prev_iters,
        est_hist[0], est_hist[1], est_hist[2]]
 
@@ -80,10 +79,10 @@ def fused_adaptive_phase(
       0  converged;
       2  all regions finished;
       1  bucket overflow: the next split needs 2*cap.  The pool output
-         holds the COMPACTED survivors in slots [0, cap//2) (n = their
-         count; ``sdim`` their bisection dims; ``parent_est`` their
-         estimates) -- the host pads them to cap and splits into the
-         2*cap bucket, so no sweep is ever evaluated twice;
+         holds the COMPACTED survivors (up to cap of them) in slot order
+         (n = their count; ``sdim`` their bisection dims; ``parent_est``
+         their estimates) -- the host splits them straight into the 2*cap
+         bucket, so no sweep is ever evaluated twice;
      -1  stopped by the cond (2*n > classification gate, or the
          iteration budget ran out).
     prev_* is the ledger EXCLUDING the last applied sweep (the checkpoint
@@ -91,41 +90,43 @@ def fused_adaptive_phase(
     sweep's still-active contribution (the host's max-iterations exit).
     Counters are exact in f64 (< 2^53).
     """
+    from gpuintegration_tpu.pagani.workspace import iteration_math
     dtype = jnp.dtype(dtype_name)
+    f64 = jnp.float64
     cap = lows.shape[1]
     tables = rule_eval.rule_tables(ndim, dtype_name)
-    zero = jnp.zeros((), dtype)
+    zero = jnp.zeros((), f64)
     # parent slot is carried at FULL capacity (a grow exit returns up to
     # cap compacted parents); refine_error only reads [:cap//2]
     if parent_est.shape[0] < cap:
         parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
 
     def cond(carry):
-        (_, _, n_c, _, _, _, _, _, iters_c, _, _, status_c,
+        (_, _, n_c, _, _, _, _, iters_c, _, _, status_c,
          _, _, _, _, _, _, _) = carry
         return ((status_c == -1)
                 & (2 * n_c <= gate)
                 & (iters_c < max_iters))
 
     def body(carry):
-        (lo_c, ln_c, n_c, par_c, cum_e, cum_r, res_nreg, n_fin,
+        (lo_c, ln_c, n_c, par_c, cum_e, cum_r, res_nreg,
          iters_c, nev, hist, _status, _lie, _lir,
          _pe, _pr, _pn, _pi, _sd) = carry
 
         est_raw, err_raw, sdim = rule_eval.apply_rule(
             f, tables, lo_c, ln_c, global_lo, global_range,
             chunk_size=chunk_size, n=n_c, blocked=True)
-        mask = region_pool.block_mask(cap, n_c, True)
-        est = jnp.where(mask, est_raw, 0.0)
-        err = jnp.where(mask, err_raw, 0.0)
-        refined, active = two_level.refine_error(
-            est, err, par_c, n_c, epsrel,
-            relerr_classification=relerr_classification)
-
-        iter_est = jnp.sum(est)
-        iter_err = jnp.sum(refined)
-        fin_est = iter_est - jnp.sum(active * est)
-        fin_err = iter_err - jnp.sum(active * refined)
+        # SAME traced pipeline as the host's _post_stage
+        (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
+         fin_err_d, n_active_d) = iteration_math(
+            relerr_classification, True, est_raw, err_raw, n_c,
+            par_c, jnp.asarray(True), epsrel_pool)
+        # ledger arithmetic in f64, exactly like the host's Python floats
+        # (widening the dtype-reduced sums is exact)
+        iter_est = iter_est_d.astype(f64)
+        iter_err = iter_err_d.astype(f64)
+        fin_est = fin_est_d.astype(f64)
+        fin_err = fin_err_d.astype(f64)
 
         tot_est = cum_e + iter_est
         tot_err = cum_r + iter_err
@@ -137,12 +138,14 @@ def fused_adaptive_phase(
 
         # error-budget-overflow rollback (Workspace.cuh:121-146)
         overflow = (cum_r + fin_err) > jnp.abs(tot_est) * epsrel
+        mask = region_pool.block_mask(cap, n_c, True)
         all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
         active = jnp.where(overflow, all_act, active)
         fin_est = jnp.where(overflow, zero, fin_est)
         fin_err = jnp.where(overflow, zero, fin_err)
 
-        n_active = jnp.sum(active).astype(jnp.int32)
+        n_active = jnp.where(overflow, n_c,
+                             n_active_d.astype(jnp.int32))
         all_fin = (~done) & (n_active == 0)
         grow = (~done) & (~all_fin) & (2 * n_active > cap)
         go = (~done) & (~all_fin) & (~grow)
@@ -157,20 +160,17 @@ def fused_adaptive_phase(
             c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
             n_act_d, out_capacity=cap)
 
-        # Every branch APPLIES the iteration (the grow exit hands the host
-        # the already-compacted pool, so no sweep is ever re-evaluated):
+        # Every branch APPLIES the iteration:
         #   done     -> accuracy: fold the WHOLE sweep into the ledger
         #   all_fin  -> everything finished this sweep
-        #   grow     -> next split overflows the bucket: ledger the
-        #               finished part, output the COMPACTED parents in the
-        #               first cap//2 slots (n = n_active); the host pads to
-        #               cap and splits into the 2*cap bucket
+        #   grow     -> ledger the finished part, output the COMPACTED
+        #               survivors (host splits into the 2*cap bucket)
         #   go       -> normal: compact + split in place
         add_est = jnp.where(done, iter_est, fin_est)
         add_err = jnp.where(done, iter_err, fin_err)
         drop = jnp.where(done, 0.0,
-                         jnp.where(all_fin, n_c.astype(jnp.float64),
-                                   (n_c - n_active).astype(jnp.float64)))
+                         jnp.where(all_fin, n_c.astype(f64),
+                                   (n_c - n_active).astype(f64)))
 
         keep = done | all_fin
         lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
@@ -187,29 +187,25 @@ def fused_adaptive_phase(
                              jnp.concatenate([hist[1:], tot_est[None]]),
                              hist)
         return (lo_out, ln_out, n_out, par_out,
-                cum_e + add_est, cum_r + add_err,
-                res_nreg + drop, n_fin + drop,
-                iters_c + 1,
-                nev + n_c.astype(jnp.float64) * feval,
+                cum_e + add_est, cum_r + add_err, res_nreg + drop,
+                iters_c + 1, nev + n_c.astype(f64) * feval,
                 hist_out, status,
                 iter_est - fin_est, iter_err - fin_err,
                 cum_e, cum_r, res_nreg, iters_c, sd_out)
 
     carry0 = (lows, lengths, n, parent_est,
-              cum_est, cum_err, result_nregions, n_finished,
+              cum_est, cum_err, result_nregions,
               iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
               zero, zero,
               cum_est, cum_err, result_nregions, iters_done,
               jnp.zeros((cap,), jnp.int32))
-    (lo_f, ln_f, n_f, par_f, ce_f, cr_f, rn_f, nf_f, it_f, nev_f,
+    (lo_f, ln_f, n_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
      hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, sd_f) = \
         jax.lax.while_loop(cond, body, carry0)
-    f64 = jnp.float64
     packed = jnp.stack([
-        n_f.astype(f64), ce_f.astype(f64), cr_f.astype(f64), rn_f, nf_f,
+        n_f.astype(f64), ce_f, cr_f, rn_f,
         it_f.astype(f64), nev_f, st_f.astype(f64),
-        lie_f.astype(f64), lir_f.astype(f64),
-        pe_f.astype(f64), pr_f.astype(f64), pn_f, pi_f.astype(f64),
-        hist_f[0].astype(f64), hist_f[1].astype(f64),
-        hist_f[2].astype(f64)])
+        lie_f, lir_f,
+        pe_f, pr_f, pn_f, pi_f.astype(f64),
+        hist_f[0], hist_f[1], hist_f[2]])
     return lo_f, ln_f, par_f, sd_f, packed

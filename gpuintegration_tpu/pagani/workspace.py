@@ -76,9 +76,7 @@ def _eval_stage(f, ndim: int, dtype_name: str,
         chunk_size=chunk_size, n=n, blocked=blocked)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("relerr_classification", "blocked"))
-def _post_stage(
+def iteration_math(
     relerr_classification: bool,
     blocked: bool,        # pool layout: blocked halves (post-split) or [0,n)
     est, err, n,
@@ -86,11 +84,14 @@ def _post_stage(
     use_refine,           # traced bool: parents valid?
     epsrel,
 ):
-    """Cheap per-iteration post-processing: masking, two-level refinement,
-    classification, and the iteration/finished reductions.
+    """The per-iteration post-processing pipeline: masking, two-level
+    refinement, classification, and the iteration/finished reductions.
+    Traced helper shared by the host loop (_post_stage) and the fused
+    on-device loop (pagani.fused_loop) so their arithmetic is STRUCTURALLY
+    identical -- the fused/host bit-equivalence tests rely on it.
 
-    Returns per-region (estimates, refined_errors, active) and scalar
-    (iter_estimate, iter_errorest, finished_est, finished_err)."""
+    Returns (est, refined, active, iter_est, iter_err, finished_est,
+    finished_err, n_active) with scalars in the pool dtype."""
     cap = est.shape[0]
     mask = region_pool.block_mask(cap, n, blocked)
     est = jnp.where(mask, est, 0.0)
@@ -108,9 +109,27 @@ def _post_stage(
     finished_est = iter_est - jnp.sum(active * est)
     finished_err = iter_err - jnp.sum(active * refined)
     n_active = jnp.sum(active)
-    # One stacked scalar vector -> a single D2H transfer per iteration
-    # (the reference pays one cudaDeviceSynchronize per stage instead,
-    # Workspace.cuh:182-353).
+    return (est, refined, active, iter_est, iter_err, finished_est,
+            finished_err, n_active)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relerr_classification", "blocked"))
+def _post_stage(
+    relerr_classification: bool,
+    blocked: bool,
+    est, err, n,
+    parent_estimates,
+    use_refine,
+    epsrel,
+):
+    """jit wrapper of iteration_math for the host loop: one stacked scalar
+    vector -> a single D2H transfer per iteration (the reference pays one
+    cudaDeviceSynchronize per stage instead, Workspace.cuh:182-353)."""
+    (est, refined, active, iter_est, iter_err, finished_est,
+     finished_err, n_active) = iteration_math(
+        relerr_classification, blocked, est, err, n,
+        parent_estimates, use_refine, epsrel)
     scalars = jnp.stack([iter_est, iter_err, finished_est, finished_err,
                          n_active])
     return est, refined, active, scalars
@@ -347,46 +366,61 @@ class Workspace:
                         fused_gate, feval,
                         lows, lengths, n_dev, parent_est,
                         global_lo, global_range,
-                        eps_dev, jnp.asarray(epsabs, dtype),
-                        jnp.asarray(cum.estimate, dtype),
-                        jnp.asarray(cum.errorest, dtype),
+                        eps_dev,
+                        jnp.asarray(epsrel, jnp.float64),
+                        jnp.asarray(epsabs, jnp.float64),
+                        jnp.asarray(cum.estimate, jnp.float64),
+                        jnp.asarray(cum.errorest, jnp.float64),
                         jnp.asarray(float(result_nregions), jnp.float64),
-                        jnp.asarray(float(cum.nFinishedRegions),
-                                    jnp.float64),
                         jnp.asarray(cum.iters, jnp.int32),
                         jnp.asarray(float(cum.neval), jnp.float64),
-                        jnp.asarray(classifier._estimates, dtype),
+                        jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32))
                 # ONE D2H sync for every scalar of the whole burst
                 packed = np.asarray(packed_d)
                 n = int(packed[0])
                 n_dev = jnp.asarray(n, jnp.int32)
-                fused_iters = int(packed[5]) - cum.iters
-                status = int(packed[7])
+                fused_iters = int(packed[4]) - cum.iters
+                status = int(packed[6])
                 cum.estimate, cum.errorest = float(packed[1]), float(packed[2])
                 result_nregions = int(packed[3])
-                cum.nFinishedRegions = int(packed[4])
-                cum.iters = int(packed[5])
-                cum.neval = int(packed[6])
-                classifier._estimates = [float(packed[14]),
-                                         float(packed[15]),
-                                         float(packed[16])]
+                cum.nFinishedRegions = result_nregions  # incremented in
+                # lockstep everywhere (finished == dropped-from-pool)
+                cum.iters = int(packed[4])
+                cum.neval = int(packed[5])
+                classifier._estimates = [float(packed[13]),
+                                         float(packed[14]),
+                                         float(packed[15])]
                 classifier._iters_collected += fused_iters
-                inflight_est, inflight_err = float(packed[8]), float(packed[9])
+                inflight_est, inflight_err = float(packed[7]), float(packed[8])
                 it = cum.iters
+                if status == 1:
+                    # bucket overflow: the fused phase already applied the
+                    # sweep and handed back the n compacted survivors (full
+                    # cap-sized arrays); split them into the 2*cap bucket
+                    # -- no re-evaluation.  (Done BEFORE the budget check
+                    # so a budget expiry on a growth iteration still exits
+                    # with the split children, like the host loop.)
+                    lows, lengths, _ = region_pool.split(
+                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
+                    lows, lengths = self._shard(lows, lengths)
+                    cap = 2 * cap
+                    n = 2 * n
+                    n_dev = jnp.asarray(n, jnp.int32)
+                    use_refine = jnp.asarray(True)
+                    blocked = True
                 if status in (0, 2):
                     # pool unchanged and already swept: the resumable
                     # ledger excludes that sweep (prev_* from the carry)
                     self.final_pool = (lows, lengths, n, True)
-                    self._ledger_excl_pool = (float(packed[10]),
-                                              float(packed[11]),
-                                              int(packed[12]),
-                                              int(packed[13]))
+                    self._ledger_excl_pool = (float(packed[9]),
+                                              float(packed[10]),
+                                              int(packed[11]),
+                                              int(packed[12]))
                 else:
-                    # pool is post-split (status -1) or about to be split
-                    # (status 1) and NOT yet evaluated: the full current
-                    # ledger already excludes it
-                    self.final_pool = (lows, lengths, n, status != 1)
+                    # pool is post-split and NOT yet evaluated: the full
+                    # current ledger already excludes it
+                    self.final_pool = (lows, lengths, n, True)
                     self._ledger_excl_pool = (cum.estimate, cum.errorest,
                                               result_nregions, cum.iters)
                 if status == 0:          # accuracy reached
@@ -400,19 +434,6 @@ class Workspace:
                     exhausted = True
                     break
                 if status == 1:
-                    # bucket overflow: the fused phase already applied the
-                    # sweep and handed back the n compacted survivors (full
-                    # cap-sized arrays); split them into the 2*cap bucket
-                    # -- no re-evaluation.
-                    lows, lengths, _ = region_pool.split(
-                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
-                    lows, lengths = self._shard(lows, lengths)
-                    cap = 2 * cap
-                    n = 2 * n
-                    n_dev = jnp.asarray(n, jnp.int32)
-                    use_refine = jnp.asarray(True)
-                    blocked = True
-                    self.final_pool = (lows, lengths, n, True)
                     continue
                 # gate crossing (status -1): one host iteration handles
                 # the classifier, then the loop may re-enter fused

@@ -239,3 +239,15 @@ class TestFusedAdaptivePhase:
         r = W(3, chunk_size=1024).integrate(
             lambda a, b, c: a * 0.0, epsrel=1e-6, epsabs=1e-12, fused=True)
         assert r.status == 0 and r.estimate == 0.0
+
+    def test_f32_workspace_fused_matches_host(self):
+        """f32 pools: the fused ledger runs in f64 like the host's Python
+        floats (and epsabs must not be truncated to f32, where 1e-40
+        underflows to 0)."""
+        g = genz.f4_gaussian(3, a=5.0)
+        ws = Workspace(3, dtype=jnp.float32, chunk_size=1024)
+        rh = ws.integrate(g, epsrel=1e-4, epsabs=1e-30, fused=False)
+        rf = ws.integrate(g, epsrel=1e-4, epsabs=1e-30, fused=True)
+        assert (rh.status, rh.iters, rh.neval) == \
+               (rf.status, rf.iters, rf.neval)
+        assert abs(rh.estimate - rf.estimate) <= 1e-6 * abs(rh.estimate)
