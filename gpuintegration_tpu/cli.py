@@ -80,6 +80,10 @@ def main(argv=None):
     sp.add_argument("--adjust-iters", type=int, default=15)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--importance", choices=["grid", "poly"], default="grid")
+    sp.add_argument("--refine", choices=["host", "device"], default="host",
+                    help="grid refinement: exact-f64 host NumPy (reference "
+                    "parity) or fused on-device f32 (one dispatch for the "
+                    "whole adjustment phase)")
     sp.add_argument("--eval-dtype", choices=["float32", "float64"],
                     default=None, help="integrand evaluation dtype "
                     "(accumulators stay f64; float32 skips TPU f64 "
@@ -110,7 +114,7 @@ def main(argv=None):
             ndim=ndim, ncall=args.ncall, vol=vol, epsabs=args.epsabs,
             total_iters=args.iters, adjust_iters=args.adjust_iters,
             runs=args.runs, seed=args.seed, importance=args.importance,
-            eval_dtype=args.eval_dtype)
+            eval_dtype=args.eval_dtype, refine=args.refine)
         return 0 if good else 1
     if args.cmd == "ladder":
         print(timing.PAGANI_CSV_HEADER)

@@ -379,6 +379,55 @@ def _frozen_phase(
         (start_it, si0, swgt0, schi0, jnp.asarray(False)))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
+                     "nbins", "dtype_name", "adjust_iters",
+                     "eval_dtype_name"))
+def _adjust_phase(
+    f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
+    nbins: int, dtype_name: str, adjust_iters: int,
+    base_key, xi0, regn_lo, dx, xjac, ncubes,
+    *,
+    eval_dtype_name: str | None = None,
+):
+    """ALL grid-adjustment iterations in ONE dispatch (refine='device').
+
+    Per iteration: sample with histogram accumulation, then refine the
+    grid ON DEVICE with the f32 scatter/gather/sort-free rebin shared
+    with the per-region hybrid (pagani.vegas_assisted._refine_grids --
+    compare-count replaces searchsorted, a one-hot contraction replaces
+    the gathers).  The host-NumPy f64 refinement (mcubes.grid) exists
+    because XLA's *f64* cumsum/gather emulation has pathological compile
+    cost; the f32 path has neither problem, and grid precision only
+    affects variance, never bias (any monotone map is exact).
+
+    Sampling streams are the host loop's exactly (fold_in(base_key, it),
+    it = 1..adjust_iters).  Returns (xi_final (ndim, nbins+1) f32,
+    rows (adjust_iters, 2) f64) with rows[i] = (ti, tsi_raw) of iteration
+    i+1 -- the host applies dv2g scaling, the skip window and the
+    weighted combination, so convergence bookkeeping stays identical.
+    """
+    from gpuintegration_tpu.pagani.vegas_assisted import _refine_grids
+    dtype = jnp.dtype(dtype_name)
+
+    def body(i, carry):
+        xi, rows = carry
+        key = jax.random.fold_in(base_key, i + 1)
+        ti, tsi, d = _vegas_iteration.__wrapped__(
+            f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, True,
+            dtype_name, key, xi, regn_lo, dx, xjac, ncubes,
+            eval_dtype_name=eval_dtype_name)
+        xi_new = _refine_grids(xi[None], d[None])[0]
+        row = jnp.stack([ti, tsi]).astype(jnp.float64)[None]
+        rows = jax.lax.dynamic_update_slice(rows, row, (i, 0))
+        return xi_new, rows
+
+    rows0 = jnp.zeros((adjust_iters, 2), jnp.float64)
+    return jax.lax.fori_loop(0, adjust_iters, body,
+                             (xi0.astype(jnp.float32), rows0))
+
+
 @dataclasses.dataclass
 class VegasState:
     """Checkpointable integrator state: the grid plus the iteration-weighted
@@ -410,6 +459,7 @@ def vegas(
     importance: str = "grid",
     poly_degree: int = 14,
     eval_dtype=None,
+    refine: str = "host",
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -428,6 +478,14 @@ def vegas(
     sample coordinates are f32-granular on both paths) is far below MC
     noise at any practical epsrel; avoid it only when pushing epsrel
     toward 1e-7.
+
+    ``refine``: 'host' (default) refines the grid in exact-f64 NumPy every
+    adjustment iteration (reference parity, vegasT.cuh:797-846 round
+    trip); 'device' runs ALL adjustment iterations in one dispatch with
+    the f32 scatter-free on-device rebin (grid importance only) -- same
+    sampling streams, combination and convergence bookkeeping; the grid
+    itself evolves in f32, which affects variance only (any monotone map
+    is unbiased).
     """
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
@@ -466,6 +524,41 @@ def vegas(
     tgral = sd = chi2a = 0.0
 
     it = 1
+    if refine not in ("host", "device"):
+        raise ValueError(f"refine {refine!r}: 'host' or 'device'")
+    if refine == "device":
+        if importance != "grid":
+            raise ValueError("refine='device' requires importance='grid' "
+                             "(the polynomial map is re-fitted on host)")
+        if debug_logger is not None:
+            raise ValueError("refine='device' fuses the adjustment phase; "
+                             "per-iteration capture needs refine='host'")
+        eff_adjust = min(adjust_iters, total_iters)
+        if eff_adjust > 0:
+            xi32, rows_d = _adjust_phase(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
+                dtype.name, eff_adjust, base_key,
+                jnp.asarray(xi, jnp.float32), regn_lo, dx, xjac_d,
+                ncubes_d, eval_dtype_name=ed_name)
+            rows = np.asarray(rows_d)       # one sync for the whole phase
+            xi = jnp.asarray(np.asarray(xi32), dtype)
+            for k in range(eff_adjust):
+                ti, tsi = float(rows[k, 0]), float(rows[k, 1]) * dv2g
+                res.neval += int(calls)
+                res.iters += 1
+                if it > skip_iters:
+                    wgt = 1.0 / tsi
+                    si += wgt * ti
+                    schi += wgt * ti * ti
+                    swgt += wgt
+                    tgral = si / swgt
+                    chi2a = max((schi - si * tgral) / (it - 0.9999), 0.0)
+                    sd = math.sqrt(1.0 / swgt)
+                    res.status = get_status(tgral, sd, it, epsrel, epsabs)
+                it += 1
+                if res.status == 0:
+                    break
+
     while it <= total_iters and res.status == 1:
         adjusting = it <= adjust_iters
 

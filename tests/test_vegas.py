@@ -267,3 +267,45 @@ class TestEvalDtype:
                           eval_dtype=jnp.float32)
         assert r.status == 0
         assert abs(r.estimate - g.true_value) / g.true_value < 3e-2
+
+
+class TestDeviceRefine:
+    """refine='device': all adjustment iterations fused in one dispatch
+    with the f32 scatter-free on-device rebin.  Same sampling streams and
+    combination as the host path; only the grid's refinement precision
+    differs (variance, never bias)."""
+
+    def test_converges_and_tracks_host(self):
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=5e-3, ncall=5e4, total_iters=12, adjust_iters=8,
+                  seed=1)
+        rh = V.integrate(g, refine="host", **kw)
+        rd = V.integrate(g, refine="device", **kw)
+        assert rd.status == 0
+        assert abs(rd.estimate - g.true_value) / g.true_value < 2e-2
+        assert abs(rd.estimate - rh.estimate) < 5 * max(rd.errorest,
+                                                        rh.errorest)
+
+    def test_deterministic(self):
+        g = genz.f4_gaussian(2, a=3.0)
+        kw = dict(ncall=1e4, total_iters=6, adjust_iters=4, seed=42,
+                  refine="device")
+        assert V.integrate(g, **kw).estimate == V.integrate(g, **kw).estimate
+
+    def test_requires_grid_importance(self):
+        g = genz.f4_gaussian(2, a=3.0)
+        with pytest.raises(ValueError):
+            V.integrate(g, ncall=1e4, refine="device", importance="poly")
+
+    def test_early_convergence_during_adjustment(self):
+        """Convergence reached inside the fused adjustment window must
+        terminate with the same status/iters accounting as the host."""
+        m = misc.addition(3)
+        kw = dict(epsrel=5e-3, ncall=4e4, total_iters=10, adjust_iters=10,
+                  seed=11)
+        rh = V.integrate(m, refine="host", **kw)
+        rd = V.integrate(m, refine="device", **kw)
+        assert rd.status == 0
+        assert rd.iters >= 5  # get_status needs >= 5 iterations
+        assert abs(rd.estimate - m.true_value) / m.true_value < 5e-3
+        assert rh.status == 0
