@@ -382,16 +382,20 @@ def _frozen_phase(
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
-                     "nbins", "dtype_name", "adjust_iters",
+                     "nbins", "dtype_name", "adjust_iters", "skip_iters",
                      "eval_dtype_name"))
 def _adjust_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
-    nbins: int, dtype_name: str, adjust_iters: int,
-    base_key, xi0, regn_lo, dx, xjac, ncubes,
+    nbins: int, dtype_name: str, adjust_iters: int, skip_iters: int,
+    base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
     *,
     eval_dtype_name: str | None = None,
 ):
-    """ALL grid-adjustment iterations in ONE dispatch (refine='device').
+    """ALL grid-adjustment iterations in ONE dispatch (refine='device'),
+    with the iteration-weighted combination and the convergence test on
+    device -- the adjustment-phase twin of ``_frozen_phase``, stopping as
+    soon as convergence is reached (no over-refined grid, no wasted
+    sampling, exact neval accounting).
 
     Per iteration: sample with histogram accumulation, then refine the
     grid ON DEVICE with the f32 scatter/gather/sort-free rebin shared
@@ -402,30 +406,47 @@ def _adjust_phase(
     cost; the f32 path has neither problem, and grid precision only
     affects variance, never bias (any monotone map is exact).
 
-    Sampling streams are the host loop's exactly (fold_in(base_key, it),
-    it = 1..adjust_iters).  Returns (xi_final (ndim, nbins+1) f32,
-    rows (adjust_iters, 2) f64) with rows[i] = (ti, tsi_raw) of iteration
-    i+1 -- the host applies dv2g scaling, the skip window and the
-    weighted combination, so convergence bookkeeping stays identical.
+    Sampling streams, skip window, combination and GetStatus semantics
+    are the host loop's exactly (fold_in(base_key, it), it = 1..).
+    Returns (xi (ndim, nbins+1) f32, (next_it, si, swgt, schi, done)).
     """
     from gpuintegration_tpu.pagani.vegas_assisted import _refine_grids
-    dtype = jnp.dtype(dtype_name)
+    f64 = jnp.float64
+    tiny = jnp.asarray(1e-300, f64)
 
-    def body(i, carry):
-        xi, rows = carry
-        key = jax.random.fold_in(base_key, i + 1)
+    def cond(carry):
+        it, _, _, _, _, done = carry
+        return (it <= adjust_iters) & jnp.logical_not(done)
+
+    def body(carry):
+        it, xi, si, swgt, schi, done = carry
+        key = jax.random.fold_in(base_key, it)
         ti, tsi, d = _vegas_iteration.__wrapped__(
             f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, True,
             dtype_name, key, xi, regn_lo, dx, xjac, ncubes,
             eval_dtype_name=eval_dtype_name)
-        xi_new = _refine_grids(xi[None], d[None])[0]
-        row = jnp.stack([ti, tsi]).astype(jnp.float64)[None]
-        rows = jax.lax.dynamic_update_slice(rows, row, (i, 0))
-        return xi_new, rows
+        xi = _refine_grids(xi[None], d[None])[0]
+        ti = ti.astype(f64)
+        tsi = tsi.astype(f64) * dv2g
+        wgt = 1.0 / jnp.maximum(tsi, tiny)
+        acc = it > skip_iters
+        si = jnp.where(acc, si + wgt * ti, si)
+        schi = jnp.where(acc, schi + wgt * ti * ti, schi)
+        swgt = jnp.where(acc, swgt + wgt, swgt)
+        tgral = si / jnp.maximum(swgt, tiny)
+        sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
+        # get_status semantics (vegas_utils.cuh:225-248)
+        ok = jnp.where(tgral == 0.0, sd <= epsabs,
+                       (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
+        done = acc & ok & (it >= 5)
+        return it + 1, xi, si, swgt, schi, done
 
-    rows0 = jnp.zeros((adjust_iters, 2), jnp.float64)
-    return jax.lax.fori_loop(0, adjust_iters, body,
-                             (xi0.astype(jnp.float32), rows0))
+    z = jnp.zeros((), f64)
+    it_f, xi_f, si_f, swgt_f, schi_f, done_f = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(1, jnp.int32), xi0.astype(jnp.float32),
+         z, z, z, jnp.asarray(False)))
+    return xi_f, (it_f, si_f, swgt_f, schi_f, done_f)
 
 
 @dataclasses.dataclass
@@ -535,29 +556,30 @@ def vegas(
                              "per-iteration capture needs refine='host'")
         eff_adjust = min(adjust_iters, total_iters)
         if eff_adjust > 0:
-            xi32, rows_d = _adjust_phase(
+            xi32, sc_d = _adjust_phase(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
-                dtype.name, eff_adjust, base_key,
+                dtype.name, eff_adjust, skip_iters, base_key,
                 jnp.asarray(xi, jnp.float32), regn_lo, dx, xjac_d,
-                ncubes_d, eval_dtype_name=ed_name)
-            rows = np.asarray(rows_d)       # one sync for the whole phase
-            xi = jnp.asarray(np.asarray(xi32), dtype)
-            for k in range(eff_adjust):
-                ti, tsi = float(rows[k, 0]), float(rows[k, 1]) * dv2g
-                res.neval += int(calls)
-                res.iters += 1
-                if it > skip_iters:
-                    wgt = 1.0 / tsi
-                    si += wgt * ti
-                    schi += wgt * ti * ti
-                    swgt += wgt
-                    tgral = si / swgt
-                    chi2a = max((schi - si * tgral) / (it - 0.9999), 0.0)
-                    sd = math.sqrt(1.0 / swgt)
-                    res.status = get_status(tgral, sd, it, epsrel, epsabs)
-                it += 1
-                if res.status == 0:
-                    break
+                ncubes_d, jnp.asarray(dv2g, jnp.float64),
+                jnp.asarray(epsrel, jnp.float64),
+                jnp.asarray(epsabs, jnp.float64),
+                eval_dtype_name=ed_name)
+            out = np.asarray(jnp.stack(
+                [sc_d[0].astype(jnp.float64), sc_d[1], sc_d[2], sc_d[3],
+                 sc_d[4].astype(jnp.float64)]))  # ONE sync for the phase
+            xi = xi32.astype(dtype)              # stays on device
+            it_next = int(out[0])
+            si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
+            converged = bool(out[4])
+            iters_run = it_next - it
+            res.neval += int(calls) * iters_run
+            res.iters += iters_run
+            it = it_next
+            if swgt > 0.0:
+                tgral = si / swgt
+                sd = math.sqrt(1.0 / swgt)
+                chi2a = max((schi - si * tgral) / (it - 1 - 0.9999), 0.0)
+            res.status = 0 if converged else 1
 
     while it <= total_iters and res.status == 1:
         adjusting = it <= adjust_iters

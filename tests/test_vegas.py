@@ -298,14 +298,14 @@ class TestDeviceRefine:
             V.integrate(g, ncall=1e4, refine="device", importance="poly")
 
     def test_early_convergence_during_adjustment(self):
-        """Convergence reached inside the fused adjustment window must
-        terminate with the same status/iters accounting as the host."""
+        """Convergence reached inside the fused adjustment window stops
+        the on-device while_loop: iters and neval match the host loop
+        exactly (no over-refinement, no phantom evaluations)."""
         m = misc.addition(3)
         kw = dict(epsrel=5e-3, ncall=4e4, total_iters=10, adjust_iters=10,
                   seed=11)
         rh = V.integrate(m, refine="host", **kw)
         rd = V.integrate(m, refine="device", **kw)
-        assert rd.status == 0
-        assert rd.iters >= 5  # get_status needs >= 5 iterations
+        assert rd.status == rh.status == 0
+        assert (rd.iters, rd.neval) == (rh.iters, rh.neval)
         assert abs(rd.estimate - m.true_value) / m.true_value < 5e-3
-        assert rh.status == 0
