@@ -251,3 +251,51 @@ class TestFusedAdaptivePhase:
         assert (rh.status, rh.iters, rh.neval) == \
                (rf.status, rf.iters, rf.neval)
         assert abs(rh.estimate - rf.estimate) <= 1e-6 * abs(rh.estimate)
+
+
+class TestNanIntegral:
+    """A NaN-returning integrand must terminate with status != 0 and must
+    not report a bogus converged result (reference:
+    test/cuda/pagani/NanIntegral.cu:25)."""
+
+    def test_nan_never_reports_success(self):
+        def nanf(x, y, z):
+            return jnp.where(x > 0.5, jnp.nan, 1.0)
+
+        # small pool budget: NaN errors keep every region active, so the
+        # pool doubles every iteration -- bound the test's growth
+        ws = Workspace(3, chunk_size=1024, max_pool_regions=1 << 15)
+        r = ws.integrate(nanf, epsrel=1e-6, epsabs=1e-40,
+                         max_iterations=12)
+        assert r.status == 1
+
+    def test_nan_fused_and_host_agree(self):
+        def nanf(x, y, z):
+            return jnp.where(x > 0.5, jnp.nan, 1.0)
+
+        ws = Workspace(3, chunk_size=1024, max_pool_regions=1 << 15)
+        rh = ws.integrate(nanf, epsrel=1e-6, epsabs=1e-40,
+                          max_iterations=8, fused=False)
+        rf = ws.integrate(nanf, epsrel=1e-6, epsabs=1e-40,
+                          max_iterations=8, fused=True)
+        assert rh.status == 1 and rf.status == 1
+
+
+class TestAccuracyImprovesWithEpsrel:
+    """Tighter epsrel must give (weakly) smaller achieved error
+    (reference: test/cuda/pagani/accuracy_improves_with_epsrel.cu:38)."""
+
+    def test_monotone_errorest(self):
+        g = genz.f4_gaussian(3, a=5.0)
+        ws = Workspace(3, chunk_size=1024)
+        errs, errorests = [], []
+        for eps in (1e-3, 1e-4, 1e-5, 1e-6):
+            r = ws.integrate(g, epsrel=eps, epsabs=1e-40)
+            assert r.status == 0
+            errs.append(abs(r.estimate - g.true_value))
+            errorests.append(r.errorest)
+        # certified errors shrink strictly; achieved errors never grow
+        # beyond the certified band
+        assert all(b <= a for a, b in zip(errorests, errorests[1:]))
+        for e, c in zip(errs, errorests):
+            assert e <= max(c, 1e-15)
