@@ -125,7 +125,7 @@ def _vegas_iteration(
     dx,           # (ndim,)
     xjac,         # scalar: prod(dx)/calls
     ncubes,       # traced: true number of cubes (cube axis is padded)
-    cube_offset=0,  # traced: first cube id owned by this shard
+    chunk_offset=0,  # traced: first GLOBAL chunk id owned by this shard
     *,
     eval_dtype_name: str | None = None,
 ):
@@ -134,6 +134,13 @@ def _vegas_iteration(
     Returns (ti, tsi_raw, d) where d is the (ndim, nbins) f^2 histogram
     (zeros when accumulate_hist=False) and tsi_raw must still be scaled by
     dv2g on the host (vegasT.cuh:849-851).
+
+    ``chunk_offset``: multi-chip support -- device i processes global
+    chunks [i*num_chunks, (i+1)*num_chunks).  Per-chunk PRNG streams key
+    on the GLOBAL chunk id, so a mesh run samples the same streams as a
+    single-chip run with the same chunk decomposition (results differ only
+    by psum reassociation) -- the reproducibility property the reference's
+    reseed-per-cube Custom_generator targets (vegas_utils.cuh:24-49).
 
     ``eval_dtype_name``: dtype the integrand is EVALUATED in (accumulators
     always stay in ``dtype_name``).  Sample coordinates are already
@@ -156,12 +163,13 @@ def _vegas_iteration(
 
     def chunk_body(c, carry):
         ti, tsi, d = carry
-        cube0 = cube_offset + c * chunk_cubes
+        gc = chunk_offset + c                          # global chunk id
+        cube0 = jnp.asarray(gc, jnp.int64) * chunk_cubes
         cube_ids = cube0 + jnp.arange(chunk_cubes, dtype=jnp.int64)
         valid = cube_ids < ncubes
         kg = _decode_cube(cube_ids, ng, ndim)          # (C, ndim)
 
-        ck = jax.random.fold_in(key, c)
+        ck = jax.random.fold_in(key, gc)
         ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), f32)
 
         # stratified + importance point (Setup_Integrand_Eval,
@@ -255,15 +263,16 @@ def _vegas_iteration_poly(
     dx,           # (ndim,)
     xjac,         # scalar: prod(dx)/calls
     ncubes,
-    cube_offset=0,
+    chunk_offset=0,
     *,
     eval_dtype_name: str | None = None,
 ):
     """Gather-free VEGAS iteration: polynomial inverse-CDF sampling
     (mcubes.poly_importance).  Same stratification, accumulators and
     histogram as _vegas_iteration; coordinates and weights come from
-    Horner chains instead of grid lookups.  ``eval_dtype_name`` as in
-    _vegas_iteration (f32 integrand evaluation, ``dtype`` accumulation)."""
+    Horner chains instead of grid lookups.  ``eval_dtype_name`` and
+    ``chunk_offset`` (global-chunk PRNG streams for multi-chip) as in
+    _vegas_iteration."""
     from gpuintegration_tpu.mcubes.poly_importance import (
         eval_map_and_weight)
     dtype = jnp.dtype(dtype_name)
@@ -272,12 +281,13 @@ def _vegas_iteration_poly(
 
     def chunk_body(c, carry):
         ti, tsi, d = carry
-        cube0 = cube_offset + c * chunk_cubes
+        gc = chunk_offset + c                          # global chunk id
+        cube0 = jnp.asarray(gc, jnp.int64) * chunk_cubes
         cube_ids = cube0 + jnp.arange(chunk_cubes, dtype=jnp.int64)
         valid = cube_ids < ncubes
         kg = _decode_cube(cube_ids, ng, ndim)          # (C, ndim)
 
-        ck = jax.random.fold_in(key, c)
+        ck = jax.random.fold_in(key, gc)
         ran = jax.random.uniform(ck, (chunk_cubes, npg, ndim), f32)
         # stratified position in [0,1): s = (kg - ran)/ng
         s = (kg[:, None, :].astype(f32) - ran) * (1.0 / ng)
@@ -316,8 +326,55 @@ def _vegas_iteration_poly(
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
+                     "nbins", "accumulate_hist", "dtype_name", "importance",
+                     "eval_dtype_name", "mesh"))
+def _mesh_iteration(
+    f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
+    nbins: int, accumulate_hist: bool, dtype_name: str, importance: str,
+    mesh,
+    key, map_a, map_b, regn_lo, dx, xjac, ncubes,
+    *,
+    eval_dtype_name: str | None = None,
+):
+    """One VEGAS iteration SPMD over the mesh: device i samples global
+    chunks [i*num_chunks, (i+1)*num_chunks) and ti/tsi/d are all-reduced
+    -- replacing the reference's atomicAdd(result_dev) global accumulation
+    (vegasT.cuh:483-484) with psums over ICI.  ``num_chunks`` is
+    PER-DEVICE.  Single-chip equivalence: same global-chunk PRNG streams
+    as an unsharded run with the same chunk decomposition."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+
+    def local(key, a, b, rl, dxv, xj, nc):
+        dev = jax.lax.axis_index(REGION_AXIS)
+        off = dev.astype(jnp.int32) * num_chunks
+        if importance == "poly":
+            ti, tsi, d = _vegas_iteration_poly.__wrapped__(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
+                accumulate_hist, dtype_name, key, a, b, rl, dxv, xj, nc,
+                off, eval_dtype_name=eval_dtype_name)
+        else:
+            ti, tsi, d = _vegas_iteration.__wrapped__(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
+                accumulate_hist, dtype_name, key, a, rl, dxv, xj, nc,
+                off, eval_dtype_name=eval_dtype_name)
+        return (jax.lax.psum(ti, REGION_AXIS),
+                jax.lax.psum(tsi, REGION_AXIS),
+                jax.lax.psum(d, REGION_AXIS))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(P(), P(), P(None, None)),
+        check_vma=False)(key, map_a, map_b, regn_lo, dx, xjac, ncubes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "importance", "total_iters",
-                     "skip_iters", "eval_dtype_name"))
+                     "skip_iters", "eval_dtype_name", "mesh"))
 def _frozen_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, importance: str, total_iters: int,
@@ -327,6 +384,7 @@ def _frozen_phase(
     start_it, si0, swgt0, schi0,
     *,
     eval_dtype_name: str | None = None,
+    mesh=None,
 ):
     """ALL remaining frozen-grid iterations in ONE dispatch.
 
@@ -338,58 +396,90 @@ def _frozen_phase(
     per-iteration dispatch+sync overhead (~0.1-0.4 s on the remote
     runtime) would otherwise dominate at production ncall.
 
+    ``mesh``: run the WHOLE phase SPMD over the mesh -- each device owns
+    ``num_chunks`` (per-device) global chunks, ti/tsi are psum'd inside
+    the loop body, and every device runs the identical combination and
+    convergence test (the carry stays replicated).  Same fold_in(base_key,
+    it) + global-chunk streams as the single-chip path.
+
     Returns (next_it, si, swgt, schi, converged).
     """
     dtype = jnp.dtype(dtype_name)
     tiny = jnp.asarray(1e-300, dtype)
 
-    def cond(carry):
-        it, si, swgt, schi, done = carry
-        return (it <= total_iters) & jnp.logical_not(done)
+    def phase(chunk_offset, base_key, map_a, map_b, regn_lo, dx, xjac,
+              ncubes, dv2g, epsrel, epsabs, start_it, si0, swgt0, schi0):
+        def cond(carry):
+            it, si, swgt, schi, done = carry
+            return (it <= total_iters) & jnp.logical_not(done)
 
-    def body(carry):
-        it, si, swgt, schi, done = carry
-        key = jax.random.fold_in(base_key, it)
-        if importance == "poly":
-            ti, tsi, _ = _vegas_iteration_poly(
-                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
-                dtype_name, key, map_a, map_b, regn_lo, dx, xjac, ncubes,
-                eval_dtype_name=eval_dtype_name)
-        else:
-            ti, tsi, _ = _vegas_iteration(
-                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
-                dtype_name, key, map_a, regn_lo, dx, xjac, ncubes,
-                eval_dtype_name=eval_dtype_name)
-        tsi = tsi * dv2g
-        wgt = 1.0 / jnp.maximum(tsi, tiny)
-        acc = it > skip_iters
-        si = jnp.where(acc, si + wgt * ti, si)
-        schi = jnp.where(acc, schi + wgt * ti * ti, schi)
-        swgt = jnp.where(acc, swgt + wgt, swgt)
-        tgral = si / jnp.maximum(swgt, tiny)
-        sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
-        # get_status semantics (vegas_utils.cuh:225-248)
-        ok = jnp.where(tgral == 0.0, sd <= epsabs,
-                       (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
-        done = acc & ok & (it >= 5)
-        return it + 1, si, swgt, schi, done
+        def body(carry):
+            it, si, swgt, schi, done = carry
+            key = jax.random.fold_in(base_key, it)
+            if importance == "poly":
+                ti, tsi, _ = _vegas_iteration_poly.__wrapped__(
+                    f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
+                    dtype_name, key, map_a, map_b, regn_lo, dx, xjac,
+                    ncubes, chunk_offset, eval_dtype_name=eval_dtype_name)
+            else:
+                ti, tsi, _ = _vegas_iteration.__wrapped__(
+                    f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
+                    dtype_name, key, map_a, regn_lo, dx, xjac, ncubes,
+                    chunk_offset, eval_dtype_name=eval_dtype_name)
+            if mesh is not None:
+                from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+                ti = jax.lax.psum(ti, REGION_AXIS)
+                tsi = jax.lax.psum(tsi, REGION_AXIS)
+            tsi = tsi * dv2g
+            wgt = 1.0 / jnp.maximum(tsi, tiny)
+            acc = it > skip_iters
+            si = jnp.where(acc, si + wgt * ti, si)
+            schi = jnp.where(acc, schi + wgt * ti * ti, schi)
+            swgt = jnp.where(acc, swgt + wgt, swgt)
+            tgral = si / jnp.maximum(swgt, tiny)
+            sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
+            # get_status semantics (vegas_utils.cuh:225-248)
+            ok = jnp.where(tgral == 0.0, sd <= epsabs,
+                           (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
+            done = acc & ok & (it >= 5)
+            return it + 1, si, swgt, schi, done
 
-    return jax.lax.while_loop(
-        cond, body,
-        (start_it, si0, swgt0, schi0, jnp.asarray(False)))
+        return jax.lax.while_loop(
+            cond, body,
+            (start_it, si0, swgt0, schi0, jnp.asarray(False)))
+
+    args = (base_key, map_a, map_b, regn_lo, dx, xjac, ncubes, dv2g,
+            epsrel, epsabs, start_it, si0, swgt0, schi0)
+    if mesh is None:
+        return phase(jnp.asarray(0, jnp.int32), *args)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+
+    def local(*a):
+        dev = jax.lax.axis_index(REGION_AXIS)
+        return phase(dev.astype(jnp.int32) * num_chunks, *a)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=tuple(P() for _ in args),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False)(*args)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "adjust_iters", "skip_iters",
-                     "eval_dtype_name"))
+                     "eval_dtype_name", "mesh"))
 def _adjust_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, adjust_iters: int, skip_iters: int,
     base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
     *,
     eval_dtype_name: str | None = None,
+    mesh=None,
 ):
     """ALL grid-adjustment iterations in ONE dispatch (refine='device'),
     with the iteration-weighted combination and the convergence test on
@@ -408,45 +498,73 @@ def _adjust_phase(
 
     Sampling streams, skip window, combination and GetStatus semantics
     are the host loop's exactly (fold_in(base_key, it), it = 1..).
-    Returns (xi (ndim, nbins+1) f32, (next_it, si, swgt, schi, done)).
+    ``mesh``: whole-phase SPMD as in _frozen_phase -- ti/tsi/d are psum'd
+    before the on-device rebin, so every device evolves the identical
+    grid.  Returns (xi (ndim, nbins+1) f32,
+    (next_it, si, swgt, schi, done)).
     """
     from gpuintegration_tpu.pagani.vegas_assisted import _refine_grids
     f64 = jnp.float64
     tiny = jnp.asarray(1e-300, f64)
 
-    def cond(carry):
-        it, _, _, _, _, done = carry
-        return (it <= adjust_iters) & jnp.logical_not(done)
+    def phase(chunk_offset, base_key, xi0, regn_lo, dx, xjac, ncubes,
+              dv2g, epsrel, epsabs):
+        def cond(carry):
+            it, _, _, _, _, done = carry
+            return (it <= adjust_iters) & jnp.logical_not(done)
 
-    def body(carry):
-        it, xi, si, swgt, schi, done = carry
-        key = jax.random.fold_in(base_key, it)
-        ti, tsi, d = _vegas_iteration.__wrapped__(
-            f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, True,
-            dtype_name, key, xi, regn_lo, dx, xjac, ncubes,
-            eval_dtype_name=eval_dtype_name)
-        xi = _refine_grids(xi[None], d[None])[0]
-        ti = ti.astype(f64)
-        tsi = tsi.astype(f64) * dv2g
-        wgt = 1.0 / jnp.maximum(tsi, tiny)
-        acc = it > skip_iters
-        si = jnp.where(acc, si + wgt * ti, si)
-        schi = jnp.where(acc, schi + wgt * ti * ti, schi)
-        swgt = jnp.where(acc, swgt + wgt, swgt)
-        tgral = si / jnp.maximum(swgt, tiny)
-        sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
-        # get_status semantics (vegas_utils.cuh:225-248)
-        ok = jnp.where(tgral == 0.0, sd <= epsabs,
-                       (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
-        done = acc & ok & (it >= 5)
-        return it + 1, xi, si, swgt, schi, done
+        def body(carry):
+            it, xi, si, swgt, schi, done = carry
+            key = jax.random.fold_in(base_key, it)
+            ti, tsi, d = _vegas_iteration.__wrapped__(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, True,
+                dtype_name, key, xi, regn_lo, dx, xjac, ncubes,
+                chunk_offset, eval_dtype_name=eval_dtype_name)
+            if mesh is not None:
+                from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+                ti = jax.lax.psum(ti, REGION_AXIS)
+                tsi = jax.lax.psum(tsi, REGION_AXIS)
+                d = jax.lax.psum(d, REGION_AXIS)
+            xi = _refine_grids(xi[None], d[None])[0]
+            ti = ti.astype(f64)
+            tsi = tsi.astype(f64) * dv2g
+            wgt = 1.0 / jnp.maximum(tsi, tiny)
+            acc = it > skip_iters
+            si = jnp.where(acc, si + wgt * ti, si)
+            schi = jnp.where(acc, schi + wgt * ti * ti, schi)
+            swgt = jnp.where(acc, swgt + wgt, swgt)
+            tgral = si / jnp.maximum(swgt, tiny)
+            sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
+            # get_status semantics (vegas_utils.cuh:225-248)
+            ok = jnp.where(tgral == 0.0, sd <= epsabs,
+                           (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
+            done = acc & ok & (it >= 5)
+            return it + 1, xi, si, swgt, schi, done
 
-    z = jnp.zeros((), f64)
-    it_f, xi_f, si_f, swgt_f, schi_f, done_f = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(1, jnp.int32), xi0.astype(jnp.float32),
-         z, z, z, jnp.asarray(False)))
-    return xi_f, (it_f, si_f, swgt_f, schi_f, done_f)
+        z = jnp.zeros((), f64)
+        it_f, xi_f, si_f, swgt_f, schi_f, done_f = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(1, jnp.int32), xi0.astype(jnp.float32),
+             z, z, z, jnp.asarray(False)))
+        return xi_f, (it_f, si_f, swgt_f, schi_f, done_f)
+
+    args = (base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs)
+    if mesh is None:
+        return phase(jnp.asarray(0, jnp.int32), *args)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+
+    def local(*a):
+        dev = jax.lax.axis_index(REGION_AXIS)
+        return phase(dev.astype(jnp.int32) * num_chunks, *a)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=tuple(P() for _ in args),
+        out_specs=(P(None, None), (P(), P(), P(), P(), P())),
+        check_vma=False)(*args)
 
 
 @dataclasses.dataclass
@@ -481,6 +599,7 @@ def vegas(
     poly_degree: int = 14,
     eval_dtype=None,
     refine: str = "host",
+    mesh=None,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -507,6 +626,16 @@ def vegas(
     sampling streams, combination and convergence bookkeeping; the grid
     itself evolves in f32, which affects variance only (any monotone map
     is unbiased).
+
+    ``mesh``: optional jax.sharding.Mesh -- the sub-cube lattice is split
+    over the mesh axis (device i owns a contiguous global-chunk range)
+    and every path (per-iteration, fused frozen phase, refine='device',
+    poly importance, debug logger) runs SPMD with psum'd accumulators.
+    PRNG streams are keyed on GLOBAL chunk ids, so a mesh run draws the
+    same samples as a single-chip run with the same chunk decomposition;
+    results are deterministic for a fixed (seed, mesh) and differ from
+    single-chip only by all-reduce reassociation.  (The reference is
+    single-GPU only, SURVEY.md section 2.7.)
     """
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
@@ -520,6 +649,8 @@ def vegas(
     dv2g = (calls * (1.0 / ng) ** ndim) ** 2 / npg / npg / (npg - 1.0)
     xjac = (1.0 / calls) * vol.jacobian
 
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    shard_cubes = -(-ncubes // n_dev)         # cubes per device
     if chunk_cubes is None:
         # bound (chunk, npg, ndim) activations to ~128 MB; power-of-two so
         # compiled iteration shapes repeat across ncall configurations
@@ -527,9 +658,9 @@ def vegas(
         budget = max(128 * 1024 * 1024 // per_cube, 1024)
         chunk_cubes = 1 << (int(budget).bit_length() - 1)
         chunk_cubes = int(min(chunk_cubes, 1 << 20))
-        if chunk_cubes >= ncubes:
-            chunk_cubes = ncubes  # single-chunk: exact size, no padding
-    num_chunks = -(-ncubes // chunk_cubes)
+        if chunk_cubes >= shard_cubes:
+            chunk_cubes = shard_cubes  # single-chunk: exact size, no padding
+    num_chunks = -(-shard_cubes // chunk_cubes)   # PER-DEVICE chunk count
 
     regn_lo = jnp.asarray(vol.lows, dtype)
     dx = jnp.asarray(vol.highs - vol.lows, dtype)
@@ -563,7 +694,7 @@ def vegas(
                 ncubes_d, jnp.asarray(dv2g, jnp.float64),
                 jnp.asarray(epsrel, jnp.float64),
                 jnp.asarray(epsabs, jnp.float64),
-                eval_dtype_name=ed_name)
+                eval_dtype_name=ed_name, mesh=mesh)
             out = np.asarray(jnp.stack(
                 [sc_d[0].astype(jnp.float64), sc_d[1], sc_d[2], sc_d[3],
                  sc_d[4].astype(jnp.float64)]))  # ONE sync for the phase
@@ -606,7 +737,7 @@ def vegas(
                 jnp.asarray(epsabs, dtype),
                 jnp.asarray(it, jnp.int32), jnp.asarray(si, dtype),
                 jnp.asarray(swgt, dtype), jnp.asarray(schi, dtype),
-                eval_dtype_name=ed_name)
+                eval_dtype_name=ed_name, mesh=mesh)
             out = np.asarray(jnp.stack([
                 it_d.astype(dtype), si_d, swgt_d, schi_d,
                 done_d.astype(dtype)]))
@@ -629,11 +760,20 @@ def vegas(
             from gpuintegration_tpu.mcubes.poly_importance import (
                 fit_importance_poly)
             p_np, dp_np = fit_importance_poly(np.asarray(xi), poly_degree)
+            map_a = jnp.asarray(p_np, jnp.float32)
+            map_b = jnp.asarray(dp_np, jnp.float32)
+        else:
+            map_a, map_b = xi, xi
+        if mesh is not None:
+            ti_d, tsi_d, d = _mesh_iteration(
+                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
+                dtype.name, importance, mesh,
+                key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
+                eval_dtype_name=ed_name)
+        elif importance == "poly":
             ti_d, tsi_d, d = _vegas_iteration_poly(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
-                dtype.name, key,
-                jnp.asarray(p_np, jnp.float32),
-                jnp.asarray(dp_np, jnp.float32),
+                dtype.name, key, map_a, map_b,
                 regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name)
         else:
             ti_d, tsi_d, d = _vegas_iteration(

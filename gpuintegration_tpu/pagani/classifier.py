@@ -164,11 +164,17 @@ class HeuristicClassifier:
         error_budget = target_error - total_finished_errorest
         extra = iter_errorest - kept - iter_finished_errorest   # (K,)
         pct_active = counts / num_regions
+        # HARD pool bound: the 2x split of the survivors must fit the
+        # region budget.  (The reference's percentage relaxation can
+        # overshoot its own 16 GB model, heuristic_classifier.cuh:425-437;
+        # on TPU the pool budget is an HBM OOM wall, so it is enforced
+        # outright on top of the reference's percentage schedule.)
+        split_fits = 2.0 * counts <= self.max_pool_regions
 
         res = ClassificationResult()
         for active_pct in (0.5, 0.6, 0.7):
             for budget_pct in (0.25, 0.35, 0.45, 0.55, 0.65):
-                ok = (pct_active <= active_pct) & \
+                ok = (pct_active <= active_pct) & split_fits & \
                      (extra <= budget_pct * error_budget) & (counts > 0)
                 if ok.any():
                     # smallest qualifying threshold finishes the least error
@@ -218,7 +224,10 @@ class HeuristicClassifier:
                 flags, n_act = _threshold_probe(errorests, mask, threshold)
                 n_act = float(n_act)
                 pct = n_act / num_regions
-                pass_mem = pct <= max_active_pct
+                # percentage criterion + the HARD pool bound (see
+                # classify_ladder): the 2x split must fit the budget
+                pass_mem = (pct <= max_active_pct
+                            and 2.0 * n_act <= self.max_pool_regions)
                 if not pass_mem:
                     rng_lo = threshold
                     threshold += abs(rng_hi - threshold) * 0.5

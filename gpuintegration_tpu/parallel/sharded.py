@@ -74,125 +74,26 @@ def sharded_reductions(mesh, est, refined, active):
 
 
 # ---------------------------------------------------------------------------
-# VEGAS: cube-range-per-device iteration
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes",
-                     "num_chunks_per_dev", "nbins", "accumulate_hist",
-                     "dtype_name", "mesh", "eval_dtype_name"))
-def sharded_vegas_iteration(
-    f, ndim, ng, npg, chunk_cubes, num_chunks_per_dev, nbins,
-    accumulate_hist, dtype_name, mesh,
-    key, xi, regn_lo, dx, xjac, ncubes,
-    *,
-    eval_dtype_name=None,
-):
-    """One VEGAS iteration with the sub-cube lattice split across the mesh.
-
-    Device i owns cubes [i * cubes_per_shard, (i+1) * cubes_per_shard); the
-    scalar accumulators and the adaptation histogram are all-reduced --
-    replacing the reference's atomicAdd(result_dev) global accumulation
-    (vegasT.cuh:483-484) with psums over ICI.
-    """
-    cubes_per_shard = chunk_cubes * num_chunks_per_dev
-
-    def local(key, xi, regn_lo, dx, xjac, ncubes):
-        dev = jax.lax.axis_index(REGION_AXIS)
-        offset = (dev.astype(jnp.int64) * cubes_per_shard)
-        dev_key = jax.random.fold_in(key, dev)
-        ti, tsi, d = V._vegas_iteration.__wrapped__(
-            f, ndim, ng, npg, chunk_cubes, num_chunks_per_dev, nbins,
-            accumulate_hist, dtype_name,
-            dev_key, xi, regn_lo, dx, xjac, ncubes, offset,
-            eval_dtype_name=eval_dtype_name)
-        ti = jax.lax.psum(ti, REGION_AXIS)
-        tsi = jax.lax.psum(tsi, REGION_AXIS)
-        d = jax.lax.psum(d, REGION_AXIS)
-        return ti, tsi, d
-
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None), P(None, None), P(None), P(None), P(), P()),
-        out_specs=(P(), P(), P(None, None)),
-        check_vma=False,
-    )
-    return fn(key, xi, regn_lo, dx, xjac, ncubes)
-
+# VEGAS: multi-chip is a mesh= parameter of the ONE driver (mcubes.vegas)
 
 def vegas_sharded(
     integrand, epsrel=1e-3, epsabs=1e-12, ncall=1e6, vol=None, *,
     mesh: Mesh, ndim=None, total_iters=15, adjust_iters=15, skip_iters=5,
-    seed=0, dtype=jnp.float64, nbins=None, eval_dtype=None,
+    seed=0, dtype=jnp.float64, nbins=None, eval_dtype=None, **kw,
 ):
-    """Multi-chip m-CUBES driver: same control flow as mcubes.vegas.vegas
-    but with each iteration's sampling spread over the mesh.
+    """Multi-chip m-CUBES: thin alias of ``mcubes.vegas(..., mesh=mesh)``.
 
-    NOTE on reproducibility: the per-device key is folded with the device
-    index, so results depend on mesh size (like the reference's dependence
-    on chunk/block geometry) but are deterministic for a fixed
-    (seed, mesh) -- the property the reference's reseed-per-cube
-    Custom_generator design aims at (vegas_utils.cuh:24-49).
+    The mesh path is the SAME driver as single-chip -- fused frozen phase,
+    refine='device', poly importance, debug logger all run SPMD (the
+    round-1 fork that re-implemented the control flow without them is
+    gone).  PRNG streams key on GLOBAL chunk ids, so a mesh run draws the
+    same samples as a single-chip run with the same chunk decomposition --
+    the reproducibility property the reference's reseed-per-cube
+    Custom_generator targets (vegas_utils.cuh:24-49).
     """
-    import math
-    import numpy as np
-    from gpuintegration_tpu.integrand import make_integrand
     from gpuintegration_tpu.mcubes import grid as vgrid
-    from gpuintegration_tpu.types import IntegrationResult, Volume
-
-    f, ndim = make_integrand(integrand, ndim)
-    if vol is None:
-        vol = Volume(ndim=ndim)
-    dtype = jnp.dtype(dtype)
-    ed_name = jnp.dtype(eval_dtype).name if eval_dtype is not None else None
-    nbins = nbins or vgrid.NDMX
-
-    ng, ncubes = V.compute_ncubes(ncall, ndim)
-    npg = V.samples_per_cube(ncall, ncubes)
-    calls = float(npg) * float(ncubes)
-    dv2g = (calls * (1.0 / ng) ** ndim) ** 2 / npg / npg / (npg - 1.0)
-    xjac = (1.0 / calls) * vol.jacobian
-
-    n_dev = int(mesh.devices.size)
-    cubes_per_shard = -(-ncubes // n_dev)
-    chunk = min(cubes_per_shard, 1 << 18)
-    num_chunks_per_dev = -(-cubes_per_shard // chunk)
-
-    regn_lo = jnp.asarray(vol.lows, dtype)
-    dx = jnp.asarray(vol.highs - vol.lows, dtype)
-    xjac_d = jnp.asarray(xjac, dtype)
-    ncubes_d = jnp.asarray(ncubes, jnp.int64)
-    xi = vgrid.uniform_grid(ndim, nbins, dtype)
-
-    base_key = jax.random.PRNGKey(seed)
-    res = IntegrationResult(status=1)
-    si = swgt = schi = 0.0
-    tgral = sd = chi2a = 0.0
-
-    it = 1
-    while it <= total_iters and res.status == 1:
-        adjusting = it <= adjust_iters
-        key = jax.random.fold_in(base_key, it)
-        ti_d, tsi_d, d = sharded_vegas_iteration(
-            f, ndim, ng, npg, chunk, num_chunks_per_dev, nbins, adjusting,
-            dtype.name, mesh, key, xi, regn_lo, dx, xjac_d, ncubes_d,
-            eval_dtype_name=ed_name)
-        if adjusting:
-            xi = jnp.asarray(vgrid.smooth_and_refine(xi, d), dtype)
-        out = np.asarray(jnp.stack([ti_d, tsi_d]))
-        ti, tsi = float(out[0]), float(out[1]) * dv2g
-        res.neval += int(calls)
-        if it > skip_iters:
-            wgt = 1.0 / tsi
-            si += wgt * ti
-            schi += wgt * ti * ti
-            swgt += wgt
-            tgral = si / swgt
-            chi2a = max((schi - si * tgral) / (it - 0.9999), 0.0)
-            sd = math.sqrt(1.0 / swgt)
-            res.status = V.get_status(tgral, sd, it, epsrel, epsabs)
-        res.iters += 1
-        it += 1
-
-    res.estimate, res.errorest, res.chi_sq = tgral, sd, chi2a
-    return res
+    return V.vegas(
+        integrand, epsrel, epsabs, ncall, vol, ndim=ndim,
+        total_iters=total_iters, adjust_iters=adjust_iters,
+        skip_iters=skip_iters, seed=seed, dtype=dtype,
+        nbins=nbins or vgrid.NDMX, eval_dtype=eval_dtype, mesh=mesh, **kw)

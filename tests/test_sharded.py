@@ -105,3 +105,34 @@ def test_sharded_vegas_deterministic(mesh):
     r2 = sharded.vegas_sharded(g, ncall=1e4, mesh=mesh, total_iters=6,
                                adjust_iters=4, seed=7)
     assert r1.estimate == r2.estimate
+
+
+def test_vegas_mesh_matches_single_chip(mesh):
+    """vegas(mesh=...) with a matched chunk decomposition draws the SAME
+    per-chunk PRNG streams as the single-chip run (global-chunk keying),
+    so the estimates agree to all-reduce reassociation noise (the f32
+    adaptation histogram's psum ordering feeds the grid, hence ~1e-7)."""
+    from gpuintegration_tpu.mcubes.vegas import vegas
+    g = genz.f4_gaussian(3, a=5.0)
+    kw = dict(epsrel=1e-4, ncall=8192.0, total_iters=8, adjust_iters=4,
+              seed=3, chunk_cubes=64)   # ncubes=4096 = 8 dev x 8 chunks x 64
+    r1 = vegas(g, **kw)
+    r8 = vegas(g, **kw, mesh=mesh)
+    assert r1.iters == r8.iters
+    np.testing.assert_allclose(r8.estimate, r1.estimate, rtol=1e-5)
+    np.testing.assert_allclose(r8.errorest, r1.errorest, rtol=1e-3)
+
+
+def test_vegas_mesh_fast_paths(mesh):
+    """The mesh path is the SAME driver: fused frozen phase,
+    refine='device' and poly importance all run SPMD and converge."""
+    from gpuintegration_tpu.mcubes.vegas import vegas
+    g = genz.f4_gaussian(3, a=5.0)
+    rd = vegas(g, epsrel=1e-3, ncall=8192.0, total_iters=12, adjust_iters=8,
+               seed=3, chunk_cubes=64, mesh=mesh, refine="device")
+    assert rd.status == 0
+    assert abs(rd.estimate - g.true_value) / g.true_value < 2e-2
+    rp = vegas(g, epsrel=1e-3, ncall=8192.0, total_iters=12, adjust_iters=6,
+               seed=3, chunk_cubes=64, mesh=mesh, importance="poly")
+    assert rp.status == 0
+    assert abs(rp.estimate - g.true_value) / g.true_value < 2e-2
