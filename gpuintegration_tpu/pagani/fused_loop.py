@@ -44,7 +44,7 @@ from gpuintegration_tpu.pagani import region_pool
 
 @functools.partial(jax.jit, static_argnames=(
     "f", "ndim", "dtype_name", "chunk_size", "relerr_classification",
-    "gate", "feval"))
+    "gate", "feval", "mesh"))
 def fused_adaptive_phase(
     f,
     ndim: int,
@@ -54,7 +54,7 @@ def fused_adaptive_phase(
     gate: int,                # exit (without eval) once 2*n > gate
     feval: int,               # rule points per region (neval accounting)
     lows, lengths,            # (ndim, cap) BLOCKED pool (post-split layout)
-    n,                        # int32: real region count
+    n,                        # int32: region count (mesh: (D,) per-shard)
     parent_est,               # (cap//2,) compacted parent estimates
     global_lo, global_range,  # (ndim,)
     epsrel_pool,              # pool-dtype epsrel (two-level classification)
@@ -65,10 +65,13 @@ def fused_adaptive_phase(
     neval,                    # f64 scalar
     est_hist,                 # (3,) f64: last three cumulative estimates
     max_iters,                # int32: total iteration budget
+    *,
+    mesh=None,
 ):
-    """Returns (lows, lengths, parent_est, sdim, packed) where ``packed``
-    is ONE f64 vector (a single D2H sync on the host -- every separate
-    scalar transfer costs ~30 ms on this runtime) laid out as
+    """Returns (lows, lengths, parent_est, sdim, packed) -- plus a
+    per-shard count vector ``ns`` before ``packed`` in mesh mode -- where
+    ``packed`` is ONE f64 vector (a single D2H sync on the host -- every
+    separate scalar transfer costs ~30 ms on this runtime) laid out as
 
       [n, cum_est, cum_err, result_nregions, iters_done, neval, status,
        last_inflight_est, last_inflight_err,
@@ -89,123 +92,186 @@ def fused_adaptive_phase(
     semantics of workspace._ledger_excl_pool); last_inflight_* is that
     sweep's still-active contribution (the host's max-iterations exit).
     Counters are exact in f64 (< 2^53).
+
+    ``mesh``: run the whole phase SPMD.  Each device owns an independent
+    BLOCKED sub-pool of the sharded (ndim, D*cap_s) bucket with its own
+    region count (``n`` is the (D,) per-shard count vector; ``cap`` below
+    is the PER-SHARD capacity); eval, refinement, compaction and split
+    are shard-local (zero cross-chip region traffic -- the static-roll
+    compaction never leaves the shard), and only the f64 iteration
+    scalars are psum'd.  The ledger, accuracy test, rollback and every
+    exit decision are computed from the psum'd globals identically on all
+    devices, so the replicated carry stays consistent; a bucket-overflow
+    exit fires when ANY shard's split would overflow its local capacity
+    (shards do not rebalance, like the reference's static block
+    assignment, PaganiUtils.cuh:313-331).
     """
     from gpuintegration_tpu.pagani.workspace import iteration_math
     dtype = jnp.dtype(dtype_name)
     f64 = jnp.float64
-    cap = lows.shape[1]
     tables = rule_eval.rule_tables(ndim, dtype_name)
     zero = jnp.zeros((), f64)
-    # parent slot is carried at FULL capacity (a grow exit returns up to
-    # cap compacted parents); refine_error only reads [:cap//2]
-    if parent_est.shape[0] < cap:
-        parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
 
-    def cond(carry):
-        (_, _, n_c, _, _, _, _, iters_c, _, _, status_c,
-         _, _, _, _, _, _, _) = carry
-        return ((status_c == -1)
-                & (2 * n_c <= gate)
-                & (iters_c < max_iters))
+    if mesh is not None:
+        from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+        ps = functools.partial(jax.lax.psum, axis_name=REGION_AXIS)
+    else:
+        ps = lambda x: x  # noqa: E731 - single-chip: psum is identity
 
-    def body(carry):
-        (lo_c, ln_c, n_c, par_c, cum_e, cum_r, res_nreg,
-         iters_c, nev, hist, _status, _lie, _lir,
-         _pe, _pr, _pn, _pi, _sd) = carry
+    def run(lows, lengths, n_loc0, n_glob0, parent_est,
+            global_lo, global_range, epsrel_pool, epsrel, epsabs,
+            cum_est, cum_err, result_nregions, iters_done, neval,
+            est_hist, max_iters):
+        cap = lows.shape[1]           # per-shard capacity in mesh mode
+        # parent slot is carried at FULL capacity (a grow exit returns up
+        # to cap compacted parents); refine_error only reads [:cap//2]
+        if parent_est.shape[0] < cap:
+            parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
 
-        est_raw, err_raw, sdim = rule_eval.apply_rule(
-            f, tables, lo_c, ln_c, global_lo, global_range,
-            chunk_size=chunk_size, n=n_c, blocked=True)
-        # SAME traced pipeline as the host's _post_stage
-        (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
-         fin_err_d, n_active_d) = iteration_math(
-            relerr_classification, True, est_raw, err_raw, n_c,
-            par_c, jnp.asarray(True), epsrel_pool)
-        # ledger arithmetic in f64, exactly like the host's Python floats
-        # (widening the dtype-reduced sums is exact)
-        iter_est = iter_est_d.astype(f64)
-        iter_err = iter_err_d.astype(f64)
-        fin_est = fin_est_d.astype(f64)
-        fin_err = fin_err_d.astype(f64)
+        def cond(carry):
+            (_, _, _n_loc, n_g, _, _, _, _, iters_c, _, _, status_c,
+             _, _, _, _, _, _, _) = carry
+            return ((status_c == -1)
+                    & (2 * n_g <= gate)
+                    & (iters_c < max_iters))
 
-        tot_est = cum_e + iter_est
-        tot_err = cum_r + iter_err
-        # accuracy_reached (PaganiUtils.cuh:387-394)
-        done = jnp.where(
-            jnp.abs(tot_est) > 0,
-            (tot_err / jnp.abs(tot_est) <= epsrel) | (tot_err <= epsabs),
-            tot_err <= epsabs)
+        def body(carry):
+            (lo_c, ln_c, n_loc, n_glob, par_c, cum_e, cum_r, res_nreg,
+             iters_c, nev, hist, _status, _lie, _lir,
+             _pe, _pr, _pn, _pi, _sd) = carry
 
-        # error-budget-overflow rollback (Workspace.cuh:121-146)
-        overflow = (cum_r + fin_err) > jnp.abs(tot_est) * epsrel
-        mask = region_pool.block_mask(cap, n_c, True)
-        all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
-        active = jnp.where(overflow, all_act, active)
-        fin_est = jnp.where(overflow, zero, fin_est)
-        fin_err = jnp.where(overflow, zero, fin_err)
+            est_raw, err_raw, sdim = rule_eval.apply_rule(
+                f, tables, lo_c, ln_c, global_lo, global_range,
+                chunk_size=chunk_size, n=n_loc, blocked=True)
+            # SAME traced pipeline as the host's _post_stage
+            (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
+             fin_err_d, n_active_d) = iteration_math(
+                relerr_classification, True, est_raw, err_raw, n_loc,
+                par_c, jnp.asarray(True), epsrel_pool)
+            # ledger arithmetic in f64, exactly like the host's Python
+            # floats (widening the dtype-reduced sums is exact); mesh:
+            # psum the f64 partials -> replicated globals
+            iter_est = ps(iter_est_d.astype(f64))
+            iter_err = ps(iter_err_d.astype(f64))
+            fin_est = ps(fin_est_d.astype(f64))
+            fin_err = ps(fin_err_d.astype(f64))
 
-        n_active = jnp.where(overflow, n_c,
-                             n_active_d.astype(jnp.int32))
-        all_fin = (~done) & (n_active == 0)
-        grow = (~done) & (~all_fin) & (2 * n_active > cap)
-        go = (~done) & (~all_fin) & (~grow)
+            tot_est = cum_e + iter_est
+            tot_err = cum_r + iter_err
+            # accuracy_reached (PaganiUtils.cuh:387-394)
+            done = jnp.where(
+                jnp.abs(tot_est) > 0,
+                (tot_err / jnp.abs(tot_est) <= epsrel) | (tot_err <= epsabs),
+                tot_err <= epsabs)
 
-        # compaction at FULL capacity (a grow exit can have up to cap
-        # survivors -- compacting into cap//2 would truncate them); the
-        # in-place split for the normal branch uses the first half, which
-        # is safe there (go implies n_active <= cap/2)
-        n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
-            active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
-        lo2, ln2, _ = region_pool.split(
-            c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
-            n_act_d, out_capacity=cap)
+            # error-budget-overflow rollback (Workspace.cuh:121-146) --
+            # a GLOBAL decision applied to every shard's flags
+            overflow = (cum_r + fin_err) > jnp.abs(tot_est) * epsrel
+            mask = region_pool.block_mask(cap, n_loc, True)
+            all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
+            active = jnp.where(overflow, all_act, active)
+            fin_est = jnp.where(overflow, zero, fin_est)
+            fin_err = jnp.where(overflow, zero, fin_err)
 
-        # Every branch APPLIES the iteration:
-        #   done     -> accuracy: fold the WHOLE sweep into the ledger
-        #   all_fin  -> everything finished this sweep
-        #   grow     -> ledger the finished part, output the COMPACTED
-        #               survivors (host splits into the 2*cap bucket)
-        #   go       -> normal: compact + split in place
-        add_est = jnp.where(done, iter_est, fin_est)
-        add_err = jnp.where(done, iter_err, fin_err)
-        drop = jnp.where(done, 0.0,
-                         jnp.where(all_fin, n_c.astype(f64),
-                                   (n_c - n_active).astype(f64)))
+            n_active_loc = jnp.where(overflow, n_loc,
+                                     n_active_d.astype(jnp.int32))
+            n_active_glob = ps(n_active_loc)
+            all_fin = (~done) & (n_active_glob == 0)
+            # grow when ANY shard's split would overflow its local bucket
+            grow_any = ps((2 * n_active_loc > cap).astype(jnp.int32)) > 0
+            grow = (~done) & (~all_fin) & grow_any
 
-        keep = done | all_fin
-        lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
-        ln_out = jnp.where(keep, ln_c, jnp.where(grow, c_ln, ln2))
-        par_out = jnp.where(keep, par_c, par_new)     # (cap,); refine
-        sd_out = c_sd                                 # slices [:cap//2]
-        n_out = jnp.where(keep, n_c,
-                          jnp.where(grow, n_active, 2 * n_active))
-        status = jnp.where(done, 0,
-                           jnp.where(all_fin, 2,
-                                     jnp.where(grow, 1, -1))).astype(jnp.int32)
+            # compaction at FULL capacity (a grow exit can have up to cap
+            # survivors -- compacting into cap//2 would truncate them);
+            # the in-place split for the normal branch uses the first
+            # half, which is safe there (go implies n_active <= cap/2)
+            n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
+                active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
+            lo2, ln2, _ = region_pool.split(
+                c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
+                n_act_d, out_capacity=cap)
 
-        hist_out = jnp.where(~done,
-                             jnp.concatenate([hist[1:], tot_est[None]]),
-                             hist)
-        return (lo_out, ln_out, n_out, par_out,
-                cum_e + add_est, cum_r + add_err, res_nreg + drop,
-                iters_c + 1, nev + n_c.astype(f64) * feval,
-                hist_out, status,
-                iter_est - fin_est, iter_err - fin_err,
-                cum_e, cum_r, res_nreg, iters_c, sd_out)
+            # Every branch APPLIES the iteration:
+            #   done     -> accuracy: fold the WHOLE sweep into the ledger
+            #   all_fin  -> everything finished this sweep
+            #   grow     -> ledger the finished part, output the COMPACTED
+            #               survivors (host splits into the 2*cap bucket)
+            #   go       -> normal: compact + split in place
+            add_est = jnp.where(done, iter_est, fin_est)
+            add_err = jnp.where(done, iter_err, fin_err)
+            drop = jnp.where(done, 0.0,
+                             jnp.where(all_fin, n_glob.astype(f64),
+                                       (n_glob - n_active_glob).astype(f64)))
 
-    carry0 = (lows, lengths, n, parent_est,
-              cum_est, cum_err, result_nregions,
-              iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
-              zero, zero,
-              cum_est, cum_err, result_nregions, iters_done,
-              jnp.zeros((cap,), jnp.int32))
-    (lo_f, ln_f, n_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
-     hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, sd_f) = \
-        jax.lax.while_loop(cond, body, carry0)
-    packed = jnp.stack([
-        n_f.astype(f64), ce_f, cr_f, rn_f,
-        it_f.astype(f64), nev_f, st_f.astype(f64),
-        lie_f, lir_f,
-        pe_f, pr_f, pn_f, pi_f.astype(f64),
-        hist_f[0], hist_f[1], hist_f[2]])
-    return lo_f, ln_f, par_f, sd_f, packed
+            keep = done | all_fin
+            lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
+            ln_out = jnp.where(keep, ln_c, jnp.where(grow, c_ln, ln2))
+            par_out = jnp.where(keep, par_c, par_new)     # (cap,); refine
+            sd_out = c_sd                                 # slices [:cap//2]
+            n_out_loc = jnp.where(keep, n_loc,
+                                  jnp.where(grow, n_active_loc,
+                                            2 * n_active_loc))
+            n_out_glob = jnp.where(keep, n_glob,
+                                   jnp.where(grow, n_active_glob,
+                                             2 * n_active_glob))
+            status = jnp.where(
+                done, 0,
+                jnp.where(all_fin, 2,
+                          jnp.where(grow, 1, -1))).astype(jnp.int32)
+
+            hist_out = jnp.where(~done,
+                                 jnp.concatenate([hist[1:], tot_est[None]]),
+                                 hist)
+            return (lo_out, ln_out, n_out_loc, n_out_glob, par_out,
+                    cum_e + add_est, cum_r + add_err, res_nreg + drop,
+                    iters_c + 1, nev + n_glob.astype(f64) * feval,
+                    hist_out, status,
+                    iter_est - fin_est, iter_err - fin_err,
+                    cum_e, cum_r, res_nreg, iters_c, sd_out)
+
+        carry0 = (lows, lengths, n_loc0, n_glob0, parent_est,
+                  cum_est, cum_err, result_nregions,
+                  iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
+                  zero, zero,
+                  cum_est, cum_err, result_nregions, iters_done,
+                  jnp.zeros((cap,), jnp.int32))
+        (lo_f, ln_f, nl_f, ng_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
+         hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, sd_f) = \
+            jax.lax.while_loop(cond, body, carry0)
+        packed = jnp.stack([
+            ng_f.astype(f64), ce_f, cr_f, rn_f,
+            it_f.astype(f64), nev_f, st_f.astype(f64),
+            lie_f, lir_f,
+            pe_f, pr_f, pn_f, pi_f.astype(f64),
+            hist_f[0], hist_f[1], hist_f[2]])
+        return lo_f, ln_f, par_f, sd_f, nl_f, packed
+
+    scalars = (global_lo, global_range, epsrel_pool, epsrel, epsabs,
+               cum_est, cum_err, result_nregions, iters_done, neval,
+               est_hist, max_iters)
+    if mesh is None:
+        lo_f, ln_f, par_f, sd_f, _nl, packed = run(
+            lows, lengths, n, n, parent_est, *scalars)
+        return lo_f, ln_f, par_f, sd_f, packed
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+    R = REGION_AXIS
+
+    def local(lo, ln, ns, par, *rest):
+        n_loc = ns[0]
+        n_glob = jax.lax.psum(n_loc, R)
+        lo_f, ln_f, par_f, sd_f, nl_f, packed = run(
+            lo, ln, n_loc, n_glob, par, *rest)
+        return lo_f, ln_f, par_f, sd_f, nl_f[None], packed
+
+    pool_s, vec_s, rep = P(None, R), P(R), P()
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(pool_s, pool_s, vec_s, vec_s) + (rep,) * len(scalars),
+        out_specs=(pool_s, pool_s, vec_s, vec_s, vec_s, rep),
+        check_vma=False)
+    # returns (lows, lengths, parent_est, sdim, ns, packed): pools/parents/
+    # sdim keep the region-axis sharding, ns is the (D,) per-shard count
+    return fn(lows, lengths, n, parent_est, *scalars)

@@ -206,15 +206,6 @@ class Workspace:
         # intermediate).  Round up so chunking always engages.
         self.chunk_size = region_pool.next_pow2(chunk_size)
 
-    def _shard(self, *arrays):
-        """Place pool arrays with the region-axis sharding (mesh mode)."""
-        if self.mesh is None:
-            return arrays if len(arrays) > 1 else arrays[0]
-        from gpuintegration_tpu.parallel.mesh import pool_sharding
-        sh = pool_sharding(self.mesh)
-        out = tuple(jax.device_put(a, sh) for a in arrays)
-        return out if len(out) > 1 else out[0]
-
     def _eval_one(self, f, lows, lengths, global_lo, global_range,
                   chunk_size=None, n=None, blocked=False):
         if self.rule_backend == "pallas":
@@ -233,12 +224,10 @@ class Workspace:
         intermediate is bounded by in-jit chunking, and with a traced
         region count ``n`` only the occupied chunks of the padded bucket
         are evaluated (dynamic trip count) -- eval work tracks the real
-        population instead of the power-of-two capacity.  In mesh mode
-        the whole (sharded) pool is evaluated in one SPMD call --
-        per-device footprint is pool/n_devices."""
+        population instead of the power-of-two capacity."""
         cap = lows.shape[1]
         chunk = self.chunk_size
-        if self.mesh is not None or cap <= chunk:
+        if cap <= chunk:
             return self._eval_one(f, lows, lengths, global_lo, global_range)
         return self._eval_one(f, lows, lengths, global_lo, global_range,
                               chunk_size=chunk, n=n, blocked=blocked)
@@ -302,6 +291,18 @@ class Workspace:
         global_lo = jnp.asarray(vol.lows, dtype)
         global_range = jnp.asarray(vol.highs - vol.lows, dtype)
 
+        if self.mesh is not None:
+            if vegas_assisted or predict_split:
+                raise ValueError(
+                    "mesh mode does not support vegas_assisted/"
+                    "predict_split; run them single-chip")
+            if self.rule_backend != "xla":
+                raise ValueError("mesh mode requires rule_backend='xla'")
+            return self._integrate_mesh(
+                f, epsrel, epsabs, global_lo, global_range,
+                partitions_per_axis, relerr_classification,
+                max_iterations, initial_regions, recorder, fused)
+
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
         min_cap = self.chunk_size
@@ -323,7 +324,6 @@ class Workspace:
             cap = max(region_pool.next_pow2(n), min_cap)
             lows, lengths, n = region_pool.uniform_split(
                 ndim, parts, cap, dtype)
-        lows, lengths = self._shard(lows, lengths)
 
         parent_est = jnp.zeros((max(cap // 2, 1),), dtype)
         use_refine = jnp.asarray(False)
@@ -403,7 +403,6 @@ class Workspace:
                     # with the split children, like the host loop.)
                     lows, lengths, _ = region_pool.split(
                         lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
-                    lows, lengths = self._shard(lows, lengths)
                     cap = 2 * cap
                     n = 2 * n
                     n_dev = jnp.asarray(n, jnp.int32)
@@ -564,7 +563,6 @@ class Workspace:
             lows, lengths, n_children = region_pool.split(
                 c_lows, c_lengths, c_sdim, n_active_d,
                 out_capacity=child_cap)
-            lows, lengths = self._shard(lows, lengths)
             n = 2 * n_active
             n_dev = jnp.asarray(n, jnp.int32)
             cap = child_cap
@@ -584,6 +582,254 @@ class Workspace:
         cum.nregions = result_nregions + n
         return cum
 
+    def _integrate_mesh(
+        self, f, epsrel, epsabs, global_lo, global_range,
+        partitions_per_axis, relerr_classification, max_iterations,
+        initial_regions, recorder, fused,
+    ) -> IntegrationResult:
+        """Multi-chip adaptive loop: D independent shard-local sub-pools.
+
+        Each device owns a BLOCKED sub-pool of per-shard capacity
+        ``cap_s`` with its OWN region count; eval, two-level refinement,
+        compaction and split are shard-local inside shard_map (region
+        data never crosses chips -- the reference has no multi-GPU mode
+        at all, SURVEY.md section 2.7), and only the f64 iteration
+        scalars are psum'd.  The fused adaptive phase, dynamic-trip
+        chunking and the memory-pressure classifier all run exactly as
+        in the single-chip loop; shards do not rebalance, so a skewed
+        refinement grows every shard's bucket when the hottest shard
+        overflows (documented trade: zero region traffic vs possible
+        idle lanes).
+        """
+        import time as _time
+        from gpuintegration_tpu.parallel import sharded as S
+        from gpuintegration_tpu.parallel.mesh import (
+            pool_sharding, region_sharding)
+
+        mesh = self.mesh
+        D = int(mesh.devices.size)
+        ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
+        eps_dev = jnp.asarray(epsrel, dtype)
+
+        # ---- initial per-shard pools (host NumPy; initial pools are tiny)
+        if initial_regions is not None:
+            lo_np = np.asarray(initial_regions[0], dtype).T   # (ndim, n)
+            ln_np = np.asarray(initial_regions[1], dtype).T
+            n = int(lo_np.shape[1])
+        else:
+            parts = partitions_per_axis or default_partitions_per_axis(ndim)
+            n = parts ** ndim
+            lo_d, ln_d, _ = region_pool.uniform_split(ndim, parts, n, dtype)
+            lo_np, ln_np = np.asarray(lo_d), np.asarray(ln_d)
+        counts = [n // D + (1 if k < n % D else 0) for k in range(D)]
+        cap_s = max(region_pool.next_pow2(max(counts)), self.chunk_size)
+        glo = np.empty((ndim, D * cap_s), dtype)
+        gln = np.empty((ndim, D * cap_s), dtype)
+        start = 0
+        for k, c in enumerate(counts):
+            sl = slice(k * cap_s, k * cap_s + c)
+            glo[:, sl] = lo_np[:, start:start + c]
+            gln[:, sl] = ln_np[:, start:start + c]
+            # padding replicates region 0 (finite bounds; masked out)
+            glo[:, k * cap_s + c:(k + 1) * cap_s] = lo_np[:, :1]
+            gln[:, k * cap_s + c:(k + 1) * cap_s] = ln_np[:, :1]
+            start += c
+        psh, vsh = pool_sharding(mesh), region_sharding(mesh)
+        lows = jax.device_put(jnp.asarray(glo), psh)
+        lengths = jax.device_put(jnp.asarray(gln), psh)
+        ns = jax.device_put(jnp.asarray(counts, jnp.int32), vsh)
+        parent_est = jax.device_put(jnp.zeros((D * cap_s,), dtype), vsh)
+        use_refine = jnp.asarray(False)
+
+        classifier = HeuristicClassifier(epsrel, epsabs,
+                                         self.max_pool_regions)
+        feval = rule_eval.rule_tables(ndim, dtype_name).feval
+        cum = IntegrationResult(status=1)
+        result_nregions = 0
+        blocked = False
+        fused_gate = int(0.1 * self.max_pool_regions)
+        fused_ok = fused and recorder is None
+        inflight_est = inflight_err = 0.0
+        exhausted = False
+
+        def _chunk(cs):
+            return self.chunk_size if cs > self.chunk_size else None
+
+        it = 0
+        while True:
+            if it >= max_iterations:
+                exhausted = True
+                break
+            if n <= 0:
+                break
+
+            if fused_ok and blocked and 2 * n <= fused_gate:
+                from gpuintegration_tpu.pagani import fused_loop
+                (lows, lengths, parent_est, sdim_f, ns, packed_d) = \
+                    fused_loop.fused_adaptive_phase(
+                        f, ndim, dtype_name, _chunk(cap_s),
+                        relerr_classification, fused_gate, feval,
+                        lows, lengths, ns, parent_est,
+                        global_lo, global_range, eps_dev,
+                        jnp.asarray(epsrel, jnp.float64),
+                        jnp.asarray(epsabs, jnp.float64),
+                        jnp.asarray(cum.estimate, jnp.float64),
+                        jnp.asarray(cum.errorest, jnp.float64),
+                        jnp.asarray(float(result_nregions), jnp.float64),
+                        jnp.asarray(cum.iters, jnp.int32),
+                        jnp.asarray(float(cum.neval), jnp.float64),
+                        jnp.asarray(classifier._estimates, jnp.float64),
+                        jnp.asarray(max_iterations, jnp.int32),
+                        mesh=mesh)
+                packed = np.asarray(packed_d)     # ONE sync for the burst
+                n = int(packed[0])
+                fused_iters = int(packed[4]) - cum.iters
+                status = int(packed[6])
+                cum.estimate, cum.errorest = float(packed[1]), float(packed[2])
+                result_nregions = int(packed[3])
+                cum.nFinishedRegions = result_nregions
+                cum.iters = int(packed[4])
+                cum.neval = int(packed[5])
+                classifier._estimates = [float(packed[13]),
+                                         float(packed[14]),
+                                         float(packed[15])]
+                classifier._iters_collected += fused_iters
+                inflight_est, inflight_err = float(packed[7]), float(packed[8])
+                it = cum.iters
+                if status == 1:
+                    # bucket overflow: shard-local split of the compacted
+                    # survivors into the doubled per-shard buckets
+                    ns, lows, lengths = S.sharded_split(
+                        mesh, 2 * cap_s, lows, lengths, sdim_f, ns)
+                    cap_s *= 2
+                    n *= 2
+                    use_refine = jnp.asarray(True)
+                    blocked = True
+                self.final_pool = ("mesh", lows, lengths,
+                                   np.asarray(ns), cap_s, True)
+                if status in (0, 2):
+                    self._ledger_excl_pool = (float(packed[9]),
+                                              float(packed[10]),
+                                              int(packed[11]),
+                                              int(packed[12]))
+                else:
+                    self._ledger_excl_pool = (cum.estimate, cum.errorest,
+                                              result_nregions, cum.iters)
+                if status == 0:
+                    cum.status = 0
+                    cum.nregions = result_nregions + n
+                    return cum
+                if status == 2:
+                    cum.nregions = result_nregions
+                    return cum
+                if it >= max_iterations:
+                    exhausted = True
+                    break
+                if status == 1:
+                    continue
+                # gate crossing (status -1): host iteration w/ classifier
+
+            t_iter = _time.perf_counter()
+            est_raw, err_raw, sdim = S.sharded_eval_stage(
+                f, ndim, dtype_name, mesh, lows, lengths,
+                global_lo, global_range, ns=ns,
+                chunk_size=_chunk(cap_s), blocked=blocked)
+            est, refined, active, mask_b, _ns_act, scalars_d = \
+                S.sharded_post_stage(
+                    relerr_classification, blocked, mesh,
+                    est_raw, err_raw, ns, parent_est, use_refine, eps_dev)
+            self.final_pool = ("mesh", lows, lengths, np.asarray(ns),
+                               cap_s, blocked)
+            self._ledger_excl_pool = (cum.estimate, cum.errorest,
+                                      result_nregions, cum.iters)
+            scalars = np.asarray(scalars_d)       # ONE sync per iteration
+            iter_est, iter_err, finished_est, finished_err = (
+                float(scalars[0]), float(scalars[1]),
+                float(scalars[2]), float(scalars[3]))
+            n_active = int(scalars[4])
+            cum.iters += 1
+            cum.neval += n * feval
+            if recorder is not None:
+                recorder.record(
+                    it=it, estimate=cum.estimate + iter_est,
+                    errorest=cum.errorest + iter_err,
+                    festimate=cum.estimate, ferrorest=cum.errorest,
+                    nregions=n, fnregions=cum.nFinishedRegions,
+                    time_ms=(_time.perf_counter() - t_iter) * 1e3)
+
+            if accuracy_reached(epsrel, epsabs,
+                                abs(cum.estimate + iter_est),
+                                cum.errorest + iter_err):
+                cum.estimate += iter_est
+                cum.errorest += iter_err
+                cum.status = 0
+                cum.nregions = result_nregions + n
+                return cum
+
+            classifier.store_estimate(cum.estimate + iter_est)
+
+            # error-budget-overflow rollback (Workspace.cuh:121-146)
+            leaves_est = cum.estimate + iter_est
+            leaves_fin_err = cum.errorest + finished_err
+            if leaves_fin_err > abs(leaves_est) * epsrel:
+                active = jnp.where(mask_b, 1.0, 0.0).astype(dtype)
+                finished_est = finished_err = 0.0
+                n_active = n
+
+            # memory-pressure heuristic classify (Workspace.cuh:76-118)
+            must_terminate = False
+            classification_necessary = not classifier.split_fits(n)
+            if classifier.classification_criteria_met(n):
+                hs = classifier.classify_ladder(
+                    refined, mask_b, n, iter_err, finished_err,
+                    cum.errorest)
+                success = hs.pass_mem and hs.pass_errorest_budget
+                if success:
+                    active = hs.active_flags
+                    finished_est = iter_est - float(_dot(active, est))
+                    finished_err = hs.finished_errorest
+                    n_active = hs.num_active
+                must_terminate = not success and classification_necessary
+            else:
+                must_terminate = classification_necessary
+
+            if must_terminate:
+                cum.estimate += iter_est
+                cum.errorest += iter_err
+                cum.nregions = result_nregions + n
+                return cum
+
+            cum.estimate += finished_est
+            cum.errorest += finished_err
+            inflight_est = iter_est - finished_est
+            inflight_err = iter_err - finished_err
+
+            result_nregions += n - n_active
+            cum.nFinishedRegions += n - n_active
+            if n_active == 0:
+                cum.nregions = result_nregions
+                return cum
+
+            # per-shard survivor counts pick the next per-shard bucket
+            ns_act = np.asarray(
+                jnp.sum(active.reshape(D, cap_s), axis=1)).astype(np.int64)
+            child_cap_s = max(region_pool.next_pow2(2 * int(ns_act.max())),
+                              self.chunk_size)
+            ns, lows, lengths, parent_est, _perr = S.sharded_compact_split(
+                mesh, child_cap_s, active, lows, lengths, sdim,
+                est, refined, ns)
+            n = 2 * n_active
+            cap_s = child_cap_s
+            use_refine = jnp.asarray(True)
+            blocked = True
+            it += 1
+
+        if exhausted and cum.iters > 0:
+            cum.estimate += inflight_est
+            cum.errorest += inflight_err
+        cum.nregions = result_nregions + n
+        return cum
+
     def make_checkpoint(self, result: IntegrationResult = None):
         """Package the last run's live pool + ledger into a resumable
         checkpoint (utils.checkpoint.PaganiCheckpoint).
@@ -596,8 +842,26 @@ class Workspace:
         add ``ckpt.estimate``/``ckpt.errorest`` to the resumed result for
         the complete integral."""
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
-        lows, lengths, n, blocked = self.final_pool
         est, err, nregions, iters = self._ledger_excl_pool
+        if isinstance(self.final_pool[0], str):  # ("mesh", ...) layout
+            # per-shard blocked layout: shard k's real regions fill the
+            # first ns[k]/2 slots of each static half of its cap_s bucket
+            _, lows, lengths, ns, cap_s, blocked = self.final_pool
+            lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
+            keep = []
+            for k, nk in enumerate(np.asarray(ns).tolist()):
+                base = k * cap_s
+                if blocked:
+                    half = cap_s // 2
+                    keep.append(base + np.arange(nk // 2))
+                    keep.append(base + half + np.arange(nk // 2))
+                else:
+                    keep.append(base + np.arange(nk))
+            keep = np.concatenate(keep) if keep else np.zeros(0, np.int64)
+            return PaganiCheckpoint(
+                lows=lo_np[:, keep].T, lengths=ln_np[:, keep].T,
+                estimate=est, errorest=err, nregions=nregions, iters=iters)
+        lows, lengths, n, blocked = self.final_pool
         lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
         if blocked:
             # real regions fill the first n/2 slots of each static half

@@ -29,48 +29,149 @@ from gpuintegration_tpu.parallel.mesh import REGION_AXIS
 
 
 # ---------------------------------------------------------------------------
-# PAGANI: sharded rule evaluation + reductions
+# PAGANI: shard-local pipeline stages.  Each device owns an independent
+# BLOCKED sub-pool (its own region count, its own static-half layout);
+# eval/refine/compact/split never move region data across chips -- only
+# the f64 iteration scalars are psum'd.
+
+_POOL = P(None, REGION_AXIS)   # dims-major (ndim, D*cap_s) pools
+_VEC = P(REGION_AXIS)
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("f", "ndim", "dtype_name", "mesh"))
+    static_argnames=("f", "ndim", "dtype_name", "mesh", "chunk_size",
+                     "blocked"))
 def sharded_eval_stage(f, ndim, dtype_name, mesh,
-                       lows, lengths, global_lo, global_range):
+                       lows, lengths, global_lo, global_range,
+                       ns=None, chunk_size=None, blocked=False):
     """Rule application with the region axis sharded over the mesh.
 
     Each shard evaluates its own regions -- the multi-chip analogue of the
     reference's grid of one block per region (PaganiUtils.cuh:313-331),
     with chips in place of SMs.  Outputs stay region-sharded.
+
+    ``ns``: optional (D,) per-shard region counts -- enables the
+    dynamic-trip chunked path per shard (only occupied chunks evaluated)
+    with the per-shard ``blocked`` layout; ``None`` sweeps the full
+    (padded) shard.
     """
     tables = rule_eval.rule_tables(ndim, dtype_name)
 
-    def local_eval(lo, ln, gl, gr):
-        return rule_eval.apply_rule(f, tables, lo, ln, gl, gr)
+    if ns is None:
+        def local_eval(lo, ln, gl, gr):
+            return rule_eval.apply_rule(f, tables, lo, ln, gl, gr,
+                                        chunk_size=chunk_size)
+        in_specs = (_POOL, _POOL, P(None), P(None))
+        args = (lows, lengths, global_lo, global_range)
+    else:
+        def local_eval(lo, ln, gl, gr, ns_l):
+            return rule_eval.apply_rule(
+                f, tables, lo, ln, gl, gr, chunk_size=chunk_size,
+                n=ns_l[0], blocked=blocked)
+        in_specs = (_POOL, _POOL, P(None), P(None), _VEC)
+        args = (lows, lengths, global_lo, global_range, ns)
 
-    spec_pool = P(None, REGION_AXIS)   # dims-major (ndim, R) pools
-    spec_vec = P(REGION_AXIS)
     fn = shard_map(
-        local_eval, mesh=mesh,
-        in_specs=(spec_pool, spec_pool, P(None), P(None)),
-        out_specs=(spec_vec, spec_vec, spec_vec),
+        local_eval, mesh=mesh, in_specs=in_specs,
+        out_specs=(_VEC, _VEC, _VEC), check_vma=False,
     )
-    return fn(lows, lengths, global_lo, global_range)
+    return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
 def sharded_reductions(mesh, est, refined, active):
     """Global estimate/error/finished reductions over a sharded pool."""
-    spec = P(REGION_AXIS)
-
     def local(e, r, a):
         s = jnp.stack([
             jnp.sum(e), jnp.sum(r),
             jnp.sum(a * e), jnp.sum(a * r), jnp.sum(a)])
         return jax.lax.psum(s, REGION_AXIS)
 
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+    fn = shard_map(local, mesh=mesh, in_specs=(_VEC, _VEC, _VEC),
                    out_specs=P())
     return fn(est, refined, active)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relerr_classification", "blocked", "mesh"))
+def sharded_post_stage(relerr_classification, blocked, mesh,
+                       est, err, ns, parent_est, use_refine, epsrel):
+    """Per-shard twin of workspace._post_stage: masking, two-level
+    refinement and classification run shard-locally through the SAME
+    traced pipeline (workspace.iteration_math); the five iteration
+    scalars are psum'd into replicated f64 globals.  Also returns the
+    per-shard validity mask (the classifier and the rollback need it)."""
+    from gpuintegration_tpu.pagani.workspace import iteration_math
+    from gpuintegration_tpu.pagani import region_pool
+
+    def local(e, r, ns_l, par, ur, eps):
+        cap_s = e.shape[0]
+        n_loc = ns_l[0]
+        (e2, refined, active, i_est, i_err, f_est, f_err,
+         n_act) = iteration_math(
+            relerr_classification, blocked, e, r, n_loc, par, ur, eps)
+        s = jnp.stack([i_est, i_err, f_est, f_err, n_act]).astype(
+            jnp.float64)
+        s = jax.lax.psum(s, REGION_AXIS)
+        mask = region_pool.block_mask(cap_s, n_loc, blocked)
+        return e2, refined, active, mask, n_act[None].astype(jnp.int32), s
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(_VEC, _VEC, _VEC, _VEC, P(), P()),
+        out_specs=(_VEC, _VEC, _VEC, _VEC, _VEC, P()),
+        check_vma=False)
+    return fn(est, err, ns, parent_est, use_refine, epsrel)
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
+def sharded_compact_split(mesh, out_capacity,
+                          active, lows, lengths, sdim, est, refined, ns):
+    """Shard-local compaction + bisection split: each device stream-
+    compacts ITS surviving regions (the bitwise shift passes never leave
+    the shard -- no cross-chip permute) and splits them into its own
+    blocked sub-bucket of per-shard capacity ``out_capacity``.
+
+    Returns (ns_children (D,), child_lows, child_lengths, parent_est,
+    parent_err) with pools/vectors region-sharded.
+    """
+    from gpuintegration_tpu.pagani import region_pool
+
+    def local(a, lo, ln, sd, e, r, ns_l):
+        n_act, c_lo, c_ln, c_sd, par, perr = region_pool.compact(
+            a, lo, ln, sd, e, r, out_capacity=out_capacity // 2)
+        lo2, ln2, _ = region_pool.split(
+            c_lo, c_ln, c_sd, n_act, out_capacity=out_capacity)
+        return ((2 * n_act)[None].astype(jnp.int32), lo2, ln2, par, perr)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(_VEC, _POOL, _POOL, _VEC, _VEC, _VEC, _VEC),
+        out_specs=(_VEC, _POOL, _POOL, _VEC, _VEC),
+        check_vma=False)
+    return fn(active, lows, lengths, sdim, est, refined, ns)
+
+
+@functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
+def sharded_split(mesh, out_capacity, lows, lengths, sdim, ns):
+    """Shard-local split of already-compacted survivors into a doubled
+    per-shard bucket (the fused phase's bucket-overflow exit hands back
+    compacted survivors; this grows them without re-evaluation)."""
+    from gpuintegration_tpu.pagani import region_pool
+
+    def local(lo, ln, sd, ns_l):
+        lo2, ln2, _ = region_pool.split(
+            lo, ln, sd, ns_l[0], out_capacity=out_capacity)
+        return (2 * ns_l[0])[None].astype(jnp.int32), lo2, ln2
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(_POOL, _POOL, _VEC, _VEC),
+        out_specs=(_VEC, _POOL, _POOL),
+        check_vma=False)
+    return fn(lows, lengths, sdim, ns)
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,50 @@ def test_sharded_vegas_deterministic(mesh):
     assert r1.estimate == r2.estimate
 
 
+def test_mesh_fused_growth_parity(mesh):
+    """The FULL mesh pipeline -- fused adaptive bursts, shard-local
+    compaction/split, bucket growth, dynamic-trip chunking -- reproduces
+    the single-chip trajectory: same iterations, same region counts, and
+    estimates equal to psum-reassociation roundoff."""
+    from gpuintegration_tpu import Workspace
+    g = genz.f4_gaussian(4)
+    r1 = Workspace(4, chunk_size=256).integrate(g, epsrel=1e-4, epsabs=1e-40)
+    r8 = Workspace(4, chunk_size=256, mesh=mesh).integrate(
+        g, epsrel=1e-4, epsabs=1e-40)
+    assert r1.status == 0 and r8.status == 0
+    assert r1.iters == r8.iters
+    assert r1.nregions == r8.nregions
+    assert r1.neval == r8.neval
+    np.testing.assert_allclose(r8.estimate, r1.estimate, rtol=1e-12)
+    np.testing.assert_allclose(r8.errorest, r1.errorest, rtol=1e-9)
+
+
+def test_mesh_classifier_and_checkpoint(mesh):
+    """Classifier-regime iterations and checkpoint extraction work on the
+    per-shard blocked layout."""
+    from gpuintegration_tpu import Workspace
+    g = genz.f4_gaussian(3)
+    ws = Workspace(3, max_pool_regions=2048, chunk_size=256, mesh=mesh)
+    r = ws.integrate(g, epsrel=1e-9, epsabs=1e-40, max_iterations=15)
+    assert r.iters >= 3
+    ck = ws.make_checkpoint()
+    assert ck.lows.shape[1] == 3 and ck.lows.shape[0] > 0
+    # every checkpointed region is a real box inside the unit cube
+    assert (ck.lengths > 0).all() and (ck.lows >= 0).all()
+    assert (ck.lows + ck.lengths <= 1 + 1e-12).all()
+
+
+def test_mesh_nan_never_reports_success(mesh):
+    from gpuintegration_tpu import Workspace
+    import jax.numpy as jnp
+
+    def nanf(x0, x1, x2):
+        return jnp.where(x0 > 0.5, jnp.nan, 1.0)
+    r = Workspace(3, chunk_size=256, mesh=mesh).integrate(
+        nanf, epsrel=1e-9, epsabs=1e-40, max_iterations=5)
+    assert r.status == 1
+
+
 def test_vegas_mesh_matches_single_chip(mesh):
     """vegas(mesh=...) with a matched chunk decomposition draws the SAME
     per-chunk PRNG streams as the single-chip run (global-chunk keying),
