@@ -83,6 +83,25 @@ def make_integrand(f: Callable, ndim: int | None = None) -> tuple[Callable, int]
     return out
 
 
+def deduce_ncomp(batched_f: Callable, ndim: int, dtype="float64") -> int:
+    """Number of components the (batched) integrand returns per point:
+    1 for (...,) scalars, N for (..., N) vectors -- the runtime analogue
+    of cubacpp's compile-time return-type deduction
+    (cubacpp/integrand_traits.hh:81-93).  Uses jax.eval_shape, so the
+    integrand is traced once but never compiled or executed."""
+    import jax.numpy as jnp
+    probe = jax.ShapeDtypeStruct((3, ndim), jnp.dtype(dtype))
+    out = jax.eval_shape(batched_f, probe)
+    shape = out.shape
+    if shape == (3,):
+        return 1
+    if len(shape) == 2 and shape[0] == 3:
+        return int(shape[1])
+    raise ValueError(
+        f"integrand maps (3, {ndim}) -> {shape}; expected (3,) for a "
+        f"scalar integrand or (3, ncomp) for a vector-valued one")
+
+
 def _make_integrand_uncached(f, ndim):
     if ndim is None and hasattr(f, "ndim"):
         ndim = int(f.ndim)  # e.g. models.genz.GenzIntegrand carries its ndim

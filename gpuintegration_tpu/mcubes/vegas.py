@@ -108,7 +108,7 @@ def _decode_cube(cube_id, ng: int, ndim: int):
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "accumulate_hist", "dtype_name",
-                     "eval_dtype_name"))
+                     "eval_dtype_name", "ncomp"))
 def _vegas_iteration(
     f,
     ndim: int,
@@ -128,8 +128,12 @@ def _vegas_iteration(
     chunk_offset=0,  # traced: first GLOBAL chunk id owned by this shard
     *,
     eval_dtype_name: str | None = None,
+    ncomp: int = 1,
 ):
-    """One full VEGAS iteration on device.
+    """One full VEGAS iteration on device.  ``ncomp`` > 1: the integrand
+    returns (..., ncomp) and ti/tsi gain a leading component axis; the
+    adaptation histogram follows component 0 (CUBA's multi-component
+    VEGAS semantics).
 
     Returns (ti, tsi_raw, d) where d is the (ndim, nbins) f^2 histogram
     (zeros when accumulate_hist=False) and tsi_raw must still be scaled by
@@ -209,33 +213,42 @@ def _vegas_iteration(
             x = (regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed))
             wgt = xjac * jnp.prod(xo * xnd32, axis=-1).astype(dtype)
 
-        fx = f(x).astype(dtype) * wgt                   # (C, npg)
-        fx = jnp.where(valid[:, None], fx, 0.0)
+        if ncomp == 1:
+            fx = f(x).astype(dtype) * wgt               # (C, npg)
+            fx = jnp.where(valid[:, None], fx, 0.0)
+        else:
+            fx = f(x).astype(dtype) * wgt[..., None]    # (C, npg, ncomp)
+            fx = jnp.where(valid[:, None, None], fx, 0.0)
         f2 = fx * fx
 
-        fb = jnp.sum(fx, axis=1)                        # (C,)
+        fb = jnp.sum(fx, axis=1)                        # (C,[ncomp])
         f2b_sum = jnp.sum(f2, axis=1)
         # per-cube variance proxy: sqrt(sum f^2 * npg) -> (s-fb)(s+fb)
         # = npg*sum(f^2) - fb^2, with TINY floor (vegasT.cuh:382-387)
         s = jnp.sqrt(f2b_sum * npg)
         f2b = (s - fb) * (s + fb)
         f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
-        f2b = jnp.where(valid, f2b, 0.0)
+        if ncomp == 1:
+            f2b = jnp.where(valid, f2b, 0.0)
+        else:
+            f2b = jnp.where(valid[:, None], f2b, 0.0)
 
-        ti = ti + jnp.sum(fb)
-        tsi = tsi + jnp.sum(f2b)
+        ti = ti + jnp.sum(fb, axis=0)
+        tsi = tsi + jnp.sum(f2b, axis=0)
 
         if accumulate_hist:
             # deterministic replacement for atomicAdd(&d[bin,dim], f^2)
             # (vegasT.cuh:309-313): per-dim one-hot MXU matmul -- measured
             # 3.7x faster than a segment-sum scatter at 2M samples x 500
             # bins (32 ms vs 120 ms per chunk).  The histogram only steers
-            # grid adaptation, so f32 suffices.
-            d = d + _onehot_hist(ia - 1, f2, nbins)
+            # grid adaptation, so f32 suffices.  Vector integrands adapt
+            # on component 0 (CUBA semantics).
+            d = d + _onehot_hist(ia - 1,
+                                 f2 if ncomp == 1 else f2[..., 0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
-    ti0 = jnp.zeros((), dtype)
+    ti0 = jnp.zeros(() if ncomp == 1 else (ncomp,), dtype)
     ti, tsi, d = jax.lax.fori_loop(
         0, num_chunks, chunk_body, (ti0, ti0, d0))
     return ti, tsi, d
@@ -245,7 +258,7 @@ def _vegas_iteration(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "accumulate_hist", "dtype_name",
-                     "eval_dtype_name"))
+                     "eval_dtype_name", "ncomp"))
 def _vegas_iteration_poly(
     f,
     ndim: int,
@@ -266,6 +279,7 @@ def _vegas_iteration_poly(
     chunk_offset=0,
     *,
     eval_dtype_name: str | None = None,
+    ncomp: int = 1,
 ):
     """Gather-free VEGAS iteration: polynomial inverse-CDF sampling
     (mcubes.poly_importance).  Same stratification, accumulators and
@@ -298,8 +312,12 @@ def _vegas_iteration_poly(
             x = regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed)
         wgt = xjac * wgt_imp.astype(dtype)              # (C, npg)
 
-        fx = f(x).astype(dtype) * wgt
-        fx = jnp.where(valid[:, None], fx, 0.0)
+        if ncomp == 1:
+            fx = f(x).astype(dtype) * wgt
+            fx = jnp.where(valid[:, None], fx, 0.0)
+        else:
+            fx = f(x).astype(dtype) * wgt[..., None]
+            fx = jnp.where(valid[:, None, None], fx, 0.0)
         f2 = fx * fx
 
         fb = jnp.sum(fx, axis=1)
@@ -307,17 +325,21 @@ def _vegas_iteration_poly(
         sq = jnp.sqrt(f2b_sum * npg)
         f2b = (sq - fb) * (sq + fb)
         f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
-        f2b = jnp.where(valid, f2b, 0.0)
-        ti = ti + jnp.sum(fb)
-        tsi = tsi + jnp.sum(f2b)
+        if ncomp == 1:
+            f2b = jnp.where(valid, f2b, 0.0)
+        else:
+            f2b = jnp.where(valid[:, None], f2b, 0.0)
+        ti = ti + jnp.sum(fb, axis=0)
+        tsi = tsi + jnp.sum(f2b, axis=0)
 
         if accumulate_hist:
             ia = jnp.clip((s * nbins).astype(jnp.int32), 0, nbins - 1)
-            d = d + _onehot_hist(ia, f2, nbins)  # scatter-free (see above)
+            d = d + _onehot_hist(
+                ia, f2 if ncomp == 1 else f2[..., 0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
-    ti0 = jnp.zeros((), dtype)
+    ti0 = jnp.zeros(() if ncomp == 1 else (ncomp,), dtype)
     ti, tsi, d = jax.lax.fori_loop(
         0, num_chunks, chunk_body, (ti0, ti0, d0))
     return ti, tsi, d
@@ -327,7 +349,7 @@ def _vegas_iteration_poly(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "accumulate_hist", "dtype_name", "importance",
-                     "eval_dtype_name", "mesh"))
+                     "eval_dtype_name", "mesh", "ncomp"))
 def _mesh_iteration(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, accumulate_hist: bool, dtype_name: str, importance: str,
@@ -335,6 +357,7 @@ def _mesh_iteration(
     key, map_a, map_b, regn_lo, dx, xjac, ncubes,
     *,
     eval_dtype_name: str | None = None,
+    ncomp: int = 1,
 ):
     """One VEGAS iteration SPMD over the mesh: device i samples global
     chunks [i*num_chunks, (i+1)*num_chunks) and ti/tsi/d are all-reduced
@@ -353,12 +376,12 @@ def _mesh_iteration(
             ti, tsi, d = _vegas_iteration_poly.__wrapped__(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
                 accumulate_hist, dtype_name, key, a, b, rl, dxv, xj, nc,
-                off, eval_dtype_name=eval_dtype_name)
+                off, eval_dtype_name=eval_dtype_name, ncomp=ncomp)
         else:
             ti, tsi, d = _vegas_iteration.__wrapped__(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
                 accumulate_hist, dtype_name, key, a, rl, dxv, xj, nc,
-                off, eval_dtype_name=eval_dtype_name)
+                off, eval_dtype_name=eval_dtype_name, ncomp=ncomp)
         return (jax.lax.psum(ti, REGION_AXIS),
                 jax.lax.psum(tsi, REGION_AXIS),
                 jax.lax.psum(d, REGION_AXIS))
@@ -374,7 +397,7 @@ def _mesh_iteration(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "importance", "total_iters",
-                     "skip_iters", "eval_dtype_name", "mesh"))
+                     "skip_iters", "eval_dtype_name", "mesh", "ncomp"))
 def _frozen_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, importance: str, total_iters: int,
@@ -385,6 +408,7 @@ def _frozen_phase(
     *,
     eval_dtype_name: str | None = None,
     mesh=None,
+    ncomp: int = 1,
 ):
     """ALL remaining frozen-grid iterations in ONE dispatch.
 
@@ -420,12 +444,14 @@ def _frozen_phase(
                 ti, tsi, _ = _vegas_iteration_poly.__wrapped__(
                     f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
                     dtype_name, key, map_a, map_b, regn_lo, dx, xjac,
-                    ncubes, chunk_offset, eval_dtype_name=eval_dtype_name)
+                    ncubes, chunk_offset, eval_dtype_name=eval_dtype_name,
+                    ncomp=ncomp)
             else:
                 ti, tsi, _ = _vegas_iteration.__wrapped__(
                     f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
                     dtype_name, key, map_a, regn_lo, dx, xjac, ncubes,
-                    chunk_offset, eval_dtype_name=eval_dtype_name)
+                    chunk_offset, eval_dtype_name=eval_dtype_name,
+                    ncomp=ncomp)
             if mesh is not None:
                 from gpuintegration_tpu.parallel.mesh import REGION_AXIS
                 ti = jax.lax.psum(ti, REGION_AXIS)
@@ -438,10 +464,11 @@ def _frozen_phase(
             swgt = jnp.where(acc, swgt + wgt, swgt)
             tgral = si / jnp.maximum(swgt, tiny)
             sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
-            # get_status semantics (vegas_utils.cuh:225-248)
+            # get_status semantics (vegas_utils.cuh:225-248); vector
+            # integrands converge when EVERY component passes
             ok = jnp.where(tgral == 0.0, sd <= epsabs,
                            (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
-            done = acc & ok & (it >= 5)
+            done = acc & jnp.all(ok) & (it >= 5)
             return it + 1, si, swgt, schi, done
 
         return jax.lax.while_loop(
@@ -472,7 +499,7 @@ def _frozen_phase(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "adjust_iters", "skip_iters",
-                     "eval_dtype_name", "mesh"))
+                     "eval_dtype_name", "mesh", "ncomp"))
 def _adjust_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, adjust_iters: int, skip_iters: int,
@@ -480,6 +507,7 @@ def _adjust_phase(
     *,
     eval_dtype_name: str | None = None,
     mesh=None,
+    ncomp: int = 1,
 ):
     """ALL grid-adjustment iterations in ONE dispatch (refine='device'),
     with the iteration-weighted combination and the convergence test on
@@ -519,7 +547,7 @@ def _adjust_phase(
             ti, tsi, d = _vegas_iteration.__wrapped__(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, True,
                 dtype_name, key, xi, regn_lo, dx, xjac, ncubes,
-                chunk_offset, eval_dtype_name=eval_dtype_name)
+                chunk_offset, eval_dtype_name=eval_dtype_name, ncomp=ncomp)
             if mesh is not None:
                 from gpuintegration_tpu.parallel.mesh import REGION_AXIS
                 ti = jax.lax.psum(ti, REGION_AXIS)
@@ -535,13 +563,14 @@ def _adjust_phase(
             swgt = jnp.where(acc, swgt + wgt, swgt)
             tgral = si / jnp.maximum(swgt, tiny)
             sd = jnp.sqrt(1.0 / jnp.maximum(swgt, tiny))
-            # get_status semantics (vegas_utils.cuh:225-248)
+            # get_status semantics (vegas_utils.cuh:225-248); vector
+            # integrands converge when EVERY component passes
             ok = jnp.where(tgral == 0.0, sd <= epsabs,
                            (jnp.abs(sd / tgral) <= epsrel) | (sd <= epsabs))
-            done = acc & ok & (it >= 5)
+            done = acc & jnp.all(ok) & (it >= 5)
             return it + 1, xi, si, swgt, schi, done
 
-        z = jnp.zeros((), f64)
+        z = jnp.zeros(() if ncomp == 1 else (ncomp,), f64)
         it_f, xi_f, si_f, swgt_f, schi_f, done_f = jax.lax.while_loop(
             cond, body,
             (jnp.asarray(1, jnp.int32), xi0.astype(jnp.float32),
@@ -637,11 +666,13 @@ def vegas(
     single-chip only by all-reduce reassociation.  (The reference is
     single-GPU only, SURVEY.md section 2.7.)
     """
+    from gpuintegration_tpu.integrand import deduce_ncomp
     f, ndim = make_integrand(integrand, ndim)
     if vol is None:
         vol = Volume(ndim=ndim)
     dtype = jnp.dtype(dtype)
     ed_name = jnp.dtype(eval_dtype).name if eval_dtype is not None else None
+    ncomp = deduce_ncomp(f, ndim, dtype.name)
 
     ng, ncubes = compute_ncubes(ncall, ndim)
     npg = samples_per_cube(ncall, ncubes)
@@ -670,10 +701,29 @@ def vegas(
     st = state or VegasState(xi=vgrid.uniform_grid(ndim, nbins, dtype))
     xi = st.xi
     si, swgt, schi = st.si, st.swgt, st.schi
+    if ncomp > 1 and np.ndim(si) == 0:
+        si = np.zeros(ncomp)
+        swgt = np.zeros(ncomp)
+        schi = np.zeros(ncomp)
 
     base_key = jax.random.PRNGKey(seed)
     res = IntegrationResult(status=1)
-    tgral = sd = chi2a = 0.0
+    if ncomp == 1:
+        tgral = sd = chi2a = 0.0
+    else:
+        tgral = np.zeros(ncomp)
+        sd = np.zeros(ncomp)
+        chi2a = np.zeros(ncomp)
+
+    def _all_pass(tg, er, iteration):
+        """get_status over every component (all must pass, CUBA
+        multi-component semantics)."""
+        if ncomp == 1:
+            return get_status(float(tg), float(er), iteration,
+                              epsrel, epsabs)
+        return 0 if all(
+            get_status(float(tg[c]), float(er[c]), iteration,
+                       epsrel, epsabs) == 0 for c in range(ncomp)) else 1
 
     it = 1
     if refine not in ("host", "device"):
@@ -694,22 +744,31 @@ def vegas(
                 ncubes_d, jnp.asarray(dv2g, jnp.float64),
                 jnp.asarray(epsrel, jnp.float64),
                 jnp.asarray(epsabs, jnp.float64),
-                eval_dtype_name=ed_name, mesh=mesh)
-            out = np.asarray(jnp.stack(
-                [sc_d[0].astype(jnp.float64), sc_d[1], sc_d[2], sc_d[3],
-                 sc_d[4].astype(jnp.float64)]))  # ONE sync for the phase
+                eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
+            f64 = jnp.float64
+            out = np.asarray(jnp.concatenate(
+                [sc_d[0][None].astype(f64),
+                 jnp.atleast_1d(sc_d[1]), jnp.atleast_1d(sc_d[2]),
+                 jnp.atleast_1d(sc_d[3]),
+                 sc_d[4][None].astype(f64)]))    # ONE sync for the phase
             xi = xi32.astype(dtype)              # stays on device
             it_next = int(out[0])
-            si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
-            converged = bool(out[4])
+            if ncomp == 1:
+                si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
+            else:
+                si = out[1:1 + ncomp].copy()
+                swgt = out[1 + ncomp:1 + 2 * ncomp].copy()
+                schi = out[1 + 2 * ncomp:1 + 3 * ncomp].copy()
+            converged = bool(out[-1])
             iters_run = it_next - it
             res.neval += int(calls) * iters_run
             res.iters += iters_run
             it = it_next
-            if swgt > 0.0:
+            if np.all(np.asarray(swgt) > 0.0):
                 tgral = si / swgt
-                sd = math.sqrt(1.0 / swgt)
-                chi2a = max((schi - si * tgral) / (it - 1 - 0.9999), 0.0)
+                sd = np.sqrt(1.0 / swgt)
+                chi2a = np.maximum(
+                    (schi - si * tgral) / (it - 1 - 0.9999), 0.0)
             res.status = 0 if converged else 1
 
     while it <= total_iters and res.status == 1:
@@ -737,21 +796,28 @@ def vegas(
                 jnp.asarray(epsabs, dtype),
                 jnp.asarray(it, jnp.int32), jnp.asarray(si, dtype),
                 jnp.asarray(swgt, dtype), jnp.asarray(schi, dtype),
-                eval_dtype_name=ed_name, mesh=mesh)
-            out = np.asarray(jnp.stack([
-                it_d.astype(dtype), si_d, swgt_d, schi_d,
-                done_d.astype(dtype)]))
+                eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
+            out = np.asarray(jnp.concatenate([
+                it_d[None].astype(dtype), jnp.atleast_1d(si_d),
+                jnp.atleast_1d(swgt_d), jnp.atleast_1d(schi_d),
+                done_d[None].astype(dtype)]))
             it_next = int(out[0])
-            si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
-            converged = bool(out[4])
+            if ncomp == 1:
+                si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
+            else:
+                si = out[1:1 + ncomp].copy()
+                swgt = out[1 + ncomp:1 + 2 * ncomp].copy()
+                schi = out[1 + 2 * ncomp:1 + 3 * ncomp].copy()
+            converged = bool(out[-1])
             iters_run = it_next - it
             res.neval += int(calls) * iters_run
             res.iters += iters_run
             it = it_next
-            if swgt > 0.0:
+            if np.all(np.asarray(swgt) > 0.0):
                 tgral = si / swgt
-                sd = math.sqrt(1.0 / swgt)
-                chi2a = max((schi - si * tgral) / (it - 1 - 0.9999), 0.0)
+                sd = np.sqrt(1.0 / swgt)
+                chi2a = np.maximum(
+                    (schi - si * tgral) / (it - 1 - 0.9999), 0.0)
             res.status = 0 if converged else 1
             break
 
@@ -769,36 +835,39 @@ def vegas(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
                 dtype.name, importance, mesh,
                 key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
-                eval_dtype_name=ed_name)
+                eval_dtype_name=ed_name, ncomp=ncomp)
         elif importance == "poly":
             ti_d, tsi_d, d = _vegas_iteration_poly(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
                 dtype.name, key, map_a, map_b,
-                regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name)
+                regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name,
+                ncomp=ncomp)
         else:
             ti_d, tsi_d, d = _vegas_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
                 dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d,
-                eval_dtype_name=ed_name)
+                eval_dtype_name=ed_name, ncomp=ncomp)
         if adjusting:
             # grid refinement on host in exact f64, like the reference's
             # per-iteration xi/d round trip (vegasT.cuh:797-927); ~32 KB.
             xi = jnp.asarray(vgrid.smooth_and_refine(xi, d), dtype)
         out = np.asarray(jnp.stack([ti_d, tsi_d]))  # one D2H sync/iteration
-        ti, tsi = float(out[0]), float(out[1])
-        tsi *= dv2g
+        if ncomp == 1:
+            ti, tsi = float(out[0]), float(out[1])
+        else:
+            ti, tsi = out[0].copy(), out[1].copy()
+        tsi = tsi * dv2g
         res.neval += int(calls)
 
         if it > skip_iters:
             wgt = 1.0 / tsi
-            si += wgt * ti
-            schi += wgt * ti * ti
-            swgt += wgt
+            si = si + wgt * ti
+            schi = schi + wgt * ti * ti
+            swgt = swgt + wgt
             tgral = si / swgt
-            chi2a = (schi - si * tgral) / (it - 0.9999)
-            chi2a = max(chi2a, 0.0)
-            sd = math.sqrt(1.0 / swgt)
-            res.status = get_status(tgral, sd, it, epsrel, epsabs)
+            chi2a = np.maximum((schi - si * tgral) / (it - 0.9999), 0.0)
+            sd = np.sqrt(1.0 / swgt)
+            res.status = _all_pass(tgral, sd, it)
         if debug_logger is not None:
             # per-iteration capture (IterDataLogger parity,
             # verbose_utils.cuh:22-181)
@@ -809,9 +878,16 @@ def vegas(
         res.iters += 1
         it += 1
 
-    res.estimate = tgral
-    res.errorest = sd
-    res.chi_sq = chi2a
+    if ncomp == 1:
+        res.estimate = float(tgral)
+        res.errorest = float(sd)
+        res.chi_sq = float(chi2a)
+    else:
+        res.estimates = np.asarray(tgral, float).copy()
+        res.errorests = np.asarray(sd, float).copy()
+        res.estimate = float(res.estimates[0])
+        res.errorest = float(res.errorests[0])
+        res.chi_sq = float(np.max(chi2a))
     st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
     res.lastPhase = 1 if it > adjust_iters else 0
     return res

@@ -175,6 +175,82 @@ def _eval_chunk(
     return estimate, errorest, split_dim
 
 
+def _eval_chunk_vector(
+    f: Callable[[jax.Array], jax.Array],
+    tables: RuleTables,
+    ncomp: int,
+    lows: jax.Array,       # (ndim, C)
+    lengths: jax.Array,    # (ndim, C)
+    global_lo: jax.Array,
+    global_range: jax.Array,
+):
+    """Vector-valued twin of ``_eval_chunk``: ``f`` maps (..., ndim) ->
+    (..., ncomp) (cubacpp array<double,N>/vector<double> integrands,
+    cubacpp/integrand_traits.hh:81-93 -- a capability the reference's GPU
+    layer itself lacks).  All components share ONE point set; per
+    component the rule sums, null-rule error model and estimates are the
+    scalar path's exactly; the bisection dimension takes the MAX fourth
+    difference over components (CUBA's multi-component subdivision rule).
+
+    Returns (estimate (ncomp, C), errorest (ncomp, C), split_dim (C,)).
+    Outputs are component-major so the big region axis stays minor
+    (region_pool.py layout rationale)."""
+    ndim = tables.ndim
+    dtype = lows.dtype
+    len_g = lengths * global_range[:, None]
+    center_g = global_lo[:, None] + (lows + 0.5 * lengths) * \
+        global_range[:, None]
+    planes = []
+    for d in range(ndim):
+        planes.append(
+            center_g[d][:, None]
+            - tables.gen[None, :, d] * len_g[d][:, None])
+    x = jnp.stack(planes, axis=-1)                         # (C, P, ndim)
+    jacobian = jnp.prod(global_range)
+    vals_k = f(x).astype(dtype)                            # (C, P, ncomp)
+
+    ob = tables.orbit_bounds
+    ratio = jnp.asarray(tables.ratio, dtype)
+    widest = jnp.argmax(lengths, axis=0).astype(jnp.int32)
+    sc = tables.scale[:, 1:4]
+    nm = tables.norm[:, 1:4]
+    vol = jnp.prod(lengths, axis=0)
+
+    ests, errs_out, diffs = [], [], []
+    for c in range(ncomp):
+        # per-component (C, P) plane; XLA fuses the slice into f's output
+        vals = vals_k[..., c]
+        orbit_sums = jnp.stack(
+            [jnp.sum(vals[:, ob[s]:ob[s + 1]], axis=1)
+             for s in range(len(ob) - 1)], axis=1)
+        sums = jnp.sum(
+            orbit_sums[:, :, None] * tables.orbit_wts[None, :, :], axis=1)
+        sums = sums * jacobian
+        f0 = vals[:, 0]
+        orbit1 = vals[:, 1:1 + 2 * ndim].reshape(-1, ndim, 2).sum(-1)
+        orbit2 = vals[:, 1 + 2 * ndim:1 + 4 * ndim].reshape(-1, ndim, 2).sum(-1)
+        diffs.append(jnp.abs(
+            (2.0 * (1.0 - ratio)) * f0[:, None] + ratio * orbit1 - orbit2))
+        s_r = sums[:, 1:4]
+        s_r1 = sums[:, 2:5]
+        e = jnp.max(
+            jnp.abs(s_r1[:, None, :] + sc[None, :, :] * s_r[:, None, :])
+            * nm[None, :, :], axis=1)
+        e1, e2, e3 = e[:, 0], e[:, 1], e[:, 2]
+        gated = jnp.where(
+            (_ERRCOEFF[0] * e1 <= e2) & (_ERRCOEFF[0] * e2 <= e3),
+            _ERRCOEFF[1] * e1,
+            _ERRCOEFF[2] * jnp.maximum(jnp.maximum(e1, e2), e3))
+        ests.append(vol * sums[:, 0])
+        errs_out.append(vol * gated)
+
+    fourth_diff = jnp.max(jnp.stack(diffs), axis=0)        # (C, ndim)
+    best = jnp.argmax(fourth_diff, axis=1).astype(jnp.int32)
+    any_positive = jnp.max(fourth_diff, axis=1) > 0
+    split_dim = jnp.where(any_positive, best, widest)
+    return jnp.stack(ests), jnp.stack(errs_out), split_dim
+
+
 def apply_rule(
     f: Callable[[jax.Array], jax.Array],
     tables: RuleTables,
@@ -186,6 +262,7 @@ def apply_rule(
     chunk_size: int | None = None,
     n: jax.Array | None = None,
     blocked: bool = False,
+    ncomp: int = 1,
 ):
     """Apply the rule to the whole (possibly padded) region pool.
 
@@ -203,13 +280,23 @@ def apply_rule(
     selects the post-split layout (real slots are the first n/2 of each
     static pool half, region_pool.block_mask) vs a contiguous [0, n) pool.
 
-    Returns (estimate (R,), errorest (R,), split_dim (R,)).
+    Returns (estimate (R,), errorest (R,), split_dim (R,)); with
+    ``ncomp`` > 1 the estimate/error outputs are component-major
+    (ncomp, R) from the vector twin ``_eval_chunk_vector``.
     Padded (zero-length) regions yield zero estimate/error since their unit
     volume is zero.
     """
+    if ncomp == 1:
+        def eval1(lo, ln):
+            return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
+    else:
+        def eval1(lo, ln):
+            return _eval_chunk_vector(f, tables, ncomp, lo, ln,
+                                      global_lo, global_range)
+
     cap = lows.shape[1]
     if chunk_size is None or cap <= chunk_size or cap % chunk_size != 0:
-        return _eval_chunk(f, tables, lows, lengths, global_lo, global_range)
+        return eval1(lows, lengths)
 
     ndim = lows.shape[0]
     num_chunks = cap // chunk_size
@@ -246,23 +333,33 @@ def apply_rule(
                     lows, (0, start), (ndim, chunk_size))
                 ln_c = jax.lax.dynamic_slice(
                     lengths, (0, start), (ndim, chunk_size))
-                e, r, s = _eval_chunk(
-                    f, tables, lo_c, ln_c, global_lo, global_range)
-                return (jax.lax.dynamic_update_slice(est, e, (start,)),
-                        jax.lax.dynamic_update_slice(err, r, (start,)),
+                e, r, s = eval1(lo_c, ln_c)
+                if ncomp == 1:
+                    est = jax.lax.dynamic_update_slice(est, e, (start,))
+                    err = jax.lax.dynamic_update_slice(err, r, (start,))
+                else:
+                    est = jax.lax.dynamic_update_slice(est, e, (0, start))
+                    err = jax.lax.dynamic_update_slice(err, r, (0, start))
+                return (est, err,
                         jax.lax.dynamic_update_slice(sd, s, (start,)))
 
             return jax.lax.cond(needed, do, lambda o: o, outs)
 
-        outs0 = (jnp.zeros((cap,), dtype), jnp.zeros((cap,), dtype),
+        eshape = (cap,) if ncomp == 1 else (ncomp, cap)
+        outs0 = (jnp.zeros(eshape, dtype), jnp.zeros(eshape, dtype),
                  jnp.zeros((cap,), jnp.int32))
         return jax.lax.fori_loop(0, num_chunks, body, outs0)
 
     def body(args):
         lo, ln = args
-        return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
+        return eval1(lo, ln)
 
     lo_c = lows.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     ln_c = lengths.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     est, err, sd = jax.lax.map(body, (lo_c, ln_c))
-    return est.reshape(cap), err.reshape(cap), sd.reshape(cap)
+    if ncomp == 1:
+        return est.reshape(cap), err.reshape(cap), sd.reshape(cap)
+    # (num_chunks, ncomp, chunk) -> (ncomp, cap)
+    est = est.transpose(1, 0, 2).reshape(ncomp, cap)
+    err = err.transpose(1, 0, 2).reshape(ncomp, cap)
+    return est, err, sd.reshape(cap)

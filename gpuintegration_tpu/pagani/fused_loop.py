@@ -76,7 +76,7 @@ def fused_adaptive_phase(
       [n, cum_est, cum_err, result_nregions, iters_done, neval, status,
        last_inflight_est, last_inflight_err,
        prev_est, prev_err, prev_nregions, prev_iters,
-       est_hist[0], est_hist[1], est_hist[2]]
+       est_hist[0], est_hist[1], est_hist[2], prev_neval]
 
     Every iteration processed is APPLIED to the ledger.  status:
       0  converged;
@@ -130,7 +130,7 @@ def fused_adaptive_phase(
 
         def cond(carry):
             (_, _, _n_loc, n_g, _, _, _, _, iters_c, _, _, status_c,
-             _, _, _, _, _, _, _) = carry
+             _, _, _, _, _, _, _, _) = carry
             return ((status_c == -1)
                     & (2 * n_g <= gate)
                     & (iters_c < max_iters))
@@ -138,7 +138,7 @@ def fused_adaptive_phase(
         def body(carry):
             (lo_c, ln_c, n_loc, n_glob, par_c, cum_e, cum_r, res_nreg,
              iters_c, nev, hist, _status, _lie, _lir,
-             _pe, _pr, _pn, _pi, _sd) = carry
+             _pe, _pr, _pn, _pi, _pv, _sd) = carry
 
             est_raw, err_raw, sdim = rule_eval.apply_rule(
                 f, tables, lo_c, ln_c, global_lo, global_range,
@@ -227,23 +227,23 @@ def fused_adaptive_phase(
                     iters_c + 1, nev + n_glob.astype(f64) * feval,
                     hist_out, status,
                     iter_est - fin_est, iter_err - fin_err,
-                    cum_e, cum_r, res_nreg, iters_c, sd_out)
+                    cum_e, cum_r, res_nreg, iters_c, nev, sd_out)
 
         carry0 = (lows, lengths, n_loc0, n_glob0, parent_est,
                   cum_est, cum_err, result_nregions,
                   iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
                   zero, zero,
-                  cum_est, cum_err, result_nregions, iters_done,
+                  cum_est, cum_err, result_nregions, iters_done, neval,
                   jnp.zeros((cap,), jnp.int32))
         (lo_f, ln_f, nl_f, ng_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
-         hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, sd_f) = \
-            jax.lax.while_loop(cond, body, carry0)
+         hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, pv_f,
+         sd_f) = jax.lax.while_loop(cond, body, carry0)
         packed = jnp.stack([
             ng_f.astype(f64), ce_f, cr_f, rn_f,
             it_f.astype(f64), nev_f, st_f.astype(f64),
             lie_f, lir_f,
             pe_f, pr_f, pn_f, pi_f.astype(f64),
-            hist_f[0], hist_f[1], hist_f[2]])
+            hist_f[0], hist_f[1], hist_f[2], pv_f])
         return lo_f, ln_f, par_f, sd_f, nl_f, packed
 
     scalars = (global_lo, global_range, epsrel_pool, epsrel, epsabs,

@@ -130,9 +130,17 @@ def compact(
     deficit = jnp.where(v, ids - rank, 0)
     n_active = jnp.sum(flags)
 
+    # estimates/errorests may be (cap,) scalars or (ncomp, cap) vector-
+    # integrand components (comp-major; see rule_eval._eval_chunk_vector)
+    est_rows = estimates if estimates.ndim == 2 else estimates[None]
+    err_rows = errorests if errorests.ndim == 2 else errorests[None]
+    ncomp = est_rows.shape[0]
+
     payload = ([lows[d] for d in range(ndim)]
                + [lengths[d] for d in range(ndim)]
-               + [split_dim, estimates, errorests])
+               + [split_dim]
+               + [est_rows[c] for c in range(ncomp)]
+               + [err_rows[c] for c in range(ncomp)])
 
     nbits = max(cap - 1, 1).bit_length()
     for b in range(nbits):
@@ -161,8 +169,12 @@ def compact(
     new_lows = jnp.stack([fit(payload[d]) for d in range(ndim)])
     new_lengths = jnp.stack([fit(payload[ndim + d]) for d in range(ndim)])
     new_split = fit(payload[2 * ndim])
-    parent_est = fit(payload[2 * ndim + 1])
-    parent_err = fit(payload[2 * ndim + 2])
+    pe = [fit(payload[2 * ndim + 1 + c]) for c in range(ncomp)]
+    pr = [fit(payload[2 * ndim + 1 + ncomp + c]) for c in range(ncomp)]
+    if estimates.ndim == 2:
+        parent_est, parent_err = jnp.stack(pe), jnp.stack(pr)
+    else:
+        parent_est, parent_err = pe[0], pr[0]
     return n_active, new_lows, new_lengths, new_split, parent_est, parent_err
 
 

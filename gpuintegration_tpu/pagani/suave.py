@@ -1,50 +1,305 @@
-"""Suave-equivalent entry point: subregion-adaptive importance sampling.
+"""Suave: subregion-adaptive importance-sampling Monte Carlo.
 
-The reference exposes CUBA's Suave through its CPU layer
-(reference: cubacpp/cubacpp/suave.hh SuaveIntegrate).  Suave's algorithm
--- importance-sample each subregion with a separable VEGAS-style grid,
-estimate + error per region, bisect the worst regions, repeat -- is
-exactly the structure of this framework's VEGAS-assisted PAGANI hybrid
-(pagani.vegas_assisted: per-region adaptive importance grids inside the
-adaptive subdivision loop), so ``suave`` is a thin configuration of the
-same machinery with Monte-Carlo-appropriate defaults.
+Re-expression of the algorithm behind cubacpp's Suave binding
+(reference: cubacpp/cubacpp/suave.hh -> CUBA's Suave; parameter surface
+nnew/nmin/flatness).  Suave's defining traits, per the CUBA paper:
+
+  1. VEGAS-style importance sampling with a grid PER SUBREGION that
+     children inherit from their parent,
+  2. sample REUSE: information from earlier samples keeps contributing
+     to a region's estimate after subdivision,
+  3. the split dimension minimizes the FLUCTUATION of the samples in the
+     two prospective halves (flatness = the p-norm exponent emphasizing
+     spiky components).
+
+TPU-first redesign (NOT a port of CUBA's serial one-region-at-a-time
+loop):
+
+* the region pool is batched: every cycle samples ALL regions at once
+  (nmin passes x nnew samples per region fused in one jit dispatch,
+  reusing the per-region grid machinery of pagani.vegas_assisted), and
+  every over-budget region splits in the same cycle -- the PAGANI-style
+  batch adaptivity that keeps the MXU busy, vs CUBA's pick-worst-region
+  scalar loop;
+* sample reuse is carried as SUFFICIENT STATISTICS instead of stored
+  points: each pass accumulates inverse-variance-weighted (estimate,
+  weight) pairs per region, and a split seeds each child with the
+  parent's accumulated information (estimates apportioned by the
+  measured per-half integrand mass, weight split evenly) -- old samples
+  keep influencing child estimates without CUBA's O(samples) region
+  memory;
+* the fluctuation measure is the normalized p-norm of |w f| over each
+  prospective half, computed from the current cycle's samples with
+  p = min(flatness, 16) (ratios-to-max form, numerically safe where
+  CUBA's raw p-norm with its default flatness=50 would overflow);
+* per-region grids refine on device in f32 (vegas_assisted._refine_grids,
+  scatter/gather/sort-free); children inherit the parent grid with the
+  split dimension reset to uniform (re-refined within one cycle).
+
+Pool surgery (split/bookkeeping) runs on host NumPy: Suave pools are
+small (CUBA caps out around 10^3 subregions; ``max_regions`` here), so
+the hot path is the batched sampling jit, not the surgery.
 """
 from __future__ import annotations
 
-from typing import Callable
+import functools
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from gpuintegration_tpu.pagani.workspace import Workspace
+from gpuintegration_tpu.integrand import make_integrand
+from gpuintegration_tpu.pagani.vegas_assisted import _refine_grids
 from gpuintegration_tpu.types import IntegrationResult, Volume
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f", "ndim", "passes", "nnew", "nbins", "dtype_name",
+                     "p"))
+def _suave_cycle(
+    f,
+    ndim: int,
+    passes: int,          # nmin sampling passes fused into this dispatch
+    nnew: int,            # samples per region per pass
+    nbins: int,
+    dtype_name: str,
+    p: float,             # fluctuation norm exponent (capped flatness)
+    key,
+    lows, lengths,        # (ndim, cap) dims-major unit-space regions
+    grids,                # (cap, ndim, nbins+1) f32 per-region grids
+    n,                    # traced: real region count (first n slots)
+    global_lo, global_range,
+):
+    """One Suave cycle over the whole (padded) pool.
+
+    Returns (grids', I (cap,), var (cap,), flu (cap, ndim),
+    frac_lo (cap, ndim)): the cycle's per-region importance-sampled
+    estimate and variance-of-mean, the per-dimension fluctuation of the
+    two prospective halves (split criterion: argmin), and the fraction
+    of the sampled integrand mass in the lower half (child seeding).
+    Padding slots produce zeros (vol = finite but masked by ``n`` in the
+    host driver).
+    """
+    dtype = jnp.dtype(dtype_name)
+    f32 = jnp.float32
+    cap = lows.shape[1]
+    jac = jnp.prod(global_range).astype(dtype)
+    vol = jnp.prod(lengths, axis=0).astype(dtype)        # (cap,)
+    bins_ax = jnp.arange(nbins, dtype=jnp.int32)
+
+    def one_pass(i, carry):
+        (grids, s_wf, s_wf2, s_cnt, s_flu_lo, s_flu_hi, s_mass_lo,
+         s_mass) = carry
+        pk = jax.random.fold_in(key, i)
+        u_bin = jax.random.uniform(pk, (cap, nnew, ndim), f32)
+        u_pos = jax.random.uniform(jax.random.fold_in(pk, 1),
+                                   (cap, nnew, ndim), f32)
+        bins = jnp.clip((u_bin * nbins).astype(jnp.int32), 0, nbins - 1)
+
+        # per-region bin-edge lookup: fused one-hot batched matmul
+        # (vegas_assisted pattern -- no gathers on pool-sized arrays)
+        u_planes, wprod = [], None
+        for d in range(ndim):
+            tbl = jnp.stack([grids[:, d, :nbins],
+                             grids[:, d, 1:] - grids[:, d, :nbins]],
+                            axis=-1)                     # (cap, nb, 2)
+            oh = (bins[..., d][..., None] == bins_ax).astype(f32)
+            e = jnp.einsum('rsb,rbe->rse', oh, tbl, precision=_HIGH)
+            lo_d, wid_d = e[..., 0], e[..., 1]
+            u_planes.append(lo_d + u_pos[..., d] * wid_d)
+            w_d = (wid_d * nbins).astype(dtype)
+            wprod = w_d if wprod is None else wprod * w_d
+        u = jnp.stack(u_planes, axis=-1)                 # (cap, nnew, ndim)
+        w = wprod                                        # (cap, nnew)
+
+        x = (global_lo
+             + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
+             * global_range)
+        fx = f(x).astype(dtype) * jac
+        wf = w * fx                                      # (cap, nnew)
+        awf = jnp.abs(wf)
+
+        s_wf = s_wf + jnp.sum(wf, axis=1)
+        s_wf2 = s_wf2 + jnp.sum(wf * wf, axis=1)
+        s_cnt = s_cnt + nnew
+
+        # fluctuation stats per (region, dim, half): normalized p-norm of
+        # |wf| over each prospective half (the flatness criterion); and
+        # the lower-half integrand mass for child seeding
+        fmax = jnp.maximum(jnp.max(awf, axis=1, keepdims=True), 1e-300)
+        ratio_p = (awf / fmax) ** p                      # (cap, nnew)
+        for d in range(ndim):
+            in_lo = (u[..., d] < 0.5).astype(dtype)
+            s_flu_lo = s_flu_lo.at[:, d].add(
+                fmax[:, 0] * jnp.sum(ratio_p * in_lo, axis=1) ** (1.0 / p))
+            s_flu_hi = s_flu_hi.at[:, d].add(
+                fmax[:, 0] * jnp.sum(ratio_p * (1.0 - in_lo),
+                                     axis=1) ** (1.0 / p))
+            s_mass_lo = s_mass_lo.at[:, d].add(
+                jnp.sum(awf * in_lo, axis=1))
+        s_mass = s_mass + jnp.sum(awf, axis=1)
+
+        # per-(region, dim) f^2 histogram -> grid refinement (f32)
+        f2 = (wf * wf).astype(f32)
+        hist = jnp.stack(
+            [jnp.einsum('rs,rsb->rb', f2,
+                        (bins[..., d][..., None] == bins_ax).astype(f32),
+                        precision=_HIGH)
+             for d in range(ndim)], axis=1)
+        grids = _refine_grids(grids, hist)
+        return (grids, s_wf, s_wf2, s_cnt, s_flu_lo, s_flu_hi, s_mass_lo,
+                s_mass)
+
+    z = jnp.zeros((cap,), dtype)
+    zd = jnp.zeros((cap, ndim), dtype)
+    (grids, s_wf, s_wf2, s_cnt, flu_lo, flu_hi, mass_lo, mass) = \
+        jax.lax.fori_loop(0, passes, one_pass,
+                          (grids, z, z, 0, zd, zd, zd, z))
+
+    cnt = jnp.asarray(s_cnt, dtype)
+    mean = s_wf / cnt
+    var_mean = jnp.maximum(s_wf2 / cnt - mean * mean, 0.0) / jnp.maximum(
+        cnt - 1.0, 1.0)
+    I = vol * mean
+    var = (vol * vol) * var_mean
+    flu = flu_lo + flu_hi                                # (cap, ndim)
+    frac_lo = mass_lo / jnp.maximum(mass, 1e-300)[:, None]
+    return grids, I, var, flu, frac_lo
 
 
 def suave(
-    integrand: Callable,
+    integrand,
     epsrel: float = 1e-3,
     epsabs: float = 1e-12,
     vol: Volume | None = None,
     *,
     ndim: int | None = None,
-    nnew: int = 1280,
-    passes: int = 4,
-    max_iterations: int = 50,
+    nnew: int = 2048,
+    nmin: int = 2,
+    flatness: float = 50.0,
+    nbins: int = 64,
+    max_regions: int = 1024,
+    max_cycles: int = 64,
     seed: int = 0,
-    workspace: Workspace | None = None,
+    dtype=jnp.float64,
 ) -> IntegrationResult:
-    """Subregion-adaptive MC integration (SuaveIntegrate analogue).
+    """Suave driver (cubacpp/suave.hh parameter surface).
 
-    ``nnew``: fresh samples per region per refinement pass (Suave's NNEW
-    knob); split-dimension selection still uses the cubature rule's
-    fourth-difference (a strictly better-informed choice than Suave's
-    fluctuation split)."""
-    from gpuintegration_tpu.integrand import make_integrand
-    _, nd = make_integrand(integrand, ndim)
-    ws = workspace or Workspace(nd)
-    return ws.integrate(
-        integrand, epsrel, epsabs, vol,
-        vegas_assisted=True,
-        vegas_passes=passes,
-        vegas_samples_per_pass=max(nnew // passes, 64),
-        max_iterations=max_iterations,
-        seed=seed)
+    ``nnew``: fresh samples per region per pass; ``nmin``: passes per
+    cycle (the reuse granularity -- every region keeps at least
+    nmin*nnew samples' worth of information between subdivisions);
+    ``flatness``: fluctuation-norm exponent (internally capped at 16 in
+    ratios-to-max form; see module docstring).
+
+    Each cycle: batch-sample every region, fold the cycle's estimates
+    into the per-region inverse-variance accumulators (sample reuse),
+    then split every region whose variance exceeds its fair share of the
+    error budget, seeding children from the parent's accumulated
+    information.  Stops on accuracy, ``max_regions`` exhaustion with no
+    further progress, or ``max_cycles``.
+    """
+    f, ndim = make_integrand(integrand, ndim)
+    if vol is None:
+        vol = Volume(ndim=ndim)
+    dtype = jnp.dtype(dtype)
+    p = float(min(flatness, 16.0))
+    gl = jnp.asarray(vol.lows, dtype)
+    gr = jnp.asarray(vol.highs - vol.lows, dtype)
+
+    # host-side pool (Suave pools are small; surgery is numpy)
+    cap = 64
+    lows = np.zeros((ndim, cap))
+    lengths = np.zeros((ndim, cap))
+    lengths[:, 0] = 1.0                      # one root region, unit cube
+    n = 1
+    grids = np.broadcast_to(
+        np.linspace(0.0, 1.0, nbins + 1, dtype=np.float32),
+        (cap, ndim, nbins + 1)).copy()
+    wi = np.zeros(cap)                       # sum of wgt * estimate
+    w = np.zeros(cap)                        # sum of wgt (inverse variance)
+
+    res = IntegrationResult(status=1)
+    base_key = jax.random.PRNGKey(seed)
+
+    for cycle in range(max_cycles):
+        key = jax.random.fold_in(base_key, cycle)
+        grids_d, I_d, var_d, flu_d, frac_d = _suave_cycle(
+            f, ndim, nmin, nnew, nbins, dtype.name, p, key,
+            jnp.asarray(lows, dtype), jnp.asarray(lengths, dtype),
+            jnp.asarray(grids), jnp.asarray(n, jnp.int32), gl, gr)
+        grids = np.array(grids_d)    # writable copy (surgery below)
+        I = np.asarray(I_d)[:n]
+        var = np.maximum(np.asarray(var_d)[:n], 1e-300)
+        flu = np.asarray(flu_d)[:n]
+        frac_lo = np.clip(np.asarray(frac_d)[:n], 0.05, 0.95)
+        res.neval += nmin * nnew * n
+        res.iters += 1
+
+        # fold the cycle into the per-region accumulators (sample reuse)
+        wgt = 1.0 / var
+        wi[:n] += wgt * I
+        w[:n] += wgt
+
+        est_r = wi[:n] / w[:n]
+        var_r = 1.0 / w[:n]
+        total = float(np.sum(est_r))
+        err = float(np.sqrt(np.sum(var_r)))
+        tol = max(epsrel * abs(total), epsabs)
+        if err <= tol:
+            res.status = 0
+            break
+
+        # split every region whose variance exceeds its fair share of
+        # the budget (batch adaptivity); capacity-limited, worst first
+        over = np.flatnonzero(var_r > (tol * tol) / max(n, 1))
+        if over.size == 0:
+            over = np.argsort(var_r)[-max(n // 4, 1):]
+        room = max_regions - n
+        if room <= 0:
+            break                            # pool exhausted
+        if over.size > room:
+            over = over[np.argsort(var_r[over])[-room:]]
+
+        if n + over.size > cap:              # grow the padded pool
+            new_cap = 1 << int(n + over.size - 1).bit_length()
+            new_cap = min(max(new_cap, cap), max_regions)
+            pad = new_cap - cap
+            if pad > 0:
+                lows = np.pad(lows, ((0, 0), (0, pad)))
+                lengths = np.pad(lengths, ((0, 0), (0, pad)))
+                lengths[:, cap:] = 1.0       # finite padding boxes
+                grids = np.pad(grids, ((0, pad), (0, 0), (0, 0)),
+                               mode="edge")
+                wi = np.pad(wi, (0, pad))
+                w = np.pad(w, (0, pad))
+                cap = new_cap
+
+        for r in over:
+            d = int(np.argmin(flu[r]))       # fluctuation-minimizing dim
+            half = lengths[d, r] * 0.5
+            c = n                            # new slot = upper child
+            lows[:, c] = lows[:, r]
+            lengths[:, c] = lengths[:, r]
+            lows[d, c] = lows[d, r] + half
+            lengths[d, c] = half
+            lengths[d, r] = half             # r becomes the lower child
+            grids[c] = grids[r]
+            grids[r, d] = np.linspace(0.0, 1.0, nbins + 1)
+            grids[c, d] = np.linspace(0.0, 1.0, nbins + 1)
+            # seed children from the parent's accumulated information:
+            # estimates apportioned by measured half mass, weight halved
+            e_par, w_par = wi[r] / w[r], w[r]
+            fl = float(frac_lo[r, d])
+            w[r] = w[c] = w_par * 0.5
+            wi[r] = w[r] * e_par * fl
+            wi[c] = w[c] * e_par * (1.0 - fl)
+            n += 1
+
+    est_r = wi[:n] / np.maximum(w[:n], 1e-300)
+    res.estimate = float(np.sum(est_r))
+    res.errorest = float(np.sqrt(np.sum(1.0 / np.maximum(w[:n], 1e-300))))
+    res.nregions = n
+    return res

@@ -63,3 +63,47 @@ def refine_error(
         finished = jnp.zeros_like(refined, dtype=bool)
     active = jnp.where(mask & ~finished, 1.0, 0.0).astype(estimates.dtype)
     return refined, active
+
+
+def refine_error_vector(
+    estimates: jax.Array,      # (ncomp, cap) child integral estimates
+    errorests: jax.Array,      # (ncomp, cap) child raw errors
+    parent_estimates: jax.Array,  # (ncomp, cap_parent >= cap//2)
+    n: jax.Array,
+    epsrel,
+    relerr_classification: bool = True,
+):
+    """Vector-valued twin of ``refine_error``: the inflation runs per
+    component (same formulas, component-major arrays), and a region is
+    finished only when EVERY component's refined error meets its own
+    tolerance (CUBA's all-components convergence semantics,
+    cubacpp/integrand_traits.hh:81-93).  Returns (refined (ncomp, cap),
+    active (cap,))."""
+    cap = estimates.shape[1]
+    half = cap // 2
+
+    def other_block(a):
+        return jnp.concatenate([a[:, half:], a[:, :half]], axis=1)
+
+    self_err = errorests
+    self_res = estimates
+    sibl_err = other_block(errorests)
+    sibl_res = other_block(estimates)
+    par_res = jnp.tile(parent_estimates[:, :half], (1, 2))
+
+    diff = jnp.abs(0.25 * (sibl_res + self_res - par_res))
+    err_sum = self_err + sibl_err
+    inflated = jnp.where(
+        err_sum > 0.0, self_err * (1.0 + 2.0 * diff / err_sum), self_err)
+    refined = inflated + diff
+
+    mask = block_mask(cap, n, blocked=True)
+    refined = jnp.where(mask[None, :], refined, 0.0)
+
+    if relerr_classification:
+        max_err = jnp.maximum(epsrel * jnp.abs(self_res), 1e-200)
+        finished = jnp.all(refined < max_err, axis=0)
+    else:
+        finished = jnp.zeros((cap,), bool)
+    active = jnp.where(mask & ~finished, 1.0, 0.0).astype(estimates.dtype)
+    return refined, active

@@ -56,10 +56,10 @@ def accuracy_reached(epsrel, epsabs, estimate, errorest) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("f", "ndim", "dtype_name", "chunk_size",
-                                    "blocked"))
+                                    "blocked", "ncomp"))
 def _eval_stage(f, ndim: int, dtype_name: str,
                 lows, lengths, global_lo, global_range, chunk_size=None,
-                n=None, blocked=False):
+                n=None, blocked=False, ncomp=1):
     """Rule application over one pool bucket, chunked inside the jit.
 
     The (chunk, feval) intermediate is bounded by ``chunk_size`` via an
@@ -73,7 +73,7 @@ def _eval_stage(f, ndim: int, dtype_name: str,
     tables = rule_eval.rule_tables(ndim, dtype_name)
     return rule_eval.apply_rule(
         f, tables, lows, lengths, global_lo, global_range,
-        chunk_size=chunk_size, n=n, blocked=blocked)
+        chunk_size=chunk_size, n=n, blocked=blocked, ncomp=ncomp)
 
 
 def iteration_math(
@@ -133,6 +133,49 @@ def _post_stage(
     scalars = jnp.stack([iter_est, iter_err, finished_est, finished_err,
                          n_active])
     return est, refined, active, scalars
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relerr_classification", "blocked",
+                                    "ncomp"))
+def _post_stage_vector(
+    relerr_classification: bool,
+    blocked: bool,
+    ncomp: int,
+    est, err, n,            # est/err: (ncomp, cap) component-major
+    parent_estimates,       # (ncomp, cap_parent)
+    use_refine,
+    epsrel,
+):
+    """Vector twin of ``_post_stage``: per-component masking, two-level
+    refinement (all-components finished semantics) and the iteration/
+    finished reductions, concatenated into ONE scalar vector
+    [iter_est(ncomp), iter_err(ncomp), fin_est(ncomp), fin_err(ncomp),
+    n_active] for a single D2H sync."""
+    cap = est.shape[1]
+    mask = region_pool.block_mask(cap, n, blocked)
+    est = jnp.where(mask[None], est, 0.0)
+    err = jnp.where(mask[None], err, 0.0)
+    refined_r, active_r = two_level.refine_error_vector(
+        est, err, parent_estimates, n, epsrel,
+        relerr_classification=relerr_classification)
+    all_active = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
+    refined = jnp.where(use_refine, refined_r, err)
+    active = jnp.where(use_refine, active_r, all_active)
+    iter_est = jnp.sum(est, axis=1)
+    iter_err = jnp.sum(refined, axis=1)
+    fin_est = iter_est - jnp.sum(active[None] * est, axis=1)
+    fin_err = iter_err - jnp.sum(active[None] * refined, axis=1)
+    n_active = jnp.sum(active)
+    scalars = jnp.concatenate(
+        [iter_est, iter_err, fin_est, fin_err, n_active[None]])
+    return est, refined, active, scalars
+
+
+@jax.jit
+def _max_over_components(refined):
+    """Per-region worst-component error profile for the classifier."""
+    return jnp.max(refined, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("blocked",))
@@ -250,6 +293,7 @@ class Workspace:
         vegas_samples_per_pass: int = 320,
         seed: int = 0,
         fused: bool = True,
+        ledger: tuple | None = None,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
 
@@ -264,6 +308,14 @@ class Workspace:
         ``recorder``: optional utils.recorder.IterationRecorder receiving one
         row per iteration (parity with the reference's cuda_pagani_iters.csv,
         Workspace.cuh:171-241).
+
+        ``ledger``: optional (estimate, errorest, nregions, iters, neval)
+        seed of the cumulative ledger -- resume semantics for the
+        continuation driver (integrate_to_convergence): every internal
+        decision (accuracy test, error-budget rollback, classifier
+        budget) then sees the TRUE cumulative totals rather than this
+        round's partial sums.  ``max_iterations`` buys a fresh budget on
+        top of the seeded iteration count.
 
         ``predict_split``: the reference's split-prediction heuristic
         (Workspace.cuh:206-211, 244-248): suppress finished-region
@@ -291,6 +343,20 @@ class Workspace:
         global_lo = jnp.asarray(vol.lows, dtype)
         global_range = jnp.asarray(vol.highs - vol.lows, dtype)
 
+        from gpuintegration_tpu.integrand import deduce_ncomp
+        ncomp = deduce_ncomp(f, ndim, dtype_name)
+        if ncomp > 1:
+            if (self.mesh is not None or vegas_assisted or predict_split
+                    or self.rule_backend != "xla"):
+                raise ValueError(
+                    "vector-valued integrands run on the single-chip XLA "
+                    "host loop (no mesh/vegas_assisted/predict_split/"
+                    "pallas yet)")
+            return self._integrate_vector(
+                f, ncomp, epsrel, epsabs, global_lo, global_range,
+                partitions_per_axis, relerr_classification,
+                max_iterations, initial_regions, recorder)
+
         if self.mesh is not None:
             if vegas_assisted or predict_split:
                 raise ValueError(
@@ -301,7 +367,7 @@ class Workspace:
             return self._integrate_mesh(
                 f, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
-                max_iterations, initial_regions, recorder, fused)
+                max_iterations, initial_regions, recorder, fused, ledger)
 
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
@@ -336,6 +402,11 @@ class Workspace:
 
         cum = IntegrationResult(status=1)
         result_nregions = 0
+        if ledger is not None:
+            (cum.estimate, cum.errorest, result_nregions, cum.iters,
+             cum.neval) = ledger
+            cum.nFinishedRegions = result_nregions
+            max_iterations = max_iterations + cum.iters
         blocked = False   # pool layout: [0,n) contiguous until first split
 
         # classification gate: below 2n <= gate the classifier can never
@@ -349,7 +420,7 @@ class Workspace:
         inflight_est = inflight_err = 0.0
         exhausted = False
 
-        it = 0
+        it = cum.iters
         while True:
             if it >= max_iterations:
                 exhausted = True
@@ -415,13 +486,15 @@ class Workspace:
                     self._ledger_excl_pool = (float(packed[9]),
                                               float(packed[10]),
                                               int(packed[11]),
-                                              int(packed[12]))
+                                              int(packed[12]),
+                                              int(packed[16]))
                 else:
                     # pool is post-split and NOT yet evaluated: the full
                     # current ledger already excludes it
                     self.final_pool = (lows, lengths, n, True)
                     self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                              result_nregions, cum.iters)
+                                              result_nregions, cum.iters,
+                                              cum.neval)
                 if status == 0:          # accuracy reached
                     cum.status = 0
                     cum.nregions = result_nregions + n
@@ -471,7 +544,7 @@ class Workspace:
             # final_pool re-evaluates the pool, so the resumable ledger must
             # not contain its latest contribution (see make_checkpoint)
             self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                      result_nregions, cum.iters)
+                                      result_nregions, cum.iters, cum.neval)
             # single D2H sync per iteration
             scalars = np.asarray(scalars_d)
             iter_est, iter_err, finished_est, finished_err = (
@@ -582,10 +655,190 @@ class Workspace:
         cum.nregions = result_nregions + n
         return cum
 
+    def _integrate_vector(
+        self, f, ncomp, epsrel, epsabs, global_lo, global_range,
+        partitions_per_axis, relerr_classification, max_iterations,
+        initial_regions, recorder,
+    ) -> IntegrationResult:
+        """Adaptive loop for vector-valued integrands: f maps (..., ndim)
+        -> (..., ncomp).  All components share one point set and one
+        region tree; a region is finished only when EVERY component meets
+        its tolerance, the bisection dimension takes the max fourth
+        difference over components, and the run converges when every
+        component's cumulative error passes (cubacpp all-components
+        semantics, integrand_traits.hh:81-93).  The classifier and the
+        error-budget rollback key on the WORST component."""
+        import time as _time
+        ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
+        eps_dev = jnp.asarray(epsrel, dtype)
+
+        min_cap = self.chunk_size
+        if initial_regions is not None:
+            lows0 = jnp.asarray(initial_regions[0], dtype).T
+            lengths0 = jnp.asarray(initial_regions[1], dtype).T
+            n = int(lows0.shape[1])
+            cap = max(region_pool.next_pow2(n), min_cap)
+            pad = cap - n
+            lows = jnp.concatenate(
+                [lows0, jnp.broadcast_to(lows0[:, :1], (ndim, pad))], axis=1)
+            lengths = jnp.concatenate(
+                [lengths0, jnp.broadcast_to(lengths0[:, :1], (ndim, pad))],
+                axis=1)
+        else:
+            parts = partitions_per_axis or default_partitions_per_axis(ndim)
+            n = parts ** ndim
+            cap = max(region_pool.next_pow2(n), min_cap)
+            lows, lengths, n = region_pool.uniform_split(
+                ndim, parts, cap, dtype)
+
+        parent_est = jnp.zeros((ncomp, max(cap // 2, 1)), dtype)
+        use_refine = jnp.asarray(False)
+        n_dev = jnp.asarray(n, jnp.int32)
+
+        classifier = HeuristicClassifier(epsrel, epsabs,
+                                         self.max_pool_regions)
+        feval = rule_eval.rule_tables(ndim, dtype_name).feval
+
+        cum = IntegrationResult(status=1)
+        cum_est = np.zeros(ncomp)
+        cum_err = np.zeros(ncomp)
+        result_nregions = 0
+        blocked = False
+        inflight_est = np.zeros(ncomp)
+        inflight_err = np.zeros(ncomp)
+        exhausted = False
+
+        def all_accuracy(ests, errs):
+            return all(accuracy_reached(epsrel, epsabs, abs(e), r)
+                       for e, r in zip(ests, errs))
+
+        it = 0
+        while True:
+            if it >= max_iterations:
+                exhausted = True
+                break
+            if n <= 0:
+                break
+            t_iter = _time.perf_counter()
+            est_raw, err_raw, sdim = _eval_stage(
+                f, ndim, dtype_name, lows, lengths, global_lo, global_range,
+                chunk_size=self.chunk_size if cap > self.chunk_size else None,
+                n=n_dev, blocked=blocked, ncomp=ncomp)
+            est, refined, active, scalars_d = _post_stage_vector(
+                relerr_classification, blocked, ncomp, est_raw, err_raw,
+                n_dev, parent_est, use_refine, eps_dev)
+            scalars = np.asarray(scalars_d)       # ONE sync per iteration
+            iter_est = scalars[0:ncomp].astype(np.float64)
+            iter_err = scalars[ncomp:2 * ncomp].astype(np.float64)
+            finished_est = scalars[2 * ncomp:3 * ncomp].astype(np.float64)
+            finished_err = scalars[3 * ncomp:4 * ncomp].astype(np.float64)
+            n_active = int(scalars[4 * ncomp])
+            cum.iters += 1
+            cum.neval += n * feval
+            if recorder is not None:
+                recorder.record(
+                    it=it, estimate=float(cum_est[0] + iter_est[0]),
+                    errorest=float(cum_err[0] + iter_err[0]),
+                    festimate=float(cum_est[0]), ferrorest=float(cum_err[0]),
+                    nregions=n, fnregions=cum.nFinishedRegions,
+                    time_ms=(_time.perf_counter() - t_iter) * 1e3)
+
+            if all_accuracy(cum_est + iter_est, cum_err + iter_err):
+                cum_est = cum_est + iter_est
+                cum_err = cum_err + iter_err
+                cum.status = 0
+                cum.nregions = result_nregions + n
+                break
+
+            classifier.store_estimate(float(cum_est[0] + iter_est[0]))
+
+            # rollback when ANY component's finished error would overflow
+            # its budget (worst-component generalisation of
+            # Workspace.cuh:121-146)
+            if any(ce + fe > abs(le) * epsrel
+                   for ce, fe, le in zip(cum_err, finished_err,
+                                         cum_est + iter_est)):
+                active = _all_active(active, n_dev, blocked)
+                finished_est = np.zeros(ncomp)
+                finished_err = np.zeros(ncomp)
+                n_active = n
+
+            must_terminate = False
+            classification_necessary = not classifier.split_fits(n)
+            if classifier.classification_criteria_met(n):
+                w = int(np.argmax(
+                    (cum_err + iter_err) /
+                    np.maximum(np.abs(cum_est + iter_est), 1e-300)))
+                hs = classifier.classify_ladder(
+                    _max_over_components(refined),
+                    region_pool.block_mask(cap, n_dev, blocked), n,
+                    float(iter_err[w]), float(finished_err[w]),
+                    float(cum_err[w]))
+                success = hs.pass_mem and hs.pass_errorest_budget
+                if success:
+                    active = hs.active_flags
+                    act_np = np.asarray(
+                        jnp.stack([_dot(active, est[c])
+                                   for c in range(ncomp)]))
+                    finished_est = iter_est - act_np
+                    ref_np = np.asarray(
+                        jnp.stack([_dot(active, refined[c])
+                                   for c in range(ncomp)]))
+                    finished_err = iter_err - ref_np
+                    n_active = hs.num_active
+                must_terminate = not success and classification_necessary
+            else:
+                must_terminate = classification_necessary
+
+            if must_terminate:
+                cum_est = cum_est + iter_est
+                cum_err = cum_err + iter_err
+                cum.nregions = result_nregions + n
+                break
+
+            cum_est = cum_est + finished_est
+            cum_err = cum_err + finished_err
+            inflight_est = iter_est - finished_est
+            inflight_err = iter_err - finished_err
+
+            result_nregions += n - n_active
+            cum.nFinishedRegions += n - n_active
+            if n_active == 0:
+                cum.nregions = result_nregions
+                break
+
+            child_cap = max(region_pool.next_pow2(2 * n_active),
+                            self.chunk_size)
+            (n_active_d, c_lows, c_lengths, c_sdim, parent_est,
+             _parent_err) = region_pool.compact(
+                active, lows, lengths, sdim, est, refined,
+                out_capacity=child_cap // 2)
+            lows, lengths, _ = region_pool.split(
+                c_lows, c_lengths, c_sdim, n_active_d,
+                out_capacity=child_cap)
+            n = 2 * n_active
+            n_dev = jnp.asarray(n, jnp.int32)
+            cap = child_cap
+            use_refine = jnp.asarray(True)
+            blocked = True
+            it += 1
+
+        if exhausted and cum.iters > 0:
+            cum_est = cum_est + inflight_est
+            cum_err = cum_err + inflight_err
+            cum.nregions = result_nregions + n
+        elif cum.nregions == 0:
+            cum.nregions = result_nregions + (n if n > 0 else 0)
+        cum.estimates = cum_est
+        cum.errorests = cum_err
+        cum.estimate = float(cum_est[0])
+        cum.errorest = float(cum_err[0])
+        return cum
+
     def _integrate_mesh(
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
-        initial_regions, recorder, fused,
+        initial_regions, recorder, fused, ledger=None,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
 
@@ -646,6 +899,11 @@ class Workspace:
         feval = rule_eval.rule_tables(ndim, dtype_name).feval
         cum = IntegrationResult(status=1)
         result_nregions = 0
+        if ledger is not None:
+            (cum.estimate, cum.errorest, result_nregions, cum.iters,
+             cum.neval) = ledger
+            cum.nFinishedRegions = result_nregions
+            max_iterations = max_iterations + cum.iters
         blocked = False
         fused_gate = int(0.1 * self.max_pool_regions)
         fused_ok = fused and recorder is None
@@ -655,7 +913,7 @@ class Workspace:
         def _chunk(cs):
             return self.chunk_size if cs > self.chunk_size else None
 
-        it = 0
+        it = cum.iters
         while True:
             if it >= max_iterations:
                 exhausted = True
@@ -711,10 +969,12 @@ class Workspace:
                     self._ledger_excl_pool = (float(packed[9]),
                                               float(packed[10]),
                                               int(packed[11]),
-                                              int(packed[12]))
+                                              int(packed[12]),
+                                              int(packed[16]))
                 else:
                     self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                              result_nregions, cum.iters)
+                                              result_nregions, cum.iters,
+                                              cum.neval)
                 if status == 0:
                     cum.status = 0
                     cum.nregions = result_nregions + n
@@ -741,7 +1001,7 @@ class Workspace:
             self.final_pool = ("mesh", lows, lengths, np.asarray(ns),
                                cap_s, blocked)
             self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                      result_nregions, cum.iters)
+                                      result_nregions, cum.iters, cum.neval)
             scalars = np.asarray(scalars_d)       # ONE sync per iteration
             iter_est, iter_err, finished_est, finished_err = (
                 float(scalars[0]), float(scalars[1]),
@@ -830,6 +1090,52 @@ class Workspace:
         cum.nregions = result_nregions + n
         return cum
 
+    def integrate_to_convergence(
+        self,
+        integrand: Callable,
+        epsrel: float = 1e-3,
+        epsabs: float = 1e-12,
+        vol: Volume | None = None,
+        *,
+        max_rounds: int = 16,
+        min_err_reduction: float = 0.99,
+        **kw,
+    ) -> IntegrationResult:
+        """``integrate`` + checkpoint-resume continuation.
+
+        A single ``integrate`` round ends with status 1 when the pool hits
+        the memory wall (classifier failure) or the iteration budget.
+        Each continuation round checkpoints the surviving regions and
+        resumes with the cumulative ledger seeded (``ledger=``), which (a)
+        restarts the two-level inflation on the saved pool -- fresh
+        parents deflate the inflated errors, (b) gives the classifier a
+        fresh error budget measured against the TRUE cumulative estimate,
+        and (c) grants a fresh iteration budget.  This is the mechanism
+        that carries deep-tolerance runs (8D at 1e-5 and below) past the
+        single-round pool wall; the reference has no analogue (its 700-
+        iteration exit just returns unconverged, Workspace.cuh:354-357).
+
+        Stops on convergence, ``max_rounds``, an empty pool, or when a
+        round fails to shrink the total error below ``min_err_reduction``
+        times the previous round's (no-progress guard).
+        """
+        res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
+        rounds = 1
+        while (res.status == 1 and rounds < max_rounds
+               and res.nregions > res.nFinishedRegions):
+            ckpt = self.make_checkpoint()
+            if ckpt.lows.shape[0] == 0:
+                break
+            prev_err = res.errorest
+            res = self.integrate(
+                integrand, epsrel, epsabs, vol,
+                initial_regions=(ckpt.lows, ckpt.lengths),
+                ledger=ckpt.ledger, **kw)
+            rounds += 1
+            if res.status == 1 and res.errorest > min_err_reduction * prev_err:
+                break   # no meaningful progress; stop burning evals
+        return res
+
     def make_checkpoint(self, result: IntegrationResult = None):
         """Package the last run's live pool + ledger into a resumable
         checkpoint (utils.checkpoint.PaganiCheckpoint).
@@ -842,7 +1148,7 @@ class Workspace:
         add ``ckpt.estimate``/``ckpt.errorest`` to the resumed result for
         the complete integral."""
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
-        est, err, nregions, iters = self._ledger_excl_pool
+        est, err, nregions, iters, neval = self._ledger_excl_pool
         if isinstance(self.final_pool[0], str):  # ("mesh", ...) layout
             # per-shard blocked layout: shard k's real regions fill the
             # first ns[k]/2 slots of each static half of its cap_s bucket
@@ -860,7 +1166,8 @@ class Workspace:
             keep = np.concatenate(keep) if keep else np.zeros(0, np.int64)
             return PaganiCheckpoint(
                 lows=lo_np[:, keep].T, lengths=ln_np[:, keep].T,
-                estimate=est, errorest=err, nregions=nregions, iters=iters)
+                estimate=est, errorest=err, nregions=nregions, iters=iters,
+                neval=neval)
         lows, lengths, n, blocked = self.final_pool
         lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
         if blocked:
@@ -873,4 +1180,5 @@ class Workspace:
             lo_np, ln_np = lo_np[:, :n], ln_np[:, :n]
         return PaganiCheckpoint(
             lows=lo_np.T, lengths=ln_np.T,
-            estimate=est, errorest=err, nregions=nregions, iters=iters)
+            estimate=est, errorest=err, nregions=nregions, iters=iters,
+            neval=neval)

@@ -30,6 +30,12 @@ class IntegrationResult:
     lastPhase: int = -1
     chi_sq: float = 0.0
     iters: int = 0
+    # vector-valued integrands (cubacpp integration_results<N>,
+    # cubacpp/integration_result.hh:66-124): per-component estimates and
+    # errors; ``estimate``/``errorest`` then hold component 0.  None for
+    # scalar integrands.
+    estimates: np.ndarray | None = None
+    errorests: np.ndarray | None = None
 
     def __str__(self) -> str:
         # CSV layout parity with operator<< (integration_result.hh:26-32).

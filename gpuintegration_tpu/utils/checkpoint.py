@@ -35,11 +35,19 @@ class PaganiCheckpoint:
                               #   total = ckpt.estimate + resumed.estimate)
     nregions: int
     iters: int
+    neval: int = 0
+
+    @property
+    def ledger(self) -> tuple:
+        """Seed for Workspace.integrate(ledger=...): resume with the true
+        cumulative totals driving every internal decision."""
+        return (self.estimate, self.errorest, self.nregions, self.iters,
+                self.neval)
 
     def save(self, path: str):
         np.savez(path, lows=self.lows, lengths=self.lengths,
                  estimate=self.estimate, errorest=self.errorest,
-                 nregions=self.nregions, iters=self.iters)
+                 nregions=self.nregions, iters=self.iters, neval=self.neval)
 
     @classmethod
     def load(cls, path: str) -> "PaganiCheckpoint":
@@ -47,7 +55,8 @@ class PaganiCheckpoint:
         return cls(lows=z["lows"], lengths=z["lengths"],
                    estimate=float(z["estimate"]),
                    errorest=float(z["errorest"]),
-                   nregions=int(z["nregions"]), iters=int(z["iters"]))
+                   nregions=int(z["nregions"]), iters=int(z["iters"]),
+                   neval=int(z["neval"]) if "neval" in z else 0)
 
 
 def save_vegas_state(state: VegasState, path: str):

@@ -1,0 +1,111 @@
+"""Vector-valued integrands (cubacpp array<double,N>/vector<double>
+parity, cubacpp/integrand_traits.hh:81-93) in the main drivers.
+
+The reference's GPU layer is scalar-only; cubacpp's CPU bindings deduce
+and integrate N-component returns end-to-end.  Here the Genz suite is
+integrated as ONE multi-component call sharing a single point set /
+region tree and must match the per-component scalar runs.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu import Workspace
+from gpuintegration_tpu.integrand import deduce_ncomp, make_integrand
+from gpuintegration_tpu.mcubes.vegas import vegas
+from gpuintegration_tpu.models import genz
+
+ND = 3
+MEMBERS = [genz.f1_oscillatory(ND), genz.f2_product_peak(ND),
+           genz.f4_gaussian(ND, a=5.0), genz.f5_c0_continuous(ND)]
+TRUTHS = np.array([m.true_value for m in MEMBERS])
+
+
+def fvec(x):
+    return jnp.stack([m(x) for m in MEMBERS], axis=-1)
+
+
+fvec.ndim = ND
+
+
+def test_deduce_ncomp():
+    f, n = make_integrand(fvec)
+    assert n == ND
+    assert deduce_ncomp(f, ND) == len(MEMBERS)
+    fs, _ = make_integrand(genz.f4_gaussian(ND))
+    assert deduce_ncomp(fs, ND) == 1
+
+
+def test_pagani_vector_matches_scalar_calls():
+    """One 4-component call == 4 scalar calls (same tolerances)."""
+    rv = Workspace(ND, chunk_size=1024).integrate(
+        fvec, epsrel=1e-6, epsabs=1e-40)
+    assert rv.status == 0
+    assert rv.estimates.shape == (len(MEMBERS),)
+    for i, m in enumerate(MEMBERS):
+        rel = abs(rv.estimates[i] - TRUTHS[i]) / abs(TRUTHS[i])
+        assert rel < 1e-6, (i, rel)
+        # reported error covers the actual deviation
+        assert abs(rv.estimates[i] - TRUTHS[i]) <= max(
+            5 * rv.errorests[i], 1e-9 * abs(TRUTHS[i]))
+    # scalar mirror fields point at component 0
+    assert rv.estimate == rv.estimates[0]
+
+
+def test_pagani_vector_accuracy_needs_all_components():
+    """Convergence is all-components: a run whose hardest component
+    cannot meet the tolerance within the iteration budget must not
+    report status 0 even if easy components converged long before."""
+    r = Workspace(ND, chunk_size=1024).integrate(
+        fvec, epsrel=1e-7, epsabs=1e-40, max_iterations=3)
+    assert r.status == 1
+
+
+def test_vegas_vector_statistically_correct():
+    """Vector VEGAS: one pass integrates every component with honest
+    errors (grid adaptation follows component 0, CUBA semantics, so
+    dissimilar components converge slower but stay unbiased)."""
+    r = vegas(fvec, epsrel=5e-3, ncall=5e4, total_iters=15,
+              adjust_iters=8, seed=2)
+    assert r.estimates.shape == (len(MEMBERS),)
+    for i in range(len(MEMBERS)):
+        err = abs(r.estimates[i] - TRUTHS[i])
+        assert err <= max(5 * r.errorests[i], 1e-3 * abs(TRUTHS[i])), i
+
+
+def test_vegas_vector_similar_components_converge():
+    """Components sharing structure (same peak, different widths)
+    converge jointly under the component-0-adapted grid."""
+    members = [genz.f4_gaussian(ND, a=5.0), genz.f4_gaussian(ND, a=8.0)]
+
+    def g2(x):
+        return jnp.stack([m(x) for m in members], axis=-1)
+    g2.ndim = ND
+    r = vegas(g2, epsrel=5e-3, ncall=5e4, total_iters=15, adjust_iters=8,
+              seed=3)
+    assert r.status == 0
+    for i, m in enumerate(members):
+        rel = abs(r.estimates[i] - m.true_value) / m.true_value
+        assert rel < 2e-2, (i, rel)
+
+
+def test_vegas_vector_poly_and_device_refine():
+    members = [genz.f4_gaussian(ND, a=5.0), genz.f4_gaussian(ND, a=8.0)]
+
+    def g2(x):
+        return jnp.stack([m(x) for m in members], axis=-1)
+    g2.ndim = ND
+    rp = vegas(g2, epsrel=5e-3, ncall=5e4, total_iters=15, adjust_iters=6,
+               seed=3, importance="poly")
+    rd = vegas(g2, epsrel=5e-3, ncall=5e4, total_iters=15, adjust_iters=8,
+               seed=3, refine="device")
+    for r in (rp, rd):
+        for i, m in enumerate(members):
+            rel = abs(r.estimates[i] - m.true_value) / m.true_value
+            assert rel < 3e-2, (i, rel)
+
+
+def test_vector_rejects_unsupported_modes():
+    with pytest.raises(ValueError):
+        Workspace(ND, chunk_size=1024).integrate(
+            fvec, epsrel=1e-3, vegas_assisted=True)

@@ -178,13 +178,44 @@ class TestVectorIntegrands:
 
 
 class TestSuave:
+    """The real Suave (subregion-adaptive importance MC with sample
+    reuse and fluctuation splits), validated against closed forms."""
+
     def test_suave_converges(self):
         from gpuintegration_tpu.pagani.suave import suave
         g = genz.f4_gaussian(2, a=5.0)
-        ws = Workspace(2, chunk_size=1024)
-        r = suave(g, epsrel=5e-3, epsabs=1e-40, max_iterations=10,
-                  nnew=512, seed=2, workspace=ws)
+        r = suave(g, epsrel=5e-3, epsabs=1e-40, nnew=512, seed=2)
+        assert r.status == 0
         assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-5)
+        assert r.nregions > 1          # it actually subdivided
+        assert r.neval > 0 and r.iters > 0
+
+    def test_suave_subdivision_beats_single_region(self):
+        """A peaked 3D integrand: the subdivision + per-region grids must
+        reach an accuracy a single-region run with the SAME sample
+        budget cannot (the defining Suave capability)."""
+        from gpuintegration_tpu.pagani.suave import suave
+        g = genz.f2_product_peak(3)
+        r = suave(g, epsrel=1e-3, epsabs=1e-40, nnew=1024, seed=3,
+                  max_cycles=24)
+        rel = abs(r.estimate - g.true_value) / g.true_value
+        assert rel < 1e-2, (r.estimate, g.true_value, rel)
+        # reported error is honest (covers the actual deviation)
+        assert abs(r.estimate - g.true_value) < 6 * r.errorest
+
+    def test_suave_fluctuation_split_targets_peaked_dim(self):
+        """An integrand peaked ONLY along axis 0 must drive most splits
+        into that axis (fluctuation criterion)."""
+        import jax.numpy as jnp
+        from gpuintegration_tpu.pagani.suave import suave
+
+        def ridge(x0, x1):
+            return 1.0 / (1e-3 + (x0 - 0.3) ** 2) + 0.0 * x1
+        r = suave(ridge, epsrel=1e-4, epsabs=1e-40, nnew=1024, seed=1,
+                  max_cycles=12)
+        truth = float(jnp.arctan(0.7 / jnp.sqrt(1e-3))
+                      + jnp.arctan(0.3 / jnp.sqrt(1e-3))) / (1e-3 ** 0.5)
+        assert abs(r.estimate - truth) / truth < 1e-2
 
 
 class TestFusedAdaptivePhase:
@@ -299,3 +330,46 @@ class TestAccuracyImprovesWithEpsrel:
         assert all(b <= a for a, b in zip(errorests, errorests[1:]))
         for e, c in zip(errs, errorests):
             assert e <= max(c, 1e-15)
+
+
+class TestContinuation:
+    """Checkpoint-resume continuation (integrate_to_convergence) and the
+    ledger= seed of integrate()."""
+
+    def test_ledger_seeded_resume_reaches_truth(self):
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        r1 = ws.integrate(g, epsrel=1e-9, epsabs=1e-40, max_iterations=5)
+        assert r1.status == 1
+        ck = ws.make_checkpoint()
+        assert ck.neval > 0
+        r2 = ws.integrate(g, epsrel=1e-7, epsabs=1e-40,
+                          initial_regions=(ck.lows, ck.lengths),
+                          ledger=ck.ledger)
+        # seeded ledger: r2 IS the total (no post-hoc composition needed)
+        assert r2.status == 0
+        assert abs(r2.estimate - g.true_value) <= max(
+            r2.errorest, 1e-6 * abs(g.true_value))
+        assert r2.iters > r1.iters and r2.neval > r1.neval
+
+    def test_integrate_to_convergence_rounds(self):
+        """Rounds with a tiny per-round iteration budget must stitch into
+        a converged run: the continuation driver grants fresh budgets and
+        the seeded ledger keeps the accuracy test honest."""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        r = ws.integrate_to_convergence(g, epsrel=1e-7, epsabs=1e-40,
+                                        max_iterations=4)
+        assert r.status == 0
+        assert r.iters > 4          # needed more than one round
+        assert abs(r.estimate - g.true_value) <= max(
+            r.errorest, 1e-6 * abs(g.true_value))
+
+    def test_no_progress_guard_terminates(self):
+        """A budget too small for the tolerance must stop after the
+        no-progress guard, not loop forever."""
+        g = genz.f2_product_peak(3)
+        ws = Workspace(3, max_pool_regions=1024, chunk_size=256)
+        r = ws.integrate_to_convergence(g, epsrel=1e-9, epsabs=1e-40,
+                                        max_rounds=50)
+        assert r.status == 1
