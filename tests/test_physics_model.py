@@ -8,7 +8,10 @@ hybrid.cu).  Same pattern here on the 6D cluster-likelihood workload.
 import numpy as np
 import pytest
 
-from gpuintegration_tpu import Workspace
+pytestmark = pytest.mark.slow   # ~7 min of the suite's runtime; the
+# default selection (pytest.ini addopts) skips it -- run `pytest -m slow`
+
+from gpuintegration_tpu import Workspace  # noqa: E402
 from gpuintegration_tpu.mcubes import vegas as V
 from gpuintegration_tpu.models.physics import ClusterLikelihood
 from gpuintegration_tpu.utils import cpu_oracle
