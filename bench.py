@@ -126,19 +126,22 @@ def bench_pallas(ndim=8, chunk=1 << 13, inner=30):
     return chunk * tables.feval / best
 
 
-def bench_time_to_tolerance(ndim=8, epsrel=1e-5):
-    """Warm wall time of a full adaptive run at epsrel.  On the default 8D
-    gaussian the conservative null-rule error model cannot CERTIFY 1e-5
-    within the 16M-region pool budget (the run ends at the budget wall
-    with status 1 -- the same termination the reference's 16 GB memory
-    model imposes, heuristic_classifier.cuh:89-94), so this measures the
-    wall time of a complete budget-bounded adaptive run: 26 iterations,
-    ~73e9 integrand evals, deterministic across runs."""
+def bench_time_to_tolerance(ndim=8, epsrel=1e-5, max_wall_s=2400.0):
+    """Wall time for the flagship 8D Gaussian carried to a CERTIFIED
+    epsrel=1e-5 via the partitioned checkpoint-resume continuation
+    (Workspace.integrate_to_convergence): the first round ends at the
+    16M-region pool wall (the same wall the reference's 16 GB memory
+    model imposes, heuristic_classifier.cuh:89-94); the survivors are
+    then error-sorted and refined hottest-first in sub-pool slices until
+    the global certificate holds.  ONE timed cold run, wall-bounded:
+    the continuation is adaptive-work dominated (compiles are disk-
+    cached across rounds), so a separate warm pass would double a
+    multi-minute measurement for noise-level gain."""
     g = genz.f4_gaussian(ndim)
     ws = Workspace(ndim)
-    res = ws.integrate(g, epsrel=epsrel, epsabs=1e-40)  # warm/compiles
     t0 = time.perf_counter()
-    res = ws.integrate(g, epsrel=epsrel, epsabs=1e-40)
+    res = ws.integrate_to_convergence(g, epsrel=epsrel, epsabs=1e-40,
+                                      max_wall_s=max_wall_s)
     dt = time.perf_counter() - t0
     rel = abs(res.estimate - g.true_value) / abs(g.true_value)
     return dt, res, rel
@@ -148,6 +151,7 @@ def main():
     rates = bench_suite()
     headline = statistics.median(rates.values())
     vegas_rate, vegas_rel = bench_vegas()
+    vegas_grid_rate, _ = bench_vegas(importance="grid")
     try:
         pallas_rate = bench_pallas()
     except Exception:      # non-TPU backend or Mosaic unavailable
@@ -161,6 +165,7 @@ def main():
         "detail": {
             "per_integrand_evals_per_sec": rates,
             "vegas_6d_poly_samples_per_sec": vegas_rate,
+            "vegas_6d_grid_samples_per_sec": vegas_grid_rate,
             "vegas_6d_rel_err": vegas_rel,
             "pallas_f32_8d_evals_per_sec": pallas_rate,
             "time_to_1e-5_8d_gaussian_s": ttt,

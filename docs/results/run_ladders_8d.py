@@ -1,0 +1,50 @@
+"""8D (and 10D) deep-tolerance epsrel ladders on real TPU hardware.
+
+The reference's ladder apparatus runs 8D Genz members down to epsrel
+1e-9 (reference: cuda/pagani/demos/new_time_and_call.cuh:129-245); a
+single PAGANI run cannot certify deep tolerances at 8D inside the
+16M-region pool budget, so every rung here drives
+``Workspace.integrate_to_convergence`` -- checkpoint-resume continuation
+rounds that restart the two-level error inflation on the surviving pool.
+The ladder floor therefore characterizes where 8D f64 honestly walls
+(no-progress guard) rather than where a single pool fills up.
+
+Usage:  python docs/results/run_ladders_8d.py
+Writes docs/results/pagani_ladders_8d.csv.  Runtime: tens of minutes
+(deep rungs run multiple continuation rounds of ~1e10 evals each).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from gpuintegration_tpu import Workspace               # noqa: E402
+from gpuintegration_tpu.models import genz             # noqa: E402
+from gpuintegration_tpu.utils import timing            # noqa: E402
+
+
+def main(out_path=None):
+    out_path = out_path or os.path.join(
+        os.path.dirname(__file__), "pagani_ladders_8d.csv")
+    cases = [
+        ("f4_gaussian_8d", genz.f4_gaussian(8), 8, 1e-9),
+        ("f3_corner_peak_8d", genz.f3_corner_peak(8), 8, 1e-9),
+        ("f2_product_peak_8d", genz.f2_product_peak(8), 8, 1e-9),
+        ("f1_oscillatory_8d", genz.f1_oscillatory(8), 8, 1e-9),
+        ("f4_gaussian_10d", genz.f4_gaussian(10, a=5.0), 10, 1e-9),
+    ]
+    with open(out_path, "w") as fh:
+        print(timing.PAGANI_CSV_HEADER, file=fh)
+        for name, g, ndim, floor in cases:
+            ws = Workspace(ndim)
+            achieved = timing.epsrel_ladder(
+                name, g, g.true_value, fh, start=1e-3, floor=floor,
+                runs_per_epsrel=1, workspace=ws, continuation=True,
+                max_wall_s=1200.0)
+            print(f"# {name}: achieved epsrel {achieved}", file=fh)
+            fh.flush()
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

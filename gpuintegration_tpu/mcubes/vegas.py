@@ -90,6 +90,47 @@ def _onehot_hist(ia, f2, nbins: int):
     return jnp.stack(rows)
 
 
+def _edge_lookup(xi32, ia, nbins: int):
+    """Two-level bin-edge lookup: (edge_lo, edge_hi) = xi[d, ia-1], xi[d, ia].
+
+    ia: (C, npg, ndim) int32 in [1, nbins]; xi32: (ndim, nbins+1) f32;
+    returns two (C, npg, ndim) f32 arrays.
+
+    Bitwise-identical to the direct per-dim one-hot (N, nbins+1) @
+    (nbins+1, 2) contraction, but ~8x less MXU work: the direct form runs
+    the MXU at K = nbins+1 = 501 with a 2-wide output (128 samples per
+    ~501-cycle K-pass per dim -- measured as THE grid-path ceiling at
+    ~40M samples/s).  Splitting the index as ia = hi*32 + lo makes it a
+    K=16 matmul fetching the 32-entry row pair [left-edges|right-edges]
+    (one-hot rows select exactly, so HIGHEST precision reproduces the f32
+    table bit-for-bit), then a 32-wide one-hot dot on the VPU picks the
+    entry.  No gathers anywhere (dynamic gathers serialize on TPU)."""
+    f32 = jnp.float32
+    L = 32
+    H = -(-(nbins + 1) // L)
+    pad = H * L - (nbins + 1)
+    hi = ia // L
+    lo = ia - hi * L
+    hi_ax = jnp.arange(H, dtype=jnp.int32)
+    lo_ax = jnp.arange(L, dtype=jnp.int32)
+    ndim = xi32.shape[0]
+    lo_cols, hi_cols = [], []
+    for dd in range(ndim):
+        left = jnp.concatenate([xi32[dd, :1], xi32[dd, :-1]])
+        T = jnp.concatenate([
+            jnp.pad(left, (0, pad)).reshape(H, L),
+            jnp.pad(xi32[dd], (0, pad)).reshape(H, L)], axis=1)   # (H, 2L)
+        oh_hi = (hi[..., dd].reshape(-1)[:, None] == hi_ax).astype(f32)
+        rows = jnp.matmul(oh_hi, T,
+                          precision=jax.lax.Precision.HIGHEST)    # (N, 2L)
+        oh_lo = (lo[..., dd].reshape(-1)[:, None] == lo_ax).astype(f32)
+        lo_cols.append(jnp.sum(rows[:, :L] * oh_lo, axis=1)
+                       .reshape(ia.shape[:2]))
+        hi_cols.append(jnp.sum(rows[:, L:] * oh_lo, axis=1)
+                       .reshape(ia.shape[:2]))
+    return jnp.stack(lo_cols, axis=-1), jnp.stack(hi_cols, axis=-1)
+
+
 def _decode_cube(cube_id, ng: int, ndim: int):
     """Mixed-radix decode of a cube index into per-dim interval coordinates
     kg in [1, ng], most-significant digit first (get_indx,
@@ -180,27 +221,11 @@ def _vegas_iteration(
         # vegasT.cuh:188-235): xn in [1, nbins+1), bin ia, position inside.
         xn = (kg[:, None, :].astype(f32) - ran) * dxg32 + 1.0
         ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)   # (C, npg, ndim)
-        # Bin-edge lookup as a per-dim one-hot MXU matmul against the
-        # (nbins+1, 2) [left-edge, right-edge] table -- the dynamic gather
-        # version ran at ~170M lookups/s (0.9 s/iteration at 1e7 samples);
-        # XLA fuses the one-hot compare into the matmul operand stream.
-        bins_ax = jnp.arange(nbins + 1, dtype=jnp.int32)
-        lo_rows, hi_rows = [], []
-        for dd in range(ndim):
-            w = jnp.stack([jnp.concatenate([xi32[dd, :1], xi32[dd, :-1]]),
-                           xi32[dd]], axis=1)             # (nbins+1, 2)
-            oh = (ia[..., dd].reshape(-1)[:, None]
-                  == bins_ax[None, :]).astype(f32)        # (N, nbins+1)
-            # HIGHEST: the default single-pass bf16 matmul truncates the
-            # edge table to 8 mantissa bits, audibly raising the sampler's
-            # variance; 3-pass bf16 reproduces the f32 edges exactly (the
-            # one-hot row has a single 1).
-            e = jnp.matmul(oh, w,
-                           precision=jax.lax.Precision.HIGHEST)  # (N, 2)
-            lo_rows.append(e[:, 0].reshape(ia.shape[:2]))
-            hi_rows.append(e[:, 1].reshape(ia.shape[:2]))
-        edge_lo = jnp.stack(lo_rows, axis=-1)            # (C, npg, ndim)
-        edge_hi = jnp.stack(hi_rows, axis=-1)
+        # Two-level scatter/gather-free bin-edge lookup (bitwise-identical
+        # to the direct (N, nbins+1) one-hot contraction this replaced --
+        # see _edge_lookup for the MXU arithmetic; the dynamic-gather
+        # version before either ran at ~170M lookups/s, serialized).
+        edge_lo, edge_hi = _edge_lookup(xi32, ia, nbins)  # (C, npg, ndim)
         xo = edge_hi - edge_lo                          # bin width
         rc = edge_lo + (xn - ia.astype(f32)) * xo
         if ed == dtype:

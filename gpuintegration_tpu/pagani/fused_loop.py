@@ -44,7 +44,7 @@ from gpuintegration_tpu.pagani import region_pool
 
 @functools.partial(jax.jit, static_argnames=(
     "f", "ndim", "dtype_name", "chunk_size", "relerr_classification",
-    "gate", "feval", "mesh"))
+    "gate", "feval", "mesh", "rule_backend", "f_axes", "interpret"))
 def fused_adaptive_phase(
     f,
     ndim: int,
@@ -67,6 +67,9 @@ def fused_adaptive_phase(
     max_iters,                # int32: total iteration budget
     *,
     mesh=None,
+    rule_backend: str = "xla",
+    f_axes=None,              # scalar-per-axis integrand (pallas backend)
+    interpret: bool = False,  # pallas interpret mode (non-TPU backends)
 ):
     """Returns (lows, lengths, parent_est, sdim, packed) -- plus a
     per-shard count vector ``ns`` before ``packed`` in mesh mode -- where
@@ -112,6 +115,24 @@ def fused_adaptive_phase(
     tables = rule_eval.rule_tables(ndim, dtype_name)
     zero = jnp.zeros((), f64)
 
+    if rule_backend == "pallas":
+        # the f32 VMEM-fused kernel drives the whole loop body (VERDICT
+        # round-1 item: the fastest kernel must serve the fastest loop).
+        # No chunk/dynamic-trip glue: the Pallas grid tiles the bucket in
+        # VMEM-bounded blocks, so the (C, feval) intermediate never
+        # materializes; padded slots zero out via vol = prod(lengths).
+        from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
+
+        def eval_pool(lo_c, ln_c, n_loc, global_lo, global_range):
+            return pallas_apply_rule(f_axes, ndim, lo_c, ln_c,
+                                     global_lo, global_range,
+                                     interpret=interpret)
+    else:
+        def eval_pool(lo_c, ln_c, n_loc, global_lo, global_range):
+            return rule_eval.apply_rule(
+                f, tables, lo_c, ln_c, global_lo, global_range,
+                chunk_size=chunk_size, n=n_loc, blocked=True)
+
     if mesh is not None:
         from gpuintegration_tpu.parallel.mesh import REGION_AXIS
         ps = functools.partial(jax.lax.psum, axis_name=REGION_AXIS)
@@ -140,9 +161,8 @@ def fused_adaptive_phase(
              iters_c, nev, hist, _status, _lie, _lir,
              _pe, _pr, _pn, _pi, _pv, _sd) = carry
 
-            est_raw, err_raw, sdim = rule_eval.apply_rule(
-                f, tables, lo_c, ln_c, global_lo, global_range,
-                chunk_size=chunk_size, n=n_loc, blocked=True)
+            est_raw, err_raw, sdim = eval_pool(
+                lo_c, ln_c, n_loc, global_lo, global_range)
             # SAME traced pipeline as the host's _post_stage
             (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
              fin_err_d, n_active_d) = iteration_math(

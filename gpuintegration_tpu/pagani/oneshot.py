@@ -83,6 +83,50 @@ def apply_cubature_rules(
     return res, est, err, sdim
 
 
+def classify_with_heuristic(
+    heuristic_id: int,
+    estimates,
+    errorests,
+    epsrel: float,
+    epsabs: float = 1e-40,
+    *,
+    parent_estimates=None,
+    parent_errorests=None,
+    finished_estimate: float = 0.0,
+    finished_errorest: float = 0.0,
+    depth: int = 1,
+    total_nregions: int | None = None,
+    min_iter_reached: bool = True,
+):
+    """Phase-1 heuristic region classification over a one-shot evaluated
+    pool: the caller runs ``apply_cubature_rules``, then this policy
+    switch decides which regions terminate (the reference's
+    quad::ApplyHeuristic placement -- Phases.cuh:71-155 classifies
+    during phase 1, before the modern Workspace loop existed; the
+    Workspace pipeline subsumes it with the two-level test + memory
+    classifier).  Returns a boolean ``finished`` array.
+
+    ``parent_*`` default to the regions' own values (a root pool has no
+    parents -- same effect as the reference seeding parent arrays with
+    the region's own result on the first pass)."""
+    from gpuintegration_tpu.pagani.heuristics import apply_heuristic
+    est = jnp.asarray(estimates)
+    err = jnp.asarray(errorests)
+    n = est.shape[0]
+    leaves = jnp.sum(est) + finished_estimate
+    queued_err = jnp.sum(err)
+    par_res = est if parent_estimates is None else jnp.asarray(
+        parent_estimates)
+    par_err = err if parent_errorests is None else jnp.asarray(
+        parent_errorests)
+    return apply_heuristic(
+        heuristic_id, leaves, finished_estimate, jnp.sum(est),
+        finished_errorest, queued_err, n,
+        total_nregions if total_nregions is not None else n,
+        jnp.asarray(min_iter_reached), par_res, par_err,
+        jnp.asarray(float(depth)), est, err, epsrel, epsabs)
+
+
 @dataclasses.dataclass
 class FuncEvals:
     """Per-evaluation record battery (reference: Func_Eval.cuh:8-64 +

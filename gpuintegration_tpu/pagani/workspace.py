@@ -328,6 +328,10 @@ class Workspace:
         ndim = self.ndim
         dtype = self.dtype
         dtype_name = dtype.name
+        # no stale pool/error stash from a prior run on this workspace
+        # (mesh/vector paths return before the single-chip pool setup)
+        self.final_pool = None
+        self.final_pool_errors = None
         f, f_ndim = make_integrand(integrand, ndim)
         if f_ndim != ndim:
             raise ValueError(f"integrand ndim {f_ndim} != workspace {ndim}")
@@ -373,9 +377,13 @@ class Workspace:
         # kernel compiles exactly once per run) -------------------------------
         min_cap = self.chunk_size
         if initial_regions is not None:
-            # user-facing region-major (n, ndim); stored dims-major
-            lows0 = jnp.asarray(initial_regions[0], dtype).T
-            lengths0 = jnp.asarray(initial_regions[1], dtype).T
+            # user-facing region-major (n, ndim); stored dims-major.
+            # Transpose on HOST: transferring the (n, ndim) layout to TPU
+            # lane-pads ndim -> 128 (16x for 8D -- a multi-million-region
+            # resume OOMs on the transfer alone, the round-pool invariant
+            # from docs/DESIGN.md).
+            lows0 = jnp.asarray(np.asarray(initial_regions[0], dtype).T)
+            lengths0 = jnp.asarray(np.asarray(initial_regions[1], dtype).T)
             n = int(lows0.shape[1])
             cap = max(region_pool.next_pow2(n), min_cap)
             pad = cap - n
@@ -414,9 +422,10 @@ class Workspace:
         # whole iterations can run on device without its host-side string
         # arithmetic (pagani/fused_loop.py)
         fused_gate = int(0.1 * self.max_pool_regions)
+        # the pallas backend fuses too: its f32 kernel replaces apply_rule
+        # inside the while_loop body (fused_loop.eval_pool)
         fused_ok = (fused and self.mesh is None and recorder is None
-                    and not vegas_assisted and not predict_split
-                    and self.rule_backend == "xla")
+                    and not vegas_assisted and not predict_split)
         inflight_est = inflight_err = 0.0
         exhausted = False
 
@@ -446,7 +455,10 @@ class Workspace:
                         jnp.asarray(cum.iters, jnp.int32),
                         jnp.asarray(float(cum.neval), jnp.float64),
                         jnp.asarray(classifier._estimates, jnp.float64),
-                        jnp.asarray(max_iterations, jnp.int32))
+                        jnp.asarray(max_iterations, jnp.int32),
+                        rule_backend=self.rule_backend,
+                        f_axes=self._f_axes,
+                        interpret=jax.default_backend() != "tpu")
                 # ONE D2H sync for every scalar of the whole burst
                 packed = np.asarray(packed_d)
                 n = int(packed[0])
@@ -479,6 +491,9 @@ class Workspace:
                     n_dev = jnp.asarray(n, jnp.int32)
                     use_refine = jnp.asarray(True)
                     blocked = True
+                self.final_pool_errors = None  # fused exits carry no
+                # per-region error stash (status-1 pools are post-split,
+                # unevaluated); continuation falls back to pool order
                 if status in (0, 2):
                     # pool unchanged and already swept: the resumable
                     # ledger excludes that sweep (prev_* from the carry)
@@ -538,8 +553,13 @@ class Workspace:
                 # flag -- blocked pools keep real slots in the first n/2 of
                 # each static half, NOT [0, n) (region_pool.block_mask)
                 self.last_snapshot = (lows, lengths, n, blocked)
-            # live pool reference for checkpointing (utils.checkpoint)
+            # live pool reference for checkpointing (utils.checkpoint),
+            # plus this sweep's per-region (est, refined) -- the
+            # partitioned continuation sorts survivors by refined error
+            # (hottest-first slices) and uses the stored sums for its
+            # early global convergence test
             self.final_pool = (lows, lengths, n, blocked)
+            self.final_pool_errors = (est, refined)
             # cumulative ledger EXCLUDING this sweep: resuming from
             # final_pool re-evaluates the pool, so the resumable ledger must
             # not contain its latest contribution (see make_checkpoint)
@@ -674,8 +694,10 @@ class Workspace:
 
         min_cap = self.chunk_size
         if initial_regions is not None:
-            lows0 = jnp.asarray(initial_regions[0], dtype).T
-            lengths0 = jnp.asarray(initial_regions[1], dtype).T
+            # host-side transpose: see the dims-major transfer note in
+            # integrate() -- a region-major device transfer lane-pads 16x
+            lows0 = jnp.asarray(np.asarray(initial_regions[0], dtype).T)
+            lengths0 = jnp.asarray(np.asarray(initial_regions[1], dtype).T)
             n = int(lows0.shape[1])
             cap = max(region_pool.next_pow2(n), min_cap)
             pad = cap - n
@@ -1099,6 +1121,7 @@ class Workspace:
         *,
         max_rounds: int = 16,
         min_err_reduction: float = 0.99,
+        max_wall_s: float | None = None,
         **kw,
     ) -> IntegrationResult:
         """``integrate`` + checkpoint-resume continuation.
@@ -1115,17 +1138,48 @@ class Workspace:
         single-round pool wall; the reference has no analogue (its 700-
         iteration exit just returns unconverged, Workspace.cuh:354-357).
 
-        Stops on convergence, ``max_rounds``, an empty pool, or when a
-        round fails to shrink the total error below ``min_err_reduction``
-        times the previous round's (no-progress guard).
+        When the surviving pool is too large to split even twice inside
+        ``max_pool_regions`` (split-starved -- a whole-pool resume re-hits
+        the wall immediately; observed on the 8D flagship: 8.7M survivors
+        vs the 16M cap gave zero new iterations), the continuation
+        switches to a PARTITIONED mode (_partitioned_continuation): the
+        survivors are sorted by refined error and sliced hottest-first
+        into sub-pools small enough to refine freely; each slice runs a
+        fresh adaptive integration at the SAME (epsrel, epsabs) -- the
+        per-region relative criterion drains it -- and stalling slices
+        are re-partitioned.  Integral additivity makes the recombination
+        exact, and the global convergence test (banked error + stored
+        error of the untouched queue vs max(epsrel*|estimate|, epsabs))
+        stops the process at the earliest honest moment, so cold tail
+        slices are usually never touched.  This carries tolerances the
+        single-pool memory model cannot certify.
+
+        Stops on convergence, ``max_rounds``, ``max_wall_s`` seconds of
+        wall clock (checked between rounds/slices; a bound for unattended
+        runs), an empty pool, or when a round fails to shrink the total
+        error below ``min_err_reduction`` times the previous round's
+        (no-progress guard).
         """
+        import time as _time
+        deadline = (_time.monotonic() + max_wall_s
+                    if max_wall_s is not None else None)
         res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
         rounds = 1
         while (res.status == 1 and rounds < max_rounds
-               and res.nregions > res.nFinishedRegions):
+               and res.nregions > res.nFinishedRegions
+               and (deadline is None or _time.monotonic() < deadline)):
             ckpt = self.make_checkpoint()
             if ckpt.lows.shape[0] == 0:
                 break
+            # the checkpoint is host NumPy; drop the final pool's device
+            # buffers (2 x cap x ndim f64 -- 2 GB at the 16M 8D wall) so
+            # the resumed round's bucket doesn't stack on top of them
+            self.final_pool = None
+            self.final_pool_errors = None
+            if 4 * ckpt.lows.shape[0] > self.max_pool_regions:
+                return self._partitioned_continuation(
+                    integrand, epsrel, epsabs, vol, ckpt, res,
+                    max_rounds - rounds, deadline, **kw)
             prev_err = res.errorest
             res = self.integrate(
                 integrand, epsrel, epsabs, vol,
@@ -1135,6 +1189,138 @@ class Workspace:
             if res.status == 1 and res.errorest > min_err_reduction * prev_err:
                 break   # no meaningful progress; stop burning evals
         return res
+
+    @staticmethod
+    def _make_slices(lows, lengths, reg_est, reg_err,
+                     tot_est, tot_err, cap, depth):
+        """Cut survivors into slices of <= cap regions, COLDEST FIRST so
+        ``work.pop()`` takes the hottest.  With per-region arrays the
+        survivors are sorted by refined error and every slice carries its
+        exact stored (est, err) sums; without them (fused/mesh exits have
+        no per-region stash) the pool order is kept and the inflight
+        totals are apportioned by region count -- they still sum to the
+        true totals, which is all the global accounting needs."""
+        n = lows.shape[0]
+        if n == 0:
+            return []
+        if reg_err is not None:
+            order = np.argsort(reg_err)            # ascending: hot at end
+            lows, lengths = lows[order], lengths[order]
+            reg_est, reg_err = reg_est[order], reg_err[order]
+            return [(lows[i:i + cap], lengths[i:i + cap],
+                     float(reg_est[i:i + cap].sum()),
+                     float(reg_err[i:i + cap].sum()), depth)
+                    for i in range(0, n, cap)]
+        return [(lows[i:i + cap], lengths[i:i + cap],
+                 tot_est * min(cap, n - i) / n,
+                 tot_err * min(cap, n - i) / n, depth)
+                for i in range(0, n, cap)]
+
+    def _partitioned_continuation(
+        self, integrand, epsrel, epsabs, vol, ckpt, last_res,
+        rounds_left, deadline=None, **kw,
+    ) -> IntegrationResult:
+        """Divide-and-conquer continuation for split-starved pools.
+
+        The checkpointed survivors are sorted by their two-level refined
+        error and sliced into sub-pools of at most ``max_pool_regions/16``
+        regions (four doublings of headroom each).  Slices are processed
+        HOTTEST FIRST; each runs a fresh adaptive integration at the same
+        (epsrel, epsabs) -- per-region relative finishing
+        (two_level.refine_error) drains it, no artificial per-slice
+        budget.  A slice that ends at its own wall banks its finished
+        ledger and re-queues its survivors (again error-sorted) as long
+        as it reduced its stored error; otherwise its result is accepted
+        as-is (no-progress guard, bounded recursion).
+
+        The recombination is exact by integral additivity.  Before every
+        slice the GLOBAL test runs on banked totals plus the stored
+        error of the untouched queue, so the loop stops at the earliest
+        certifiable moment -- cold tail slices are typically never
+        evaluated.  The returned status is that honest global test.
+        """
+        import os as _os
+        import sys as _sys
+        import time as _time
+        _log = _os.environ.get("GPUINT_TPU_CONTINUATION_LOG")
+        slice_cap = max(self.max_pool_regions // 16, 2 * self.chunk_size)
+        max_depth = 12
+        fin_est, fin_err = ckpt.estimate, ckpt.errorest
+        iters, neval = ckpt.iters, ckpt.neval
+        nregions = nfinished = ckpt.nregions
+        work = self._make_slices(
+            ckpt.lows, ckpt.lengths,
+            ckpt.region_estimates, ckpt.region_errorests,
+            last_res.estimate - ckpt.estimate,
+            last_res.errorest - ckpt.errorest, slice_cap, 0)
+        max_runs = max(64 * rounds_left, 4 * len(work))
+        runs = 0
+        status = 1
+        while True:
+            q_est = sum(w[2] for w in work)
+            q_err = sum(w[3] for w in work)
+            if (fin_err + q_err) <= max(
+                    epsrel * abs(fin_est + q_est), epsabs):
+                status = 0               # certified: banked + stored queue
+                break
+            if not work or runs >= max_runs or (
+                    deadline is not None and _time.monotonic() >= deadline):
+                break                    # honest non-convergence
+            lows_i, lengths_i, s_est_i, s_err_i, depth = work.pop()
+            n_in = lows_i.shape[0]
+            r_i = self.integrate(
+                integrand, epsrel, epsabs, vol,
+                initial_regions=(lows_i, lengths_i), **kw)
+            runs += 1
+            iters += r_i.iters
+            neval += r_i.neval
+            requeued = 0
+            if r_i.status == 1 and depth < max_depth:
+                ck_i = self.make_checkpoint()
+                self.final_pool = None
+                self.final_pool_errors = None
+                surv = ck_i.lows.shape[0]
+                new_err = ck_i.errorest + (
+                    float(ck_i.region_errorests.sum())
+                    if ck_i.region_errorests is not None
+                    else r_i.errorest - ck_i.errorest)
+                if surv > 0 and new_err < 0.99 * s_err_i:
+                    # progress: bank the finished ledger, re-queue the
+                    # survivors error-sorted (deeper level)
+                    fin_est += ck_i.estimate
+                    fin_err += ck_i.errorest
+                    nregions += r_i.nregions - surv
+                    nfinished += r_i.nFinishedRegions
+                    sub = self._make_slices(
+                        ck_i.lows, ck_i.lengths,
+                        ck_i.region_estimates, ck_i.region_errorests,
+                        r_i.estimate - ck_i.estimate,
+                        r_i.errorest - ck_i.errorest,
+                        slice_cap, depth + 1)
+                    work.extend(sub)
+                    work.sort(key=lambda w: w[3])   # keep hottest at end
+                    requeued = len(sub)
+            if not requeued:
+                fin_est += r_i.estimate
+                fin_err += r_i.errorest
+                nregions += r_i.nregions
+                nfinished += r_i.nFinishedRegions
+            if _log:
+                print(f"[continuation] slice {runs}/{max_runs}: "
+                      f"n_in={n_in} depth={depth} status={r_i.status} "
+                      f"est={r_i.estimate:.6e} err={r_i.errorest:.3e} "
+                      f"stored={s_err_i:.3e} requeued={requeued} "
+                      f"queued={len(work)} banked_err={fin_err:.3e}",
+                      file=_sys.stderr, flush=True)
+        # fold the untouched queue's stored sums so the estimate is the
+        # complete integral either way
+        total_est = fin_est + sum(w[2] for w in work)
+        total_err = fin_err + sum(w[3] for w in work)
+        nregions += sum(w[0].shape[0] for w in work)
+        return IntegrationResult(
+            estimate=total_est, errorest=total_err, status=status,
+            iters=iters, neval=neval, nregions=nregions,
+            nFinishedRegions=nfinished)
 
     def make_checkpoint(self, result: IntegrationResult = None):
         """Package the last run's live pool + ledger into a resumable
@@ -1177,8 +1363,17 @@ class Workspace:
                 [np.arange(n // 2), half + np.arange(n // 2)])
             lo_np, ln_np = lo_np[:, keep], ln_np[:, keep]
         else:
+            keep = np.arange(n)
             lo_np, ln_np = lo_np[:, :n], ln_np[:, :n]
+        reg_est = reg_err = None
+        if getattr(self, "final_pool_errors", None) is not None:
+            # the saved pool's own sweep: per-region estimates + refined
+            # errors in pool order (same keep indexing as lows/lengths).
+            # Continuation slicing sorts on these.
+            e_d, r_d = self.final_pool_errors
+            reg_est = np.asarray(e_d)[keep]
+            reg_err = np.asarray(r_d)[keep]
         return PaganiCheckpoint(
             lows=lo_np.T, lengths=ln_np.T,
             estimate=est, errorest=err, nregions=nregions, iters=iters,
-            neval=neval)
+            neval=neval, region_estimates=reg_est, region_errorests=reg_err)

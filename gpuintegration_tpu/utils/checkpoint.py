@@ -36,6 +36,12 @@ class PaganiCheckpoint:
     nregions: int
     iters: int
     neval: int = 0
+    # the saved pool's own sweep, per region (pool order): estimates and
+    # two-level refined errors.  Optional -- absent for fused/mesh exits;
+    # the partitioned continuation uses them for hottest-first slicing
+    # and its early global convergence test.
+    region_estimates: np.ndarray | None = None
+    region_errorests: np.ndarray | None = None
 
     @property
     def ledger(self) -> tuple:
@@ -45,9 +51,14 @@ class PaganiCheckpoint:
                 self.neval)
 
     def save(self, path: str):
+        extra = {}
+        if self.region_errorests is not None:
+            extra = dict(region_estimates=self.region_estimates,
+                         region_errorests=self.region_errorests)
         np.savez(path, lows=self.lows, lengths=self.lengths,
                  estimate=self.estimate, errorest=self.errorest,
-                 nregions=self.nregions, iters=self.iters, neval=self.neval)
+                 nregions=self.nregions, iters=self.iters, neval=self.neval,
+                 **extra)
 
     @classmethod
     def load(cls, path: str) -> "PaganiCheckpoint":
@@ -56,7 +67,11 @@ class PaganiCheckpoint:
                    estimate=float(z["estimate"]),
                    errorest=float(z["errorest"]),
                    nregions=int(z["nregions"]), iters=int(z["iters"]),
-                   neval=int(z["neval"]) if "neval" in z else 0)
+                   neval=int(z["neval"]) if "neval" in z else 0,
+                   region_estimates=(z["region_estimates"]
+                                     if "region_estimates" in z else None),
+                   region_errorests=(z["region_errorests"]
+                                     if "region_errorests" in z else None))
 
 
 def save_vegas_state(state: VegasState, path: str):

@@ -42,18 +42,28 @@ def clean_time_and_call(
     runs_per_epsrel: int = 10,
     relerr_classification: bool = True,
     workspace: Workspace | None = None,
+    continuation: bool = False,
+    max_wall_s: float | None = None,
 ) -> bool:
     """Repeated adaptive runs at one tolerance; CSV row per run.
+
+    ``continuation=True`` drives ``Workspace.integrate_to_convergence``
+    (checkpoint-resume rounds past the pool wall) instead of a single
+    ``integrate`` -- the mechanism deep-tolerance ladders (8D at 1e-5
+    and below) need; the reference's single-run harness has no analogue.
+    ``max_wall_s`` bounds each continuation run (unattended ladders).
 
     Returns True if any run converged (status 0) -- same contract as the
     reference harness (new_time_and_call.cuh:170-173)."""
     _, nd = make_integrand(integrand, ndim)
     ws = workspace or Workspace(nd)
+    drive = ws.integrate_to_convergence if continuation else ws.integrate
+    extra = {"max_wall_s": max_wall_s} if continuation else {}
     good = False
     for i in range(runs_per_epsrel):
         t0 = time.perf_counter()
-        res = ws.integrate(integrand, epsrel, epsabs, vol,
-                           relerr_classification=relerr_classification)
+        res = drive(integrand, epsrel, epsabs, vol,
+                    relerr_classification=relerr_classification, **extra)
         dt_ms = (time.perf_counter() - t0) * 1e3
         if res.status == 0:
             good = True
@@ -144,18 +154,35 @@ def call_cubature_rules(
     repeats: int = 11,
     chunk: int = 8192,
     dtype: str = "float64",
+    backend: str = "xla",
     outfile=None,
 ):
     """Pure rule-kernel throughput probe: sweep initial uniform splits and
     time rule application over the resulting pools
     (reference: new_time_and_call.cuh:30-70 -- splits 5..15, <= 35e6
     regions, 11 repeats).  Returns list of dicts with evals/sec.
+    ``backend='pallas'`` times the f32 VMEM-fused Mosaic kernel instead
+    of the XLA rule path (needs a scalar-per-axis integrand).
 
     The ``repeats`` passes run INSIDE one jit with a carried data
     dependency between passes (the bench.py methodology) -- the axon
     runtime elides repeated identical top-level dispatches, so a host-side
     repeat loop would time dispatch overhead, not the kernel (CLAUDE.md)."""
+    if backend == "pallas":
+        from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
+        if dtype != "float32":
+            raise ValueError("the Pallas rule backend is f32-only")
+
+        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size):
+            return pallas_apply_rule(f_axes, ndim, lo_c, lengths, gl, gr)
+    else:
+        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size):
+            return rule_eval.apply_rule(
+                f_axes, tables, lo_c, lengths, gl, gr,
+                chunk_size=chunk_size)
     f, _ = make_integrand(integrand, ndim)
+    if backend == "pallas":
+        f = integrand   # scalar-per-axis callable goes to Mosaic directly
     tables = rule_eval.rule_tables(ndim, dtype)
     feval = tables.feval
     dt = jnp.dtype(dtype)
@@ -174,9 +201,8 @@ def call_cubature_rules(
         def loop(lo0, lengths=lengths, chunk_size=chunk_size):
             def body(i, carry):
                 lo_c, acc = carry
-                est, _, _ = rule_eval.apply_rule(
-                    f, tables, lo_c, lengths, gl, gr,
-                    chunk_size=chunk_size)
+                est, _, _ = eval_rule(f, tables, lo_c, lengths, gl, gr,
+                                      chunk_size)
                 total = jnp.sum(est)
                 # carried dependency defeats launch memoisation/overlap
                 return (lo_c + total * 1e-30, acc + total)

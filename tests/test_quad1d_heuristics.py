@@ -77,3 +77,53 @@ class TestHeuristicPolicies:
     def test_unknown_policy_raises(self):
         with pytest.raises(ValueError):
             apply_heuristic(3, **self._args())
+
+
+class TestHeuristicPipeline:
+    """classify_with_heuristic: the phase-1 wiring of the policy switch
+    over a one-shot evaluated pool (Phases.cuh:71-155 placement)."""
+
+    def _pool(self):
+        from gpuintegration_tpu.pagani import oneshot, region_pool
+        lows, lengths, n = region_pool.uniform_split(3, 4, 64)
+
+        def f(x, y, z):
+            return jnp.exp(-50.0 * ((x - .1) ** 2 + (y - .1) ** 2
+                                    + (z - .1) ** 2))
+        res, est, err, _ = oneshot.apply_cubature_rules(f, lows, lengths)
+        return res, est, err
+
+    def test_small_contribution_policies_finish_far_regions(self):
+        from gpuintegration_tpu.pagani.oneshot import classify_with_heuristic
+        res, est, err = self._pool()
+        for hid in (8, 9):
+            fin = np.asarray(classify_with_heuristic(
+                hid, est, err, epsrel=1e-3))
+            # far-from-peak regions contribute ~0 and must classify
+            # finished; the peak region must stay active
+            assert fin.sum() > 0
+            assert not fin[int(np.argmax(np.asarray(est)))]
+
+    def test_policy_0_keeps_everything_active(self):
+        from gpuintegration_tpu.pagani.oneshot import classify_with_heuristic
+        res, est, err = self._pool()
+        fin = np.asarray(classify_with_heuristic(0, est, err, epsrel=1e-3))
+        assert not fin.any()
+
+    def test_min_iter_gate(self):
+        from gpuintegration_tpu.pagani.oneshot import classify_with_heuristic
+        res, est, err = self._pool()
+        fin = np.asarray(classify_with_heuristic(
+            8, est, err, epsrel=1e-3, min_iter_reached=False))
+        assert not fin.any()
+
+    def test_depth_scaled_policy(self):
+        from gpuintegration_tpu.pagani.oneshot import classify_with_heuristic
+        res, est, err = self._pool()
+        shallow = np.asarray(classify_with_heuristic(
+            10, est, err, epsrel=1e-3, depth=1))
+        deep = np.asarray(classify_with_heuristic(
+            10, est, err, epsrel=1e-3, depth=12))
+        # the 2/2^depth budget tightens with depth: deeper levels finish
+        # at most as many regions
+        assert deep.sum() <= shallow.sum()

@@ -283,6 +283,22 @@ class TestFusedAdaptivePhase:
                (rf.status, rf.iters, rf.neval)
         assert abs(rh.estimate - rf.estimate) <= 1e-6 * abs(rh.estimate)
 
+    def test_pallas_backend_fused_matches_host(self):
+        """The f32 Pallas kernel serves the fused while_loop body
+        (fused_loop.eval_pool): fused and host trajectories must agree
+        iteration-for-iteration just like the XLA backend's."""
+        def g3(x, y, z):
+            return jnp.exp(-25.0 * ((x - .5) ** 2 + (y - .5) ** 2
+                                    + (z - .5) ** 2))
+        ws = Workspace(3, dtype=jnp.float32, chunk_size=1024,
+                       rule_backend="pallas")
+        rh = ws.integrate(g3, epsrel=1e-4, epsabs=1e-30, fused=False)
+        rf = ws.integrate(g3, epsrel=1e-4, epsabs=1e-30, fused=True)
+        assert rf.status == 0
+        assert (rh.status, rh.iters, rh.neval, rh.nregions) == \
+               (rf.status, rf.iters, rf.neval, rf.nregions)
+        assert abs(rh.estimate - rf.estimate) <= 1e-6 * abs(rh.estimate)
+
 
 class TestNanIntegral:
     """A NaN-returning integrand must terminate with status != 0 and must
