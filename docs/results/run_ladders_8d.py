@@ -15,8 +15,10 @@ Writes docs/results/pagani_ladders_8d.csv.  Runtime: tens of minutes
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+os.environ.setdefault("GPUINT_TPU_CONTINUATION_LOG", "1")
 
 from gpuintegration_tpu import Workspace               # noqa: E402
 from gpuintegration_tpu.models import genz             # noqa: E402
@@ -34,15 +36,25 @@ def main(out_path=None):
         ("f4_gaussian_10d", genz.f4_gaussian(10, a=5.0), 10, 1e-9),
     ]
     with open(out_path, "w") as fh:
-        print(timing.PAGANI_CSV_HEADER, file=fh)
+        print(timing.PAGANI_CSV_HEADER, file=fh, flush=True)
         for name, g, ndim, floor in cases:
             ws = Workspace(ndim)
-            achieved = timing.epsrel_ladder(
-                name, g, g.true_value, fh, start=1e-3, floor=floor,
-                runs_per_epsrel=1, workspace=ws, continuation=True,
-                max_wall_s=1200.0)
-            print(f"# {name}: achieved epsrel {achieved}", file=fh)
-            fh.flush()
+            epsrel, achieved = 1e-3, float("inf")
+            while epsrel >= floor:
+                t0 = time.time()
+                good = timing.clean_time_and_call(
+                    name, g, epsrel, g.true_value, fh, ndim=ndim,
+                    runs_per_epsrel=1, workspace=ws, continuation=True,
+                    max_wall_s=1200.0)
+                print(f"# {name} eps={epsrel:.3e} good={good} "
+                      f"wall={time.time() - t0:.0f}s",
+                      file=sys.stderr, flush=True)
+                if not good:
+                    break
+                achieved = epsrel
+                epsrel /= 5.0
+            print(f"# {name}: achieved epsrel {achieved}", file=fh,
+                  flush=True)
     print(f"wrote {out_path}")
 
 

@@ -613,7 +613,18 @@ class Workspace:
                 if success:
                     active = hs.active_flags
                     finished_est = iter_est - float(_dot(active, est))
-                    finished_err = hs.finished_errorest
+                    # EXACT banked error: sum of refined error over every
+                    # region the new flags drop.  The reference banks
+                    # hs.finished_errorest = iter - kept - iter_finished
+                    # instead (heuristic_classifier.cuh:317-324,
+                    # Workspace.cuh:111-112), which double-subtracts
+                    # relative-finished regions whose error sits above
+                    # the threshold and silently drops the
+                    # relative-finished error from its cumulative ledger
+                    # -- observed here as a NEGATIVE total errorest.  The
+                    # threshold DECISION (budget test) keeps the
+                    # reference's formula; only the ledger is exact.
+                    finished_err = iter_err - float(_dot(active, refined))
                     n_active = hs.num_active
                 # Terminate only when classification is BOTH necessary and
                 # failed (Workspace.cuh:76-118).  A failed ladder reports
@@ -1069,7 +1080,9 @@ class Workspace:
                 if success:
                     active = hs.active_flags
                     finished_est = iter_est - float(_dot(active, est))
-                    finished_err = hs.finished_errorest
+                    # exact banked error (see the single-chip loop's note:
+                    # the reference's extra_f_errorest undercounts)
+                    finished_err = iter_err - float(_dot(active, refined))
                     n_active = hs.num_active
                 must_terminate = not success and classification_necessary
             else:
@@ -1168,6 +1181,8 @@ class Workspace:
         while (res.status == 1 and rounds < max_rounds
                and res.nregions > res.nFinishedRegions
                and (deadline is None or _time.monotonic() < deadline)):
+            if getattr(self, "final_pool", None) is None:
+                break  # no resumable pool (vector/mesh paths without one)
             ckpt = self.make_checkpoint()
             if ckpt.lows.shape[0] == 0:
                 break

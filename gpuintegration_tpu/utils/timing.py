@@ -72,7 +72,8 @@ def clean_time_and_call(
                f"{res.nregions},{res.nFinishedRegions},{res.iters},"
                f"{res.status},{dt_ms}")
         if outfile is not None:
-            print(row, file=outfile)
+            print(row, file=outfile, flush=True)  # rung results survive
+            # an interrupted unattended ladder
     return good
 
 

@@ -389,3 +389,58 @@ class TestContinuation:
         r = ws.integrate_to_convergence(g, epsrel=1e-9, epsabs=1e-40,
                                         max_rounds=50)
         assert r.status == 1
+
+    def test_partitioned_continuation_certifies(self):
+        """A pool cap too small for a single run (split-starved resume)
+        must flow into the partitioned continuation and come back with
+        an honest certificate that covers the true value -- the flagship
+        8D mechanism at CPU scale (4D sharp Gaussian, 4k-region cap)."""
+        g = genz.f4_gaussian(4, a=15.0)
+        ws = Workspace(4, max_pool_regions=4096, chunk_size=128)
+        r1 = ws.integrate(g, epsrel=1e-6, epsabs=1e-40)
+        assert r1.status == 1          # single round walls at the cap
+        r = ws.integrate_to_convergence(g, epsrel=1e-6, epsabs=1e-40)
+        assert r.status == 0
+        cert = r.errorest / abs(r.estimate)
+        assert 0 < cert <= 1e-6
+        rel = abs(r.estimate - g.true_value) / abs(g.true_value)
+        assert rel <= max(cert, 1e-7), (rel, cert)
+
+    def test_errorest_never_negative(self):
+        """The classifier's banked error must be the EXACT refined-error
+        sum of dropped regions.  The reference's extra_f_errorest
+        (heuristic_classifier.cuh:317-324) double-subtracts
+        relative-finished regions above the threshold -- reproducing it
+        produced a NEGATIVE cumulative errorest on this exact config."""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, max_pool_regions=4096, chunk_size=512)
+        r = ws.integrate(g, epsrel=1e-6, epsabs=1e-40)
+        assert r.status == 0
+        assert r.errorest > 0
+
+    def test_continuation_checkpoint_stash(self):
+        """Wall exits stash per-region (est, refined) and the checkpoint
+        surfaces them in pool order for the continuation's error sort."""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        ws.integrate(g, epsrel=1e-9, epsabs=1e-40, max_iterations=5,
+                     fused=False)
+        ck = ws.make_checkpoint()
+        assert ck.region_errorests is not None
+        assert ck.region_errorests.shape == (ck.lows.shape[0],)
+        assert ck.region_estimates.shape == (ck.lows.shape[0],)
+        assert (ck.region_errorests >= 0).all()
+        # the stash must track the pool: the sum of stored errors is the
+        # final sweep's in-flight error (what the queue accounting uses)
+        assert ck.region_errorests.sum() > 0
+
+    def test_vector_continuation_no_crash(self):
+        """Vector-valued runs have no resumable pool; the continuation
+        driver must return the unconverged result, not crash."""
+        def fvec(x):
+            s = jnp.sum(x, axis=-1)
+            return jnp.stack([s, s * s], axis=-1)
+        ws = Workspace(3, chunk_size=1024)
+        r = ws.integrate_to_convergence(fvec, epsrel=1e-10, epsabs=1e-40,
+                                        max_iterations=3)
+        assert r.status in (0, 1)
