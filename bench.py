@@ -156,7 +156,18 @@ def main():
         pallas_rate = bench_pallas()
     except Exception:      # non-TPU backend or Mosaic unavailable
         pallas_rate = None
-    ttt, res, rel_err = bench_time_to_tolerance()
+    try:
+        ttt, res, rel_err = bench_time_to_tolerance()
+        flagship = {
+            "time_to_1e-5_8d_gaussian_s": ttt,
+            "achieved_rel_err": rel_err,
+            "converged": res.status == 0,
+            "nregions": res.nregions,
+            "neval": res.neval,
+        }
+    except Exception as e:  # never lose the whole bench line to one stage
+        flagship = {"time_to_1e-5_8d_gaussian_s": None,
+                    "flagship_error": repr(e)}
     out = {
         "metric": "integrand evals/sec/chip (PAGANI 8D Genz suite median, f64)",
         "value": headline,
@@ -168,11 +179,7 @@ def main():
             "vegas_6d_grid_samples_per_sec": vegas_grid_rate,
             "vegas_6d_rel_err": vegas_rel,
             "pallas_f32_8d_evals_per_sec": pallas_rate,
-            "time_to_1e-5_8d_gaussian_s": ttt,
-            "achieved_rel_err": rel_err,
-            "converged": res.status == 0,
-            "nregions": res.nregions,
-            "neval": res.neval,
+            **flagship,
             "device": str(jax.devices()[0]),
         },
     }

@@ -35,14 +35,18 @@ def gaussian_axes(ndim):
 def main(out_path=None):
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "rule_throughput.csv")
+    # splits chosen so pools span 3 decades (8D: 6.5k / 65k / 1.7M
+    # regions; 10D: 1k / 59k / 1M) without the reference's 16M+ top rows
+    # -- one 8^8 f64 row alone is ~40 min of device time for no extra
+    # information (throughput saturates by ~1M regions).
     configs = [
         # (ndim, dtype, backend, splits sweep)
-        (8, "float64", "xla", range(2, 9)),
-        (8, "float32", "xla", range(2, 9)),
-        (8, "float32", "pallas", range(2, 9)),
-        (10, "float64", "xla", range(2, 6)),
-        (10, "float32", "xla", range(2, 6)),
-        (10, "float32", "pallas", range(2, 6)),
+        (8, "float64", "xla", (3, 4, 6)),
+        (8, "float32", "xla", (3, 4, 6)),
+        (8, "float32", "pallas", (3, 4, 6)),
+        (10, "float64", "xla", (2, 3, 4)),
+        (10, "float32", "xla", (2, 3, 4)),
+        (10, "float32", "pallas", (2, 3, 4)),
     ]
     with open(out_path, "w") as fh:
         print("ndim,dtype,backend,splits_per_dim,regions,feval,best_s,"
@@ -51,7 +55,7 @@ def main(out_path=None):
             g = (gaussian_axes(ndim) if backend == "pallas"
                  else genz.f4_gaussian(ndim))
             rows = timing.call_cubature_rules(
-                g, ndim, splits_per_dim=splits, repeats=11,
+                g, ndim, splits_per_dim=splits, repeats=5,
                 dtype=dtype, backend=backend)
             for r in rows:
                 print(f"{ndim},{dtype},{backend},{r['splits_per_dim']},"
