@@ -54,6 +54,26 @@ class TestSetupMath:
         np.testing.assert_array_equal(kg[1] - kg[0], [0, 0, 1])
 
 
+class TestEdgeLookup:
+    # The two-level (hi*32+lo) MXU edge fetch must reproduce direct
+    # indexing xi[d, ia-1], xi[d, ia] bit-for-bit: one-hot rows select
+    # exactly at HIGHEST precision, so any mismatch is an indexing bug,
+    # not rounding.
+    @pytest.mark.parametrize("nbins", [5, 32, 63, 500])
+    def test_bitwise_vs_direct_indexing(self, nbins):
+        rng = np.random.default_rng(nbins)
+        ndim, C, npg = 3, 4, 17
+        xi = np.sort(rng.random((ndim, nbins + 1)), axis=1).astype(
+            np.float32)
+        ia = rng.integers(1, nbins + 1,
+                          size=(C, npg, ndim)).astype(np.int32)
+        lo, hi = V._edge_lookup(jnp.asarray(xi), jnp.asarray(ia), nbins)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        for d in range(ndim):
+            np.testing.assert_array_equal(lo[..., d], xi[d, ia[..., d] - 1])
+            np.testing.assert_array_equal(hi[..., d], xi[d, ia[..., d]])
+
+
 class TestGrid:
     def test_uniform_grid_edges(self):
         xi = np.asarray(vgrid.uniform_grid(3, 10))
