@@ -18,6 +18,7 @@ vs_baseline is against the BASELINE.json target of 1e9 evals/sec/chip.
 """
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -147,43 +148,70 @@ def bench_time_to_tolerance(ndim=8, epsrel=1e-5, max_wall_s=2400.0):
     return dt, res, rel
 
 
+# Progressive result: every completed stage lands here so a watchdog
+# fire mid-stage still emits everything measured so far (the remote TPU
+# tunnel can die mid-run, which turns every dispatch into an infinite
+# hang -- a bench that never prints is indistinguishable from one that
+# never ran).
+_OUT = {
+    "metric": "integrand evals/sec/chip (PAGANI 8D Genz suite median, f64)",
+    "value": None,
+    "unit": "evals/s",
+    "vs_baseline": None,
+    "detail": {},
+}
+
+
+def _emit_and_exit(rc):
+    print(json.dumps(_OUT))
+    sys.stdout.flush()
+    os._exit(rc)
+
+
+def _on_alarm(signum, frame):
+    _OUT["detail"]["bench_error"] = (
+        "watchdog: TPU dispatch stalled or time budget expired")
+    _emit_and_exit(1)
+
+
 def main():
+    budget_s = int(float(os.environ.get("GPUINT_TPU_BENCH_BUDGET_S",
+                                        "5400")))
+    signal.signal(signal.SIGALRM, _on_alarm)
+    # fast tunnel-health probe: a dead tunnel hangs even an 8x8 matmul
+    signal.alarm(min(300, budget_s))
+    _OUT["detail"]["device"] = str(jax.devices()[0])
+    jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    signal.alarm(budget_s)
+
     rates = bench_suite()
     headline = statistics.median(rates.values())
+    _OUT["value"] = headline
+    _OUT["vs_baseline"] = headline / BASELINE_EVALS_PER_SEC
+    _OUT["detail"]["per_integrand_evals_per_sec"] = rates
     vegas_rate, vegas_rel = bench_vegas()
+    _OUT["detail"]["vegas_6d_poly_samples_per_sec"] = vegas_rate
+    _OUT["detail"]["vegas_6d_rel_err"] = vegas_rel
     vegas_grid_rate, _ = bench_vegas(importance="grid")
+    _OUT["detail"]["vegas_6d_grid_samples_per_sec"] = vegas_grid_rate
     try:
-        pallas_rate = bench_pallas()
+        _OUT["detail"]["pallas_f32_8d_evals_per_sec"] = bench_pallas()
     except Exception:      # non-TPU backend or Mosaic unavailable
-        pallas_rate = None
+        _OUT["detail"]["pallas_f32_8d_evals_per_sec"] = None
     try:
         ttt, res, rel_err = bench_time_to_tolerance()
-        flagship = {
+        _OUT["detail"].update({
             "time_to_1e-5_8d_gaussian_s": ttt,
             "achieved_rel_err": rel_err,
             "converged": res.status == 0,
             "nregions": res.nregions,
             "neval": res.neval,
-        }
+        })
     except Exception as e:  # never lose the whole bench line to one stage
-        flagship = {"time_to_1e-5_8d_gaussian_s": None,
-                    "flagship_error": repr(e)}
-    out = {
-        "metric": "integrand evals/sec/chip (PAGANI 8D Genz suite median, f64)",
-        "value": headline,
-        "unit": "evals/s",
-        "vs_baseline": headline / BASELINE_EVALS_PER_SEC,
-        "detail": {
-            "per_integrand_evals_per_sec": rates,
-            "vegas_6d_poly_samples_per_sec": vegas_rate,
-            "vegas_6d_grid_samples_per_sec": vegas_grid_rate,
-            "vegas_6d_rel_err": vegas_rel,
-            "pallas_f32_8d_evals_per_sec": pallas_rate,
-            **flagship,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(out))
+        _OUT["detail"].update({"time_to_1e-5_8d_gaussian_s": None,
+                               "flagship_error": repr(e)})
+    signal.alarm(0)
+    print(json.dumps(_OUT))
 
 
 if __name__ == "__main__":
