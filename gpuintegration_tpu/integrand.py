@@ -102,6 +102,14 @@ def deduce_ncomp(batched_f: Callable, ndim: int, dtype="float64") -> int:
         f"scalar integrand or (3, ncomp) for a vector-valued one")
 
 
+def _broadcast_scalar(out, x):
+    """Constant-returning integrands (``lambda x, y: 0.0``) produce a
+    rank-0 value under trace; broadcast it to the batch shape so the rule
+    contraction sees the documented (...,) form.  Free in XLA."""
+    import jax.numpy as jnp
+    return jnp.broadcast_to(out, x.shape[:-1]) if jnp.ndim(out) == 0 else out
+
+
 def _make_integrand_uncached(f, ndim):
     if ndim is None and hasattr(f, "ndim"):
         ndim = int(f.ndim)  # e.g. models.genz.GenzIntegrand carries its ndim
@@ -113,7 +121,7 @@ def _make_integrand_uncached(f, ndim):
         n = arity
 
         def batched(x):
-            return f(*[x[..., d] for d in range(n)])
+            return _broadcast_scalar(f(*[x[..., d] for d in range(n)]), x)
 
         return batched, n
 
@@ -123,6 +131,6 @@ def _make_integrand_uncached(f, ndim):
             "pass ndim explicitly")
 
     def batched1(x):
-        return f(x)
+        return _broadcast_scalar(f(x), x)
 
     return batched1, ndim

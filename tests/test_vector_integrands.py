@@ -36,6 +36,16 @@ def test_deduce_ncomp():
     assert deduce_ncomp(fs, ND) == 1
 
 
+def test_deduce_ncomp_constant_integrand():
+    """A Python-constant return traces to rank 0; the wrapper must
+    broadcast it to the batch shape (regression: vector-ncomp deduction
+    rejected ``lambda x, y: 0.0``, which round 1 accepted)."""
+    f, n = make_integrand(lambda x, y: 0.0)
+    assert n == 2 and deduce_ncomp(f, 2) == 1
+    f1, _ = make_integrand(lambda x: 3.5, ndim=4)
+    assert deduce_ncomp(f1, 4) == 1
+
+
 def test_pagani_vector_matches_scalar_calls():
     """One 4-component call == 4 scalar calls (same tolerances)."""
     rv = Workspace(ND, chunk_size=1024).integrate(

@@ -271,6 +271,17 @@ class TestFusedAdaptivePhase:
             lambda a, b, c: a * 0.0, epsrel=1e-6, epsabs=1e-12, fused=True)
         assert r.status == 0 and r.estimate == 0.0
 
+    def test_constant_integrand_scalar_return(self):
+        """A true Python-constant return (rank 0 under trace) must
+        integrate, not trip ncomp deduction (verify-recipe probe)."""
+        from gpuintegration_tpu import Workspace as W
+        r = W(3, chunk_size=1024).integrate(
+            lambda a, b, c: 0.0, epsrel=1e-6, epsabs=1e-12)
+        assert r.status == 0 and r.estimate == 0.0
+        r2 = W(2, chunk_size=1024).integrate(
+            lambda a, b: 2.0, epsrel=1e-6)
+        assert r2.status == 0 and abs(r2.estimate - 2.0) < 1e-12
+
     def test_f32_workspace_fused_matches_host(self):
         """f32 pools: the fused ledger runs in f64 like the host's Python
         floats (and epsabs must not be truncated to f32, where 1e-40
