@@ -105,9 +105,24 @@ def deduce_ncomp(batched_f: Callable, ndim: int, dtype="float64") -> int:
 def _broadcast_scalar(out, x):
     """Constant-returning integrands (``lambda x, y: 0.0``) produce a
     rank-0 value under trace; broadcast it to the batch shape so the rule
-    contraction sees the documented (...,) form.  Free in XLA."""
+    contraction sees the documented (...,) form.  Free in XLA.
+
+    A rank-0 *tracer*, by contrast, is almost always an accidental
+    whole-batch reduction (``jnp.sum(x**2)`` missing ``axis=-1``);
+    broadcasting it would integrate a garbage per-chunk constant with
+    status 0, so reject it loudly instead.  True constants -- Python
+    numbers or concrete arrays, including closure-captured device state --
+    are never tracers of the integration batch."""
     import jax.numpy as jnp
-    return jnp.broadcast_to(out, x.shape[:-1]) if jnp.ndim(out) == 0 else out
+    if jnp.ndim(out) != 0:
+        return out
+    if isinstance(out, jax.core.Tracer):
+        raise ValueError(
+            "integrand returned a rank-0 value that DEPENDS on the "
+            "integration points -- this reduces over the batch axis too "
+            "(did you mean axis=-1 in a sum/prod?). Expected one value "
+            "per point, shape (...,) for the (..., ndim) input batch.")
+    return jnp.broadcast_to(out, x.shape[:-1])
 
 
 def _make_integrand_uncached(f, ndim):

@@ -242,12 +242,15 @@ def _vegas_iteration(
             fx = f(x).astype(dtype) * wgt               # (C, npg)
             fx = jnp.where(valid[:, None], fx, 0.0)
         else:
-            fx = f(x).astype(dtype) * wgt[..., None]    # (C, npg, ncomp)
-            fx = jnp.where(valid[:, None, None], fx, 0.0)
+            # component-major (ncomp, C, npg): a materialized
+            # (C, npg, ncomp) buffer lane-pads the small minor axis
+            # ncomp -> 128 on TPU (pool-layout invariant)
+            fx = jnp.moveaxis(f(x).astype(dtype), -1, 0) * wgt[None]
+            fx = jnp.where(valid[None, :, None], fx, 0.0)
         f2 = fx * fx
 
-        fb = jnp.sum(fx, axis=1)                        # (C,[ncomp])
-        f2b_sum = jnp.sum(f2, axis=1)
+        fb = jnp.sum(fx, axis=-1)                       # ([ncomp,] C)
+        f2b_sum = jnp.sum(f2, axis=-1)
         # per-cube variance proxy: sqrt(sum f^2 * npg) -> (s-fb)(s+fb)
         # = npg*sum(f^2) - fb^2, with TINY floor (vegasT.cuh:382-387)
         s = jnp.sqrt(f2b_sum * npg)
@@ -256,10 +259,10 @@ def _vegas_iteration(
         if ncomp == 1:
             f2b = jnp.where(valid, f2b, 0.0)
         else:
-            f2b = jnp.where(valid[:, None], f2b, 0.0)
+            f2b = jnp.where(valid[None], f2b, 0.0)
 
-        ti = ti + jnp.sum(fb, axis=0)
-        tsi = tsi + jnp.sum(f2b, axis=0)
+        ti = ti + jnp.sum(fb, axis=-1)
+        tsi = tsi + jnp.sum(f2b, axis=-1)
 
         if accumulate_hist:
             # deterministic replacement for atomicAdd(&d[bin,dim], f^2)
@@ -269,7 +272,7 @@ def _vegas_iteration(
             # grid adaptation, so f32 suffices.  Vector integrands adapt
             # on component 0 (CUBA semantics).
             d = d + _onehot_hist(ia - 1,
-                                 f2 if ncomp == 1 else f2[..., 0], nbins)
+                                 f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
@@ -341,26 +344,27 @@ def _vegas_iteration_poly(
             fx = f(x).astype(dtype) * wgt
             fx = jnp.where(valid[:, None], fx, 0.0)
         else:
-            fx = f(x).astype(dtype) * wgt[..., None]
-            fx = jnp.where(valid[:, None, None], fx, 0.0)
+            # component-major; see the grid-path note above
+            fx = jnp.moveaxis(f(x).astype(dtype), -1, 0) * wgt[None]
+            fx = jnp.where(valid[None, :, None], fx, 0.0)
         f2 = fx * fx
 
-        fb = jnp.sum(fx, axis=1)
-        f2b_sum = jnp.sum(f2, axis=1)
+        fb = jnp.sum(fx, axis=-1)
+        f2b_sum = jnp.sum(f2, axis=-1)
         sq = jnp.sqrt(f2b_sum * npg)
         f2b = (sq - fb) * (sq + fb)
         f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
         if ncomp == 1:
             f2b = jnp.where(valid, f2b, 0.0)
         else:
-            f2b = jnp.where(valid[:, None], f2b, 0.0)
-        ti = ti + jnp.sum(fb, axis=0)
-        tsi = tsi + jnp.sum(f2b, axis=0)
+            f2b = jnp.where(valid[None], f2b, 0.0)
+        ti = ti + jnp.sum(fb, axis=-1)
+        tsi = tsi + jnp.sum(f2b, axis=-1)
 
         if accumulate_hist:
             ia = jnp.clip((s * nbins).astype(jnp.int32), 0, nbins - 1)
             d = d + _onehot_hist(
-                ia, f2 if ncomp == 1 else f2[..., 0], nbins)
+                ia, f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)

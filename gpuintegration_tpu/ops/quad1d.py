@@ -231,64 +231,22 @@ def integrate1d(
     """Adaptive Gauss-Kronrod on [a, b] with rule selection
     (``key`` 1..6 -> GK15..61, gsl.hh:209).
 
-    Batched adaptivity: each round evaluates the surviving pool in one
-    vectorised rule application, retires intervals whose error is below
-    their length-proportional share of the tolerance into a finished
-    ledger, and bisects the worst half (by error) of the remainder.
+    Batched adaptivity: each round evaluates the freshly bisected
+    children in one vectorised rule application (survivors keep their
+    computed results), retires intervals whose error is below their
+    length-proportional share of the tolerance into a finished ledger,
+    and bisects the worst half (by error) of the remainder.
     Work therefore concentrates where the error lives -- on a locally
     singular integrand the pool stays O(depth), not O(2^depth)."""
     if key not in KEY_TO_GAUSS_N:
         raise ValueError(f"key must be 1..6, got {key!r}")
-    n_gauss = KEY_TO_GAUSS_N[key]
-    pts = 2 * n_gauss + 1
-    f = integrand
-    span = float(b) - float(a)
-
-    lows = np.array([float(a)])
-    lengths = np.array([span])
-    fin_est = 0.0
-    fin_err = 0.0
-    neval = 0
-    nregions = 1
-    status = 1
-    est = err = float("nan")
-    while True:
-        n = len(lows)
-        # pad to a pow2 bucket with zero-length dummies so the jitted rule
-        # eval compiles once per bucket size, not once per pool size
-        cap = _next_pow2(n)
-        pl = np.concatenate([lows, np.full(cap - n, lows[0])])
-        ln = np.concatenate([lengths, np.zeros(cap - n)])
-        e_d, r_d = _eval_gk(f, jnp.asarray(pl), jnp.asarray(ln), n_gauss)
-        e = np.asarray(e_d)[:n]
-        r = np.asarray(r_d)[:n]
-        neval += n * pts
-        est = fin_est + float(e.sum())
-        err = fin_err + float(r.sum())
-        tol = max(epsrel * abs(est), epsabs)
-        if err <= tol:
-            status = 0
-            break
-        # retire converged intervals (proportional tolerance share)
-        share = tol * lengths / abs(span)
-        done = r <= share
-        fin_est += float(e[done].sum())
-        fin_err += float(r[done].sum())
-        lows, lengths, e, r = (z[~done] for z in (lows, lengths, e, r))
-        if len(lows) == 0:       # everything retired yet global test failed
-            break                # (tol shrank under us); report as-is
-        # bisect the worst half of the pool by error
-        k = max(1, len(lows) // 2)
-        if nregions + k > max_intervals:
-            break
-        order = np.argsort(-r)
-        split, keep = order[:k], order[k:]
-        half = lengths[split] * 0.5
-        lows = np.concatenate([lows[keep], lows[split], lows[split] + half])
-        lengths = np.concatenate([lengths[keep], half, half])
-        nregions += k
-    return IntegrationResult(estimate=est, errorest=err,
-                             nregions=nregions, neval=neval, status=status)
+    # survivors carry their already-computed (e, r) across rounds; only
+    # freshly bisected children are evaluated (the rule is deterministic,
+    # so this is exactly the re-evaluating loop minus the redundant work:
+    # ~1/3 of each round's integrand evaluations).  One loop serves both
+    # this whole-interval entry and QAWO's half-period partition.
+    return _qag_pool(integrand, np.array([float(a), float(b)]),
+                     epsrel, epsabs, max_intervals, KEY_TO_GAUSS_N[key])
 
 
 qag = integrate1d
@@ -403,25 +361,33 @@ def qawo(integrand, a: float, b: float, omega: float, sin_or_cos: str = "sin",
 
 
 def _qag_pool(f, edges, epsrel, epsabs, max_intervals, n_gauss):
-    """integrate1d's adaptive loop over an arbitrary initial partition."""
-    lows = edges[:-1].astype(float)
-    lengths = np.diff(edges).astype(float)
+    """integrate1d's adaptive loop over an arbitrary initial partition.
+    Survivors carry their (e, r) across rounds; only fresh children are
+    evaluated (see integrate1d)."""
     span = float(edges[-1] - edges[0])
     pts = 2 * n_gauss + 1
+    lows = np.zeros(0)
+    lengths = np.zeros(0)
+    e = np.zeros(0)
+    r = np.zeros(0)
+    new_lo = edges[:-1].astype(float)
+    new_ln = np.diff(edges).astype(float)
     fin_est = fin_err = 0.0
     neval = 0
-    nregions = len(lows)
+    nregions = len(new_lo)
     status = 1
     est = err = float("nan")
     while True:
-        n = len(lows)
-        cap = _next_pow2(n)
-        pl = np.concatenate([lows, np.full(cap - n, lows[0])])
-        ln = np.concatenate([lengths, np.zeros(cap - n)])
+        m = len(new_lo)
+        cap = _next_pow2(m)
+        pl = np.concatenate([new_lo, np.full(cap - m, new_lo[0])])
+        ln = np.concatenate([new_ln, np.zeros(cap - m)])
         e_d, r_d = _eval_gk(f, jnp.asarray(pl), jnp.asarray(ln), n_gauss)
-        e = np.asarray(e_d)[:n]
-        r = np.asarray(r_d)[:n]
-        neval += n * pts
+        neval += m * pts
+        lows = np.concatenate([lows, new_lo])
+        lengths = np.concatenate([lengths, new_ln])
+        e = np.concatenate([e, np.asarray(e_d)[:m]])
+        r = np.concatenate([r, np.asarray(r_d)[:m]])
         est = fin_est + float(e.sum())
         err = fin_err + float(r.sum())
         tol = max(epsrel * abs(est), epsabs)
@@ -441,8 +407,9 @@ def _qag_pool(f, edges, epsrel, epsabs, max_intervals, n_gauss):
         order = np.argsort(-r)
         split, keep = order[:k], order[k:]
         half = lengths[split] * 0.5
-        lows = np.concatenate([lows[keep], lows[split], lows[split] + half])
-        lengths = np.concatenate([lengths[keep], half, half])
+        new_lo = np.concatenate([lows[split], lows[split] + half])
+        new_ln = np.concatenate([half, half])
+        lows, lengths, e, r = (z[keep] for z in (lows, lengths, e, r))
         nregions += k
     return IntegrationResult(estimate=est, errorest=err,
                              nregions=nregions, neval=neval, status=status)

@@ -207,7 +207,11 @@ def _eval_chunk_vector(
             - tables.gen[None, :, d] * len_g[d][:, None])
     x = jnp.stack(planes, axis=-1)                         # (C, P, ndim)
     jacobian = jnp.prod(global_range)
-    vals_k = f(x).astype(dtype)                            # (C, P, ncomp)
+    # component-major IMMEDIATELY: a materialized (C, P, ncomp) buffer
+    # lane-pads the small minor axis ncomp -> 128 on TPU (the pool-layout
+    # invariant, docs/DESIGN.md); (ncomp, C, P) keeps the big point axis
+    # minor and XLA emits f's output directly in the transposed layout
+    vals_k = jnp.moveaxis(f(x).astype(dtype), -1, 0)       # (ncomp, C, P)
 
     ob = tables.orbit_bounds
     ratio = jnp.asarray(tables.ratio, dtype)
@@ -219,7 +223,7 @@ def _eval_chunk_vector(
     ests, errs_out, diffs = [], [], []
     for c in range(ncomp):
         # per-component (C, P) plane; XLA fuses the slice into f's output
-        vals = vals_k[..., c]
+        vals = vals_k[c]
         orbit_sums = jnp.stack(
             [jnp.sum(vals[:, ob[s]:ob[s + 1]], axis=1)
              for s in range(len(ob) - 1)], axis=1)

@@ -356,6 +356,12 @@ class Workspace:
                     "vector-valued integrands run on the single-chip XLA "
                     "host loop (no mesh/vegas_assisted/predict_split/"
                     "pallas yet)")
+            if ledger is not None:
+                # silently dropping the seed would lose the accumulated
+                # estimate/error/neval of a resumed run
+                raise ValueError(
+                    "ledger resume is scalar-only; vector-valued runs "
+                    "cannot seed a (est, err, ...) scalar ledger")
             return self._integrate_vector(
                 f, ncomp, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
@@ -612,7 +618,11 @@ class Workspace:
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
                     active = hs.active_flags
-                    finished_est = iter_est - float(_dot(active, est))
+                    # ONE packed D2H for both banked sums (separate
+                    # device-scalar reads cost ~30 ms sync each)
+                    kept = np.asarray(
+                        jnp.stack([_dot(active, est), _dot(active, refined)]))
+                    finished_est = iter_est - float(kept[0])
                     # EXACT banked error: sum of refined error over every
                     # region the new flags drop.  The reference banks
                     # hs.finished_errorest = iter - kept - iter_finished
@@ -624,7 +634,7 @@ class Workspace:
                     # -- observed here as a NEGATIVE total errorest.  The
                     # threshold DECISION (budget test) keeps the
                     # reference's formula; only the ledger is exact.
-                    finished_err = iter_err - float(_dot(active, refined))
+                    finished_err = iter_err - float(kept[1])
                     n_active = hs.num_active
                 # Terminate only when classification is BOTH necessary and
                 # failed (Workspace.cuh:76-118).  A failed ladder reports
@@ -783,7 +793,14 @@ class Workspace:
                 cum.nregions = result_nregions + n
                 break
 
-            classifier.store_estimate(float(cum_est[0] + iter_est[0]))
+            # worst component (max relative error) drives classification:
+            # its estimate sets the ladder's error budget scale -- storing
+            # component 0 would compute pass_errorest_budget at the wrong
+            # magnitude when component scales differ
+            w = int(np.argmax(
+                (cum_err + iter_err) /
+                np.maximum(np.abs(cum_est + iter_est), 1e-300)))
+            classifier.store_estimate(float(cum_est[w] + iter_est[w]))
 
             # rollback when ANY component's finished error would overflow
             # its budget (worst-component generalisation of
@@ -799,9 +816,6 @@ class Workspace:
             must_terminate = False
             classification_necessary = not classifier.split_fits(n)
             if classifier.classification_criteria_met(n):
-                w = int(np.argmax(
-                    (cum_err + iter_err) /
-                    np.maximum(np.abs(cum_est + iter_est), 1e-300)))
                 hs = classifier.classify_ladder(
                     _max_over_components(refined),
                     region_pool.block_mask(cap, n_dev, blocked), n,
@@ -810,14 +824,11 @@ class Workspace:
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
                     active = hs.active_flags
-                    act_np = np.asarray(
-                        jnp.stack([_dot(active, est[c])
-                                   for c in range(ncomp)]))
-                    finished_est = iter_est - act_np
-                    ref_np = np.asarray(
-                        jnp.stack([_dot(active, refined[c])
-                                   for c in range(ncomp)]))
-                    finished_err = iter_err - ref_np
+                    kept = np.asarray(jnp.stack(
+                        [_dot(active, est[c]) for c in range(ncomp)]
+                        + [_dot(active, refined[c]) for c in range(ncomp)]))
+                    finished_est = iter_est - kept[:ncomp]
+                    finished_err = iter_err - kept[ncomp:]
                     n_active = hs.num_active
                 must_terminate = not success and classification_necessary
             else:
@@ -1079,10 +1090,12 @@ class Workspace:
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
                     active = hs.active_flags
-                    finished_est = iter_est - float(_dot(active, est))
+                    kept = np.asarray(
+                        jnp.stack([_dot(active, est), _dot(active, refined)]))
+                    finished_est = iter_est - float(kept[0])
                     # exact banked error (see the single-chip loop's note:
                     # the reference's extra_f_errorest undercounts)
-                    finished_err = iter_err - float(_dot(active, refined))
+                    finished_err = iter_err - float(kept[1])
                     n_active = hs.num_active
                 must_terminate = not success and classification_necessary
             else:

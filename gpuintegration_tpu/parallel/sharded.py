@@ -9,10 +9,12 @@ new capability of this framework.  Mapping:
   reductions become psums.  Compaction is performed shard-locally inside
   ``shard_map`` so no region data ever crosses chips; only the per-shard
   active counts are all-gathered.
-* VEGAS: each device owns a contiguous range of sub-cubes
-  (cube_offset = axis_index * cubes_per_shard); ti/tsi and the
-  (ndim, NDMX) histogram are psum'd -- the histogram is ~40 KB, so the
-  collective cost is trivial against ICI bandwidth.
+* VEGAS: multi-chip is a ``mesh=`` parameter of the ONE driver
+  (mcubes.vegas); each device owns a contiguous range of sample CHUNKS
+  and PRNG streams key on the GLOBAL chunk id, so a mesh run draws the
+  same samples as a single-chip run with the same chunk decomposition.
+  ti/tsi and the (ndim, NDMX) histogram are psum'd -- the histogram is
+  ~40 KB, so the collective cost is trivial against ICI bandwidth.
 """
 from __future__ import annotations
 

@@ -46,6 +46,18 @@ def test_deduce_ncomp_constant_integrand():
     assert deduce_ncomp(f1, 4) == 1
 
 
+def test_whole_batch_reduction_rejected():
+    """A rank-0 return that DEPENDS on the points (sum missing axis=-1)
+    must raise, not silently integrate a per-chunk constant."""
+    import pytest
+    f, _ = make_integrand(lambda x: jnp.exp(-jnp.sum(x ** 2)), ndim=5)
+    with pytest.raises(ValueError, match="batch axis"):
+        deduce_ncomp(f, 5)
+    f2, _ = make_integrand(lambda a, b: jnp.sum(a * b))
+    with pytest.raises(ValueError, match="batch axis"):
+        deduce_ncomp(f2, 2)
+
+
 def test_pagani_vector_matches_scalar_calls():
     """One 4-component call == 4 scalar calls (same tolerances)."""
     rv = Workspace(ND, chunk_size=1024).integrate(
