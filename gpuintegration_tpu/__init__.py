@@ -30,6 +30,9 @@ if not os.environ.get("GPUINT_TPU_NO_COMPILE_CACHE"):
 from gpuintegration_tpu.types import IntegrationResult, Volume, unit_volume  # noqa: E402
 from gpuintegration_tpu.integrand import make_integrand  # noqa: E402
 from gpuintegration_tpu.pagani.workspace import Workspace  # noqa: E402
+from gpuintegration_tpu.diff import (  # noqa: E402
+    fixed_mesh_integral, frozen_grid_estimate, mesh_from_checkpoint,
+    train_grid)
 
 __all__ = [
     "IntegrationResult",
@@ -37,6 +40,10 @@ __all__ = [
     "unit_volume",
     "make_integrand",
     "Workspace",
+    "fixed_mesh_integral",
+    "frozen_grid_estimate",
+    "mesh_from_checkpoint",
+    "train_grid",
 ]
 
 __version__ = "0.1.0"
