@@ -1190,6 +1190,12 @@ class Workspace:
         deadline = (_time.monotonic() + max_wall_s
                     if max_wall_s is not None else None)
         res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
+        # round 1 consumed any user initial_regions/ledger seed; later
+        # rounds (and continuation slices) supply their own -- leaving the
+        # user's in kw would TypeError on resume, and a leftover ledger=
+        # would be re-banked once per slice
+        kw.pop("initial_regions", None)
+        kw.pop("ledger", None)
         rounds = 1
         while (res.status == 1 and rounds < max_rounds
                and res.nregions > res.nFinishedRegions
@@ -1207,7 +1213,8 @@ class Workspace:
             if 4 * ckpt.lows.shape[0] > self.max_pool_regions:
                 return self._partitioned_continuation(
                     integrand, epsrel, epsabs, vol, ckpt, res,
-                    max_rounds - rounds, deadline, **kw)
+                    max_rounds - rounds, deadline,
+                    min_err_reduction=min_err_reduction, **kw)
             prev_err = res.errorest
             res = self.integrate(
                 integrand, epsrel, epsabs, vol,
@@ -1237,16 +1244,20 @@ class Workspace:
             reg_est, reg_err = reg_est[order], reg_err[order]
             return [(lows[i:i + cap], lengths[i:i + cap],
                      float(reg_est[i:i + cap].sum()),
-                     float(reg_err[i:i + cap].sum()), depth)
+                     float(reg_err[i:i + cap].sum()), depth, True)
                     for i in range(0, n, cap)]
+        # apportioned (inexact) slices: totals are right but the per-slice
+        # shares are NOT -- flagged False so the global certificate never
+        # fires off them (uniform shares understate a hot slice once cold
+        # ones are drained, which could certify prematurely)
         return [(lows[i:i + cap], lengths[i:i + cap],
                  tot_est * min(cap, n - i) / n,
-                 tot_err * min(cap, n - i) / n, depth)
+                 tot_err * min(cap, n - i) / n, depth, False)
                 for i in range(0, n, cap)]
 
     def _partitioned_continuation(
         self, integrand, epsrel, epsabs, vol, ckpt, last_res,
-        rounds_left, deadline=None, **kw,
+        rounds_left, deadline=None, min_err_reduction=0.99, **kw,
     ) -> IntegrationResult:
         """Divide-and-conquer continuation for split-starved pools.
 
@@ -1287,14 +1298,15 @@ class Workspace:
         while True:
             q_est = sum(w[2] for w in work)
             q_err = sum(w[3] for w in work)
-            if (fin_err + q_err) <= max(
+            if all(w[5] for w in work) and (fin_err + q_err) <= max(
                     epsrel * abs(fin_est + q_est), epsabs):
-                status = 0               # certified: banked + stored queue
+                status = 0               # certified: banked + EXACT queue
                 break
             if not work or runs >= max_runs or (
                     deadline is not None and _time.monotonic() >= deadline):
                 break                    # honest non-convergence
-            lows_i, lengths_i, s_est_i, s_err_i, depth = work.pop()
+            lows_i, lengths_i, s_est_i, s_err_i, depth, _exact = \
+                work.pop()
             n_in = lows_i.shape[0]
             r_i = self.integrate(
                 integrand, epsrel, epsabs, vol,
@@ -1312,13 +1324,18 @@ class Workspace:
                     float(ck_i.region_errorests.sum())
                     if ck_i.region_errorests is not None
                     else r_i.errorest - ck_i.errorest)
-                if surv > 0 and new_err < 0.99 * s_err_i:
+                if surv > 0 and new_err < min_err_reduction * s_err_i:
                     # progress: bank the finished ledger, re-queue the
                     # survivors error-sorted (deeper level)
                     fin_est += ck_i.estimate
                     fin_err += ck_i.errorest
-                    nregions += r_i.nregions - surv
-                    nfinished += r_i.nFinishedRegions
+                    # ck_i.nregions = regions retired BEFORE the final
+                    # sweep -- the view consistent with requeueing the
+                    # whole final pool (r_i.nregions counts that pool
+                    # post-split AND its last sweep's retirees, which the
+                    # requeued slices will count again)
+                    nregions += ck_i.nregions
+                    nfinished += ck_i.nregions
                     sub = self._make_slices(
                         ck_i.lows, ck_i.lengths,
                         ck_i.region_estimates, ck_i.region_errorests,
@@ -1350,7 +1367,7 @@ class Workspace:
             iters=iters, neval=neval, nregions=nregions,
             nFinishedRegions=nfinished)
 
-    def make_checkpoint(self, result: IntegrationResult = None):
+    def make_checkpoint(self):
         """Package the last run's live pool + ledger into a resumable
         checkpoint (utils.checkpoint.PaganiCheckpoint).
 
@@ -1362,6 +1379,10 @@ class Workspace:
         add ``ckpt.estimate``/``ckpt.errorest`` to the resumed result for
         the complete integral."""
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        if getattr(self, "final_pool", None) is None:
+            raise ValueError(
+                "no resumable pool: run integrate() first (vector-valued "
+                "runs do not checkpoint)")
         est, err, nregions, iters, neval = self._ledger_excl_pool
         if isinstance(self.final_pool[0], str):  # ("mesh", ...) layout
             # per-shard blocked layout: shard k's real regions fill the

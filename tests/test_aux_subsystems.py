@@ -101,7 +101,7 @@ class TestPaganiCheckpoint:
         ws = Workspace(3, chunk_size=1024)
         r = ws.integrate(g, epsrel=1e-12, epsabs=1e-300, max_iterations=4)
         assert r.status == 1
-        c = ws.make_checkpoint(r)
+        c = ws.make_checkpoint()
         path = str(tmp_path / "pstate.npz")
         c.save(path)
         c2 = ckpt.PaganiCheckpoint.load(path)

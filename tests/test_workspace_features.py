@@ -250,10 +250,10 @@ class TestFusedAdaptivePhase:
         ws = Workspace(3, chunk_size=1024)
         rh = ws.integrate(g, epsrel=1e-12, epsabs=1e-300,
                           max_iterations=6, fused=False)
-        ch = ws.make_checkpoint(rh)
+        ch = ws.make_checkpoint()
         rf = ws.integrate(g, epsrel=1e-12, epsabs=1e-300,
                           max_iterations=6, fused=True)
-        cf = ws.make_checkpoint(rf)
+        cf = ws.make_checkpoint()
         assert rh.status == rf.status == 1
         assert (rh.iters, rh.neval) == (rf.iters, rf.neval)
         assert abs(rh.estimate - rf.estimate) <= 1e-12 * abs(rh.estimate)
@@ -444,6 +444,49 @@ class TestContinuation:
         # the stash must track the pool: the sum of stored errors is the
         # final sweep's in-flight error (what the queue accounting uses)
         assert ck.region_errorests.sum() > 0
+
+    def test_convergence_driver_accepts_resume_seed(self):
+        """integrate_to_convergence(initial_regions=, ledger=) must resume
+        a saved checkpoint: the seed feeds round 1 only (regression: later
+        rounds re-passed it -> TypeError; a leftover ledger= would be
+        re-banked once per continuation slice)."""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        r1 = ws.integrate(g, epsrel=1e-7, epsabs=1e-40, max_iterations=3)
+        assert r1.status == 1
+        ck = ws.make_checkpoint()
+        r = ws.integrate_to_convergence(
+            g, epsrel=1e-7, epsabs=1e-40, max_iterations=4,
+            initial_regions=(ck.lows, ck.lengths), ledger=ck.ledger)
+        assert r.status == 0
+        assert abs(r.estimate - g.true_value) <= max(
+            r.errorest, 1e-6 * abs(g.true_value))
+
+    def test_make_slices_exactness_flags(self):
+        """Slices cut from a per-region stash are exact (certifiable);
+        apportioned slices are flagged inexact so the global certificate
+        cannot fire off uniform error shares (a hot slice's error would be
+        understated once cold slices drain)."""
+        lows = np.random.RandomState(0).rand(10, 2)
+        lengths = np.full((10, 2), 0.1)
+        reg_est = np.linspace(1.0, 2.0, 10)
+        reg_err = np.linspace(0.1, 1.0, 10)
+        exact = Workspace._make_slices(lows, lengths, reg_est, reg_err,
+                                       reg_est.sum(), reg_err.sum(), 4, 0)
+        assert all(s[5] for s in exact)
+        # coldest first: work.pop() must take the hottest slice
+        assert exact[0][3] < exact[-1][3]
+        np.testing.assert_allclose(sum(s[3] for s in exact),
+                                   reg_err.sum(), rtol=1e-12)
+        appor = Workspace._make_slices(lows, lengths, None, None,
+                                       3.0, 1.5, 4, 0)
+        assert not any(s[5] for s in appor)
+        np.testing.assert_allclose(sum(s[3] for s in appor), 1.5,
+                                   rtol=1e-12)
+
+    def test_checkpoint_without_run_raises(self):
+        with pytest.raises(ValueError, match="no resumable pool"):
+            Workspace(3).make_checkpoint()
 
     def test_vector_continuation_no_crash(self):
         """Vector-valued runs have no resumable pool; the continuation
