@@ -457,8 +457,11 @@ def _frozen_phase(
 
     Returns (next_it, si, swgt, schi, converged).
     """
-    dtype = jnp.dtype(dtype_name)
-    tiny = jnp.asarray(1e-300, dtype)
+    # the combination runs in f64 like the host loop's Python floats
+    # (host/fused bit-equivalence) -- in f32 the 1e-300 floor underflows
+    # to 0 and a zero tsi would produce inf weights
+    f64 = jnp.float64
+    tiny = jnp.asarray(1e-300, f64)
 
     def phase(chunk_offset, base_key, map_a, map_b, regn_lo, dx, xjac,
               ncubes, dv2g, epsrel, epsabs, start_it, si0, swgt0, schi0):
@@ -485,7 +488,8 @@ def _frozen_phase(
                 from gpuintegration_tpu.parallel.mesh import REGION_AXIS
                 ti = jax.lax.psum(ti, REGION_AXIS)
                 tsi = jax.lax.psum(tsi, REGION_AXIS)
-            tsi = tsi * dv2g
+            ti = ti.astype(f64)
+            tsi = tsi.astype(f64) * dv2g
             wgt = 1.0 / jnp.maximum(tsi, tiny)
             acc = it > skip_iters
             si = jnp.where(acc, si + wgt * ti, si)
@@ -502,7 +506,8 @@ def _frozen_phase(
 
         return jax.lax.while_loop(
             cond, body,
-            (start_it, si0, swgt0, schi0, jnp.asarray(False)))
+            (start_it, si0.astype(f64), swgt0.astype(f64),
+             schi0.astype(f64), jnp.asarray(False)))
 
     args = (base_key, map_a, map_b, regn_lo, dx, xjac, ncubes, dv2g,
             epsrel, epsabs, start_it, si0, swgt0, schi0)
@@ -629,11 +634,18 @@ def _adjust_phase(
 class VegasState:
     """Checkpointable integrator state: the grid plus the iteration-weighted
     accumulators (si, swgt, schi) -- the TPU analogue of the reference's
-    host-resident xi + si/swgt/schi scalars (vegasT.cuh:679-706)."""
+    host-resident xi + si/swgt/schi scalars (vegasT.cuh:679-706).
+
+    ``it0`` counts iterations already folded into the accumulators: a
+    resumed run derives its PRNG base from (seed, it0), so continuation
+    iterations draw samples INDEPENDENT of the prior run's -- replaying
+    the same streams would re-add bit-identical (ti, tsi) pairs as if
+    they were new information, halving the reported variance for free."""
     xi: jax.Array
     si: float = 0.0
     swgt: float = 0.0
     schi: float = 0.0
+    it0: int = 0
 
 
 def vegas(
@@ -729,13 +741,21 @@ def vegas(
 
     st = state or VegasState(xi=vgrid.uniform_grid(ndim, nbins, dtype))
     xi = st.xi
+    if xi.shape != (ndim, nbins + 1):
+        raise ValueError(
+            f"state grid has shape {xi.shape}; expected ({ndim}, "
+            f"{nbins + 1}) -- pass nbins={xi.shape[1] - 1} to match it")
     si, swgt, schi = st.si, st.swgt, st.schi
     if ncomp > 1 and np.ndim(si) == 0:
         si = np.zeros(ncomp)
         swgt = np.zeros(ncomp)
         schi = np.zeros(ncomp)
 
+    it_offset = int(getattr(st, "it0", 0))
     base_key = jax.random.PRNGKey(seed)
+    if it_offset:
+        # fresh stream family per resume segment (see VegasState.it0)
+        base_key = jax.random.fold_in(base_key, it_offset)
     res = IntegrationResult(status=1)
     if ncomp == 1:
         tgral = sd = chi2a = 0.0
@@ -817,19 +837,20 @@ def vegas(
             else:
                 map_a = xi
                 map_b = xi  # unused
+            f64 = jnp.float64
             it_d, si_d, swgt_d, schi_d, done_d = _frozen_phase(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
                 dtype.name, importance, total_iters, skip_iters,
                 base_key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
-                jnp.asarray(dv2g, dtype), jnp.asarray(epsrel, dtype),
-                jnp.asarray(epsabs, dtype),
-                jnp.asarray(it, jnp.int32), jnp.asarray(si, dtype),
-                jnp.asarray(swgt, dtype), jnp.asarray(schi, dtype),
+                jnp.asarray(dv2g, f64), jnp.asarray(epsrel, f64),
+                jnp.asarray(epsabs, f64),
+                jnp.asarray(it, jnp.int32), jnp.asarray(si, f64),
+                jnp.asarray(swgt, f64), jnp.asarray(schi, f64),
                 eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
             out = np.asarray(jnp.concatenate([
-                it_d[None].astype(dtype), jnp.atleast_1d(si_d),
+                it_d[None].astype(f64), jnp.atleast_1d(si_d),
                 jnp.atleast_1d(swgt_d), jnp.atleast_1d(schi_d),
-                done_d[None].astype(dtype)]))
+                done_d[None].astype(f64)]))
             it_next = int(out[0])
             if ncomp == 1:
                 si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
@@ -918,6 +939,7 @@ def vegas(
         res.errorest = float(res.errorests[0])
         res.chi_sq = float(np.max(chi2a))
     st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
+    st.it0 = it_offset + res.iters
     res.lastPhase = 1 if it > adjust_iters else 0
     return res
 

@@ -25,7 +25,8 @@ loop):
   points: each pass accumulates inverse-variance-weighted (estimate,
   weight) pairs per region, and a split seeds each child with the
   parent's accumulated information (estimates apportioned by the
-  measured per-half integrand mass, weight split evenly) -- old samples
+  SIGNED measured per-half integrand mass with an even-split fallback
+  under heavy cancellation, weight split evenly) -- old samples
   keep influencing child estimates without CUBA's O(samples) region
   memory;
 * the fluctuation measure is the normalized p-norm of |w f| over each
@@ -49,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpuintegration_tpu.integrand import make_integrand
-from gpuintegration_tpu.pagani.vegas_assisted import _refine_grids
+from gpuintegration_tpu.pagani.vegas_assisted import _sample_regions_pass
 from gpuintegration_tpu.types import IntegrationResult, Volume
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -76,50 +77,25 @@ def _suave_cycle(
     """One Suave cycle over the whole (padded) pool.
 
     Returns (grids', I (cap,), var (cap,), flu (cap, ndim),
-    frac_lo (cap, ndim)): the cycle's per-region importance-sampled
-    estimate and variance-of-mean, the per-dimension fluctuation of the
-    two prospective halves (split criterion: argmin), and the fraction
-    of the sampled integrand mass in the lower half (child seeding).
-    Padding slots produce zeros (vol = finite but masked by ``n`` in the
-    host driver).
+    mass_lo (cap, ndim), mass (cap,), mass_abs (cap,)): the cycle's
+    per-region importance-sampled estimate and variance-of-mean, the
+    per-dimension fluctuation of the two prospective halves (split
+    criterion: argmin), and the SIGNED lower-half / total sampled
+    integrand mass plus its absolute total (child seeding -- signed so
+    sign-changing integrands seed with the right signs; the |.| total
+    gates a cancellation fallback).  Padding slots produce finite junk
+    masked by ``n`` in the host driver.
     """
     dtype = jnp.dtype(dtype_name)
-    f32 = jnp.float32
     cap = lows.shape[1]
-    jac = jnp.prod(global_range).astype(dtype)
     vol = jnp.prod(lengths, axis=0).astype(dtype)        # (cap,)
-    bins_ax = jnp.arange(nbins, dtype=jnp.int32)
 
     def one_pass(i, carry):
         (grids, s_wf, s_wf2, s_cnt, s_flu_lo, s_flu_hi, s_mass_lo,
-         s_mass) = carry
-        pk = jax.random.fold_in(key, i)
-        u_bin = jax.random.uniform(pk, (cap, nnew, ndim), f32)
-        u_pos = jax.random.uniform(jax.random.fold_in(pk, 1),
-                                   (cap, nnew, ndim), f32)
-        bins = jnp.clip((u_bin * nbins).astype(jnp.int32), 0, nbins - 1)
-
-        # per-region bin-edge lookup: fused one-hot batched matmul
-        # (vegas_assisted pattern -- no gathers on pool-sized arrays)
-        u_planes, wprod = [], None
-        for d in range(ndim):
-            tbl = jnp.stack([grids[:, d, :nbins],
-                             grids[:, d, 1:] - grids[:, d, :nbins]],
-                            axis=-1)                     # (cap, nb, 2)
-            oh = (bins[..., d][..., None] == bins_ax).astype(f32)
-            e = jnp.einsum('rsb,rbe->rse', oh, tbl, precision=_HIGH)
-            lo_d, wid_d = e[..., 0], e[..., 1]
-            u_planes.append(lo_d + u_pos[..., d] * wid_d)
-            w_d = (wid_d * nbins).astype(dtype)
-            wprod = w_d if wprod is None else wprod * w_d
-        u = jnp.stack(u_planes, axis=-1)                 # (cap, nnew, ndim)
-        w = wprod                                        # (cap, nnew)
-
-        x = (global_lo
-             + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
-             * global_range)
-        fx = f(x).astype(dtype) * jac
-        wf = w * fx                                      # (cap, nnew)
+         s_mass_abs) = carry
+        u, wf, grids = _sample_regions_pass(
+            f, jax.random.fold_in(key, i), grids, lows, lengths,
+            global_lo, global_range, nbins, nnew, dtype)
         awf = jnp.abs(wf)
 
         s_wf = s_wf + jnp.sum(wf, axis=1)
@@ -128,7 +104,7 @@ def _suave_cycle(
 
         # fluctuation stats per (region, dim, half): normalized p-norm of
         # |wf| over each prospective half (the flatness criterion); and
-        # the lower-half integrand mass for child seeding
+        # the SIGNED lower-half mass for child seeding
         fmax = jnp.maximum(jnp.max(awf, axis=1, keepdims=True), 1e-300)
         ratio_p = (awf / fmax) ** p                      # (cap, nnew)
         for d in range(ndim):
@@ -139,23 +115,14 @@ def _suave_cycle(
                 fmax[:, 0] * jnp.sum(ratio_p * (1.0 - in_lo),
                                      axis=1) ** (1.0 / p))
             s_mass_lo = s_mass_lo.at[:, d].add(
-                jnp.sum(awf * in_lo, axis=1))
-        s_mass = s_mass + jnp.sum(awf, axis=1)
-
-        # per-(region, dim) f^2 histogram -> grid refinement (f32)
-        f2 = (wf * wf).astype(f32)
-        hist = jnp.stack(
-            [jnp.einsum('rs,rsb->rb', f2,
-                        (bins[..., d][..., None] == bins_ax).astype(f32),
-                        precision=_HIGH)
-             for d in range(ndim)], axis=1)
-        grids = _refine_grids(grids, hist)
+                jnp.sum(wf * in_lo, axis=1))
+        s_mass_abs = s_mass_abs + jnp.sum(awf, axis=1)
         return (grids, s_wf, s_wf2, s_cnt, s_flu_lo, s_flu_hi, s_mass_lo,
-                s_mass)
+                s_mass_abs)
 
     z = jnp.zeros((cap,), dtype)
     zd = jnp.zeros((cap, ndim), dtype)
-    (grids, s_wf, s_wf2, s_cnt, flu_lo, flu_hi, mass_lo, mass) = \
+    (grids, s_wf, s_wf2, s_cnt, flu_lo, flu_hi, mass_lo, mass_abs) = \
         jax.lax.fori_loop(0, passes, one_pass,
                           (grids, z, z, 0, zd, zd, zd, z))
 
@@ -166,8 +133,7 @@ def _suave_cycle(
     I = vol * mean
     var = (vol * vol) * var_mean
     flu = flu_lo + flu_hi                                # (cap, ndim)
-    frac_lo = mass_lo / jnp.maximum(mass, 1e-300)[:, None]
-    return grids, I, var, flu, frac_lo
+    return grids, I, var, flu, mass_lo, s_wf, mass_abs
 
 
 def suave(
@@ -209,11 +175,13 @@ def suave(
     gl = jnp.asarray(vol.lows, dtype)
     gr = jnp.asarray(vol.highs - vol.lows, dtype)
 
-    # host-side pool (Suave pools are small; surgery is numpy)
+    # host-side pool (Suave pools are small; surgery is numpy).
+    # Padding slots are FINITE unit boxes, not zero-length ones: a
+    # zero-length box evaluates f exactly at the domain's lower corner
+    # every pass, which explodes on boundary-singular integrands
     cap = 64
     lows = np.zeros((ndim, cap))
-    lengths = np.zeros((ndim, cap))
-    lengths[:, 0] = 1.0                      # one root region, unit cube
+    lengths = np.ones((ndim, cap))           # slot 0 = root region
     n = 1
     grids = np.broadcast_to(
         np.linspace(0.0, 1.0, nbins + 1, dtype=np.float32),
@@ -226,7 +194,8 @@ def suave(
 
     for cycle in range(max_cycles):
         key = jax.random.fold_in(base_key, cycle)
-        grids_d, I_d, var_d, flu_d, frac_d = _suave_cycle(
+        (grids_d, I_d, var_d, flu_d, mass_lo_d, mass_d,
+         mass_abs_d) = _suave_cycle(
             f, ndim, nmin, nnew, nbins, dtype.name, p, key,
             jnp.asarray(lows, dtype), jnp.asarray(lengths, dtype),
             jnp.asarray(grids), jnp.asarray(n, jnp.int32), gl, gr)
@@ -234,8 +203,10 @@ def suave(
         I = np.asarray(I_d)[:n]
         var = np.maximum(np.asarray(var_d)[:n], 1e-300)
         flu = np.asarray(flu_d)[:n]
-        frac_lo = np.clip(np.asarray(frac_d)[:n], 0.05, 0.95)
-        res.neval += nmin * nnew * n
+        mass_lo = np.asarray(mass_lo_d)[:n]      # SIGNED, (n, ndim)
+        mass = np.asarray(mass_d)[:n]            # SIGNED
+        mass_abs = np.asarray(mass_abs_d)[:n]
+        res.neval += nmin * nnew * cap           # every slot is evaluated
         res.iters += 1
 
         # fold the cycle into the per-region accumulators (sample reuse)
@@ -290,9 +261,16 @@ def suave(
             grids[r, d] = np.linspace(0.0, 1.0, nbins + 1)
             grids[c, d] = np.linspace(0.0, 1.0, nbins + 1)
             # seed children from the parent's accumulated information:
-            # estimates apportioned by measured half mass, weight halved
+            # estimates apportioned by the SIGNED measured half mass
+            # (|.|-mass apportionment seeds the wrong sign when the
+            # integrand changes sign inside the region), weight halved.
+            # Under heavy cancellation the signed total is an unstable
+            # denominator -- fall back to an even split
             e_par, w_par = wi[r] / w[r], w[r]
-            fl = float(frac_lo[r, d])
+            if abs(mass[r]) > 0.1 * mass_abs[r]:
+                fl = float(np.clip(mass_lo[r, d] / mass[r], -1.0, 2.0))
+            else:
+                fl = 0.5
             w[r] = w[c] = w_par * 0.5
             wi[r] = w[r] * e_par * fl
             wi[c] = w[c] * e_par * (1.0 - fl)

@@ -78,6 +78,61 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     return jnp.where(dt > 0, refined, grids)
 
 
+
+def _sample_regions_pass(f, pk, grids, lows, lengths, global_lo,
+                         global_range, nbins: int, spp: int, dtype):
+    """One importance-sampled pass over EVERY region (traced helper
+    shared by the vegas-assisted hybrid and Suave -- keeping the two
+    bit-aligned): draw (bin, in-bin position) pairs, fetch bin edges with
+    the gather-free one-hot batched matmul, evaluate the integrand, and
+    refine each region's grid on this pass's f^2 histogram.
+
+    Returns (u (R, spp, ndim) f32 unit-region coordinates, wf (R, spp)
+    importance-weighted integrand values, grids' refined)."""
+    f32 = jnp.float32
+    ndim, R = lows.shape
+    jac = jnp.prod(global_range).astype(dtype)
+    bins_ax = jnp.arange(nbins, dtype=jnp.int32)
+    u_bin = jax.random.uniform(pk, (R, spp, ndim), f32)
+    u_pos = jax.random.uniform(jax.random.fold_in(pk, 1),
+                               (R, spp, ndim), f32)
+    bins = jnp.clip((u_bin * nbins).astype(jnp.int32), 0, nbins - 1)
+
+    # Bin-edge lookup per dim as a fused one-hot batched matmul against
+    # the stacked (left-edge, width) table -- no gathers.
+    u_planes, wprod = [], None
+    for d in range(ndim):
+        tbl = jnp.stack([grids[:, d, :nbins],
+                         grids[:, d, 1:] - grids[:, d, :nbins]],
+                        axis=-1)                   # (R, nb, 2)
+        oh = (bins[..., d][..., None] == bins_ax).astype(f32)
+        e = jnp.einsum('rsb,rbe->rse', oh, tbl,
+                       precision=_HIGH)            # (R, spp, 2)
+        lo_d, wid_d = e[..., 0], e[..., 1]
+        u_planes.append(lo_d + u_pos[..., d] * wid_d)
+        w_d = (wid_d * nbins).astype(dtype)
+        wprod = w_d if wprod is None else wprod * w_d
+    u = jnp.stack(u_planes, axis=-1)               # (R, spp, ndim)
+
+    x = (global_lo
+         + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
+         * global_range)
+    fx = f(x).astype(dtype) * jac                   # (R, spp)
+    wf = wprod * fx
+
+    # per-(region, dim) f^2 histogram, scatter-free: one fused one-hot
+    # contraction per dim (vegas._onehot_hist pattern; the previous
+    # segment_sum version also overflowed its int32 segment ids at
+    # R*ndim*nbins > 2^31)
+    f2 = (wf * wf).astype(f32)
+    hist = jnp.stack(
+        [jnp.einsum('rs,rsb->rb', f2,
+                    (bins[..., d][..., None] == bins_ax).astype(f32),
+                    precision=_HIGH)
+         for d in range(ndim)], axis=1)             # (R, ndim, nb)
+    return u, wf, _refine_grids(grids, hist)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "passes", "spp", "nbins", "dtype_name"))
@@ -103,62 +158,19 @@ def vegas_assisted_estimates(
     dtype = jnp.dtype(dtype_name)
     f32 = jnp.float32
     R = lows.shape[1]
-    jac = jnp.prod(global_range).astype(dtype)
     vol = jnp.prod(lengths, axis=0).astype(dtype)      # unit region volume
 
     grids0 = jnp.broadcast_to(
         jnp.linspace(0.0, 1.0, nbins + 1, dtype=f32),
         (R, ndim, nbins + 1))
-    bins_ax = jnp.arange(nbins, dtype=jnp.int32)
 
     def one_pass(p, carry):
         grids, sum_wf, sum_wf2, count = carry
-        pk = jax.random.fold_in(key, p)
-        u_bin = jax.random.uniform(pk, (R, spp, ndim), f32)
-        pk2 = jax.random.fold_in(pk, 1)
-        u_pos = jax.random.uniform(pk2, (R, spp, ndim), f32)
-
-        bins = jnp.clip((u_bin * nbins).astype(jnp.int32), 0, nbins - 1)
-
-        # Bin-edge lookup per dim as a fused one-hot batched matmul
-        # against the stacked (left-edge, width) table -- no gathers.
-        u_planes, wprod = [], None
-        for d in range(ndim):
-            tbl = jnp.stack([grids[:, d, :nbins],
-                             grids[:, d, 1:] - grids[:, d, :nbins]],
-                            axis=-1)                   # (R, nb, 2)
-            oh = (bins[..., d][..., None] == bins_ax).astype(f32)
-            e = jnp.einsum('rsb,rbe->rse', oh, tbl,
-                           precision=_HIGH)            # (R, spp, 2)
-            lo_d, wid_d = e[..., 0], e[..., 1]
-            u_planes.append(lo_d + u_pos[..., d] * wid_d)
-            w_d = (wid_d * nbins).astype(dtype)
-            wprod = w_d if wprod is None else wprod * w_d
-        u = jnp.stack(u_planes, axis=-1)               # (R, spp, ndim)
-        w = wprod                                       # (R, spp)
-
-        x = (global_lo
-             + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
-             * global_range)
-        fx = f(x).astype(dtype) * jac                   # (R, spp)
-        wf = w * fx
-
-        sum_wf = sum_wf + jnp.sum(wf, axis=1)
-        sum_wf2 = sum_wf2 + jnp.sum(wf * wf, axis=1)
-        count = count + spp
-
-        # per-(region, dim) f^2 histogram, scatter-free: one fused
-        # one-hot contraction per dim (vegas._onehot_hist pattern; the
-        # previous segment_sum version also overflowed its int32 segment
-        # ids at R*ndim*nbins > 2^31)
-        f2 = (wf * wf).astype(f32)
-        hist = jnp.stack(
-            [jnp.einsum('rs,rsb->rb', f2,
-                        (bins[..., d][..., None] == bins_ax).astype(f32),
-                        precision=_HIGH)
-             for d in range(ndim)], axis=1)             # (R, ndim, nb)
-        grids = _refine_grids(grids, hist)
-        return grids, sum_wf, sum_wf2, count
+        _, wf, grids = _sample_regions_pass(
+            f, jax.random.fold_in(key, p), grids, lows, lengths,
+            global_lo, global_range, nbins, spp, dtype)
+        return (grids, sum_wf + jnp.sum(wf, axis=1),
+                sum_wf2 + jnp.sum(wf * wf, axis=1), count + spp)
 
     z = jnp.zeros((R,), dtype)
     grids, sum_wf, sum_wf2, count = jax.lax.fori_loop(

@@ -1125,7 +1125,7 @@ class Workspace:
                               self.chunk_size)
             ns, lows, lengths, parent_est, _perr = S.sharded_compact_split(
                 mesh, child_cap_s, active, lows, lengths, sdim,
-                est, refined, ns)
+                est, refined)
             n = 2 * n_active
             cap_s = child_cap_s
             use_refine = jnp.asarray(True)

@@ -130,7 +130,7 @@ def sharded_post_stage(relerr_classification, blocked, mesh,
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
 def sharded_compact_split(mesh, out_capacity,
-                          active, lows, lengths, sdim, est, refined, ns):
+                          active, lows, lengths, sdim, est, refined):
     """Shard-local compaction + bisection split: each device stream-
     compacts ITS surviving regions (the bitwise shift passes never leave
     the shard -- no cross-chip permute) and splits them into its own
@@ -141,7 +141,9 @@ def sharded_compact_split(mesh, out_capacity,
     """
     from gpuintegration_tpu.pagani import region_pool
 
-    def local(a, lo, ln, sd, e, r, ns_l):
+    def local(a, lo, ln, sd, e, r):
+        # compaction is gated by the active MASK alone; per-shard counts
+        # are derived, not consumed
         n_act, c_lo, c_ln, c_sd, par, perr = region_pool.compact(
             a, lo, ln, sd, e, r, out_capacity=out_capacity // 2)
         lo2, ln2, _ = region_pool.split(
@@ -150,10 +152,10 @@ def sharded_compact_split(mesh, out_capacity,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(_VEC, _POOL, _POOL, _VEC, _VEC, _VEC, _VEC),
+        in_specs=(_VEC, _POOL, _POOL, _VEC, _VEC, _VEC),
         out_specs=(_VEC, _POOL, _POOL, _VEC, _VEC),
         check_vma=False)
-    return fn(active, lows, lengths, sdim, est, refined, ns)
+    return fn(active, lows, lengths, sdim, est, refined)
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))

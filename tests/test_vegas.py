@@ -329,3 +329,47 @@ class TestDeviceRefine:
         assert rd.status == rh.status == 0
         assert (rd.iters, rd.neval) == (rh.iters, rh.neval)
         assert abs(rd.estimate - m.true_value) / m.true_value < 5e-3
+
+
+class TestStateResume:
+    """VegasState continuation: resumed iterations must draw INDEPENDENT
+    streams (regression: a resume restarted it=1 with the same base key,
+    replaying bit-identical samples into the accumulators -- swgt doubled
+    on duplicates and sd shrank sqrt(2) with zero new information)."""
+
+    def test_resume_draws_fresh_streams(self):
+        from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        g = genz.f4_gaussian(3, a=3.0)
+        kw = dict(epsrel=0.0, epsabs=0.0, ncall=2e4, seed=9,
+                  adjust_iters=0, skip_iters=0, nbins=64)
+        st = VegasState(xi=vgrid.uniform_grid(3, 64))
+        r1 = vegas(g, total_iters=4, state=st, **kw)
+        assert st.it0 == r1.iters
+        si1, swgt1 = float(np.asarray(st.si)), float(np.asarray(st.swgt))
+        r2 = vegas(g, total_iters=4, state=st, **kw)
+        assert st.it0 == r1.iters + r2.iters
+        # replayed streams would make the resumed si increment EXACTLY
+        # equal the first run's (same grid, same keys)
+        d_si = float(np.asarray(st.si)) - si1
+        assert d_si != pytest.approx(si1, rel=1e-12)
+        # and the combined estimate stays statistically sound
+        est = float(np.asarray(st.si)) / float(np.asarray(st.swgt))
+        sd = (1.0 / float(np.asarray(st.swgt))) ** 0.5
+        assert abs(est - g.true_value) < 6 * sd
+
+    def test_resume_deterministic(self):
+        from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        g = genz.f4_gaussian(2, a=3.0)
+
+        def run_two_segments():
+            st = VegasState(xi=vgrid.uniform_grid(2, 64))
+            kw = dict(epsrel=0.0, epsabs=0.0, ncall=1e4, seed=5,
+                      adjust_iters=0, skip_iters=0, total_iters=3,
+                      nbins=64)
+            vegas(g, state=st, **kw)
+            vegas(g, state=st, **kw)
+            return float(np.asarray(st.si)), float(np.asarray(st.swgt))
+
+        assert run_two_segments() == run_two_segments()

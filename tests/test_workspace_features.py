@@ -181,6 +181,23 @@ class TestSuave:
     """The real Suave (subregion-adaptive importance MC with sample
     reuse and fluctuation splits), validated against closed forms."""
 
+    def test_suave_sign_changing_integrand(self):
+        """Child seeding must apportion by SIGNED half mass: |.|-mass
+        apportionment seeds the wrong sign when the integrand changes
+        sign inside a split region (regression)."""
+        from gpuintegration_tpu.pagani.suave import suave
+
+        def f(x, y):
+            # int over [0,1]^2 of sin(2 pi x) * (1 + 4(y-1/2)^2) has
+            # truth 0 by x-antisymmetry; per-half-x masses are +/- and
+            # large, so |.|-seeding biases children visibly
+            return jnp.sin(2 * jnp.pi * x) * (1.0 + 4.0 * (y - 0.5) ** 2)
+
+        r = suave(f, epsrel=1e30, epsabs=2e-4, nnew=1024, seed=4,
+                  max_cycles=24)
+        assert abs(r.estimate) < 6 * max(r.errorest, 1e-5), (
+            r.estimate, r.errorest)
+
     def test_suave_converges(self):
         from gpuintegration_tpu.pagani.suave import suave
         g = genz.f4_gaussian(2, a=5.0)
