@@ -44,15 +44,25 @@ def _ladder_probe(errorests, mask, k: int):
     kernel+reduction round trips (heuristic_classifier.cuh:283-346) --
     each probe there costs a D2H sync (~30-60 ms on this runtime)."""
     big = jnp.asarray(jnp.inf, errorests.dtype)
-    lo = jnp.maximum(jnp.min(jnp.where(mask, errorests, big)), 1e-300)
+    # dtype-aware floors: the old f64-calibrated literals (1e-300 floor,
+    # 1e-12 separation) underflow/no-op in f32, collapsing the ladder.
+    # lo spans POSITIVE errors only -- one exactly-zero valid error would
+    # otherwise spread the rungs over ~300 irrelevant decades
+    tiny = float(np.finfo(errorests.dtype).tiny)
+    eps = float(np.finfo(errorests.dtype).eps)
+    pos = mask & (errorests > 0)
+    lo_raw = jnp.min(jnp.where(pos, errorests, big))
+    lo = jnp.maximum(jnp.where(jnp.isfinite(lo_raw), lo_raw, tiny), tiny)
     hi = jnp.maximum(jnp.max(jnp.where(mask, errorests, -big)),
-                     lo * (1 + 1e-12))
-    ts = jnp.exp(jnp.linspace(jnp.log(lo * (1 - 1e-12)), jnp.log(hi), k))
+                     lo * (1 + 8 * eps))
+    ts = jnp.exp(jnp.linspace(jnp.log(lo * (1 - 8 * eps)), jnp.log(hi), k))
     active_k = (errorests[None, :] > ts[:, None]) & mask[None, :]
-    counts = jnp.sum(active_k, axis=1).astype(errorests.dtype)
-    err_masked = jnp.where(mask, errorests, 0.0)
+    # counts/masses in f64: an f32 count is even-rounded above 2^24,
+    # which would corrupt num_active and the hard pool bound
+    counts = jnp.sum(active_k, axis=1).astype(jnp.float64)
+    err_masked = jnp.where(mask, errorests, 0.0).astype(jnp.float64)
     kept = jnp.sum(jnp.where(active_k, err_masked[None, :], 0.0), axis=1)
-    return jnp.stack([ts, counts, kept])                      # (3, K)
+    return jnp.stack([ts.astype(jnp.float64), counts, kept])  # (3, K)
 
 
 @jax.jit
@@ -66,9 +76,8 @@ def _threshold_probe(errorests, mask, threshold):
     """One threshold probe: flags = (err > threshold) & mask, plus count.
     (reference: device_set_true_for_larger_than + reduction,
     heuristic_classifier.cuh:61-87, 283-303)."""
-    flags = jnp.where((errorests > threshold) & mask, 1.0, 0.0)
-    flags = flags.astype(errorests.dtype)
-    return flags, jnp.sum(flags)
+    flags = _flags_for_threshold(errorests, mask, threshold)
+    return flags, jnp.sum(flags.astype(jnp.float64))
 
 
 @jax.jit
@@ -262,8 +271,14 @@ class HeuristicClassifier:
                 rng_lo, rng_hi = lo, hi
                 threshold = iter_errorest / num_regions
             elif exhausted and max_budget_pct >= 0.7 and max_active_pct <= 0.7:
+                # restart the bisection per relaxation like the budget
+                # branch (heuristic_classifier.cuh:425-437) -- a stale
+                # collapsed [rng_lo, rng_hi] cannot reach the thresholds
+                # the relaxed active share now admits
                 max_active_pct += 0.1
                 num_inc = num_dec = 0
+                rng_lo, rng_hi = lo, hi
+                threshold = iter_errorest / num_regions
             elif exhausted:
                 break
 

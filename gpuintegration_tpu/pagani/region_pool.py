@@ -128,7 +128,11 @@ def compact(
     ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
     rank = jnp.cumsum(flags) - flags
     deficit = jnp.where(v, ids - rank, 0)
-    n_active = jnp.sum(flags)
+    # clamp: a count above out_capacity means the caller under-sized the
+    # output pool; the slice below would drop real regions while the
+    # count claimed otherwise (count-says-8/pool-holds-4 silent data
+    # loss).  Correct callers always satisfy n_active <= out_capacity
+    n_active = jnp.minimum(jnp.sum(flags), out_capacity)
 
     # estimates/errorests may be (cap,) scalars or (ncomp, cap) vector-
     # integrand components (comp-major; see rule_eval._eval_chunk_vector)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpuintegration_tpu.pagani.region_pool import block_mask
 
@@ -57,7 +58,11 @@ def refine_error(
     refined = jnp.where(mask, refined, 0.0)
 
     if relerr_classification:
-        max_err = jnp.maximum(epsrel * jnp.abs(self_res), 1e-200)
+        # floor must be representable in the pool dtype: the reference's
+        # 1e-200 literal (hybrid.cuh) underflows to 0 in f32, where a
+        # zero-estimate region could then never finish
+        floor = max(1e-200, float(np.finfo(estimates.dtype).tiny))
+        max_err = jnp.maximum(epsrel * jnp.abs(self_res), floor)
         finished = refined < max_err
     else:
         finished = jnp.zeros_like(refined, dtype=bool)
@@ -101,7 +106,8 @@ def refine_error_vector(
     refined = jnp.where(mask[None, :], refined, 0.0)
 
     if relerr_classification:
-        max_err = jnp.maximum(epsrel * jnp.abs(self_res), 1e-200)
+        floor = max(1e-200, float(np.finfo(estimates.dtype).tiny))
+        max_err = jnp.maximum(epsrel * jnp.abs(self_res), floor)
         finished = jnp.all(refined < max_err, axis=0)
     else:
         finished = jnp.zeros((cap,), bool)

@@ -108,7 +108,9 @@ def iteration_math(
     iter_err = jnp.sum(refined)
     finished_est = iter_est - jnp.sum(active * est)
     finished_err = iter_err - jnp.sum(active * refined)
-    n_active = jnp.sum(active)
+    # count in f64: an f32 sum of 0/1 flags is even-rounded above 2^24
+    # regions, which would corrupt the pool-bound arithmetic downstream
+    n_active = jnp.sum(active.astype(jnp.float64))
     return (est, refined, active, iter_est, iter_err, finished_est,
             finished_err, n_active)
 
@@ -166,7 +168,7 @@ def _post_stage_vector(
     iter_err = jnp.sum(refined, axis=1)
     fin_est = iter_est - jnp.sum(active[None] * est, axis=1)
     fin_err = iter_err - jnp.sum(active[None] * refined, axis=1)
-    n_active = jnp.sum(active)
+    n_active = jnp.sum(active.astype(jnp.float64))  # see iteration_math
     scalars = jnp.concatenate(
         [iter_est, iter_err, fin_est, fin_err, n_active[None]])
     return est, refined, active, scalars

@@ -192,3 +192,44 @@ def test_throttle_keeps_pool_within_budget():
     np.testing.assert_allclose(res.estimate, g.true_value,
                                rtol=max(5e-6, 10 * res.errorest /
                                         max(abs(res.estimate), 1e-300)))
+
+
+class TestF32DtypeRobustness:
+    """f64-calibrated literals must not underflow/no-op in f32
+    (regressions: 1e-200 finished floor -> 0 in f32 kept zero regions
+    active forever; the ladder's 1e-300 floor and 1+1e-12 separation
+    collapsed the rung spacing)."""
+
+    def test_f32_zero_region_finishes(self):
+        from gpuintegration_tpu.pagani import two_level
+        est = jnp.zeros(4, jnp.float32)
+        err = jnp.zeros(4, jnp.float32)
+        parents = jnp.zeros(2, jnp.float32)
+        refined, active = two_level.refine_error(
+            est, err, parents, jnp.asarray(4, jnp.int32), 1e-4)
+        assert float(jnp.sum(active)) == 0.0  # all finished, none active
+
+    def test_f32_ladder_survives_zero_and_equal_errors(self):
+        from gpuintegration_tpu.pagani.classifier import _ladder_probe
+        # one exactly-zero valid error: rungs must span the POSITIVE
+        # error range, not 300 irrelevant decades above 1e-300
+        errs = jnp.asarray([0.0, 1e-3, 2e-3, 4e-3], jnp.float32)
+        mask = jnp.ones(4, bool)
+        ts, counts, kept = np.asarray(_ladder_probe(errs, mask, 8))
+        assert np.all(np.isfinite(ts)) and ts[0] <= 1e-3 * (1 + 1e-5)
+        assert ts[0] >= 1e-4        # spacing spans decades, not 1e-300
+        assert counts[0] >= 2       # low rungs keep the real errors
+        # all-equal errors: separation guard must not no-op in f32
+        errs2 = jnp.full(4, 5e-3, jnp.float32)
+        ts2, counts2, _ = np.asarray(_ladder_probe(errs2, mask, 8))
+        assert counts2[0] == 4      # lowest rung sits strictly below
+
+    def test_ladder_counts_exact_above_f32_resolution(self):
+        """Counts come back in f64 (an f32 count is even-rounded above
+        2^24); spot-check exactness of an odd count."""
+        from gpuintegration_tpu.pagani.classifier import _ladder_probe
+        n = 1001
+        errs = jnp.linspace(1e-6, 1.0, n).astype(jnp.float32)
+        ts, counts, _ = np.asarray(_ladder_probe(errs, jnp.ones(n, bool), 4))
+        assert counts.dtype == np.float64
+        assert counts[0] == float(int(counts[0]))
