@@ -69,17 +69,27 @@ def smooth_and_refine(xi, d):
     xi = np.asarray(xi)
     d = np.asarray(d)
     ndim, nbins = d.shape
+    if nbins < 2:
+        return xi.copy()          # nothing to redistribute
 
     left = np.concatenate([d[:, :1], d[:, :-1]], axis=1)
     right = np.concatenate([d[:, 1:], d[:, -1:]], axis=1)
     sm = (left + d + right) / 3.0
     sm[:, 0] = (d[:, 0] + d[:, 1]) / 2.0
     sm[:, -1] = (d[:, -2] + d[:, -1]) / 2.0
+    # all-zero dims keep their edges exactly (the reference's dt > 0
+    # guard); the floor below only matters when SOME mass exists
+    dt_raw = sm.sum(axis=1, keepdims=True)
+    # NR's TINY floor (vegasT.cuh:897-899): zero-mass bins keep a small
+    # rebin weight.  Without it every edge collapses into the bins a
+    # narrow early peak touched, starving the rest of the domain of
+    # resolution forever (a second mode may never be found)
+    sm = np.maximum(sm, TINY)
 
     dt = sm.sum(axis=1, keepdims=True)                  # (ndim, 1)
     frac = sm / np.where(dt > 0, dt, 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        # damped weight ((1-f)/ln(1/f))^ALPH; zero-mass bins weigh zero
+        # damped weight ((1-f)/ln(1/f))^ALPH
         r = np.where(frac > 0,
                      ((1.0 - frac) / (-np.log(np.clip(frac, 1e-300, None))))
                      ** ALPH,
@@ -88,6 +98,6 @@ def smooth_and_refine(xi, d):
 
     out = xi.copy()
     for j in range(ndim):
-        if dt[j, 0] > 0.0:
+        if dt_raw[j, 0] > 0.0:
             out[j] = rebin_row(xi[j], r[j])
     return out

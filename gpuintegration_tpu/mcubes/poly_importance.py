@@ -113,21 +113,12 @@ def eval_map_and_weight(p_coeffs, q_coeffs, s):
             if i < kq:
                 acc_q = acc_q + q[i] * t_next
             t_prev, t_cur = t_cur, t_next
-        coords.append(acc_p)
+        # clamp: the f32-cast coefficients put P(0) ~ -5e-8 and
+        # P(1) ~ 1+1e-7, so an ~1e-7-measure band of samples would land
+        # OUTSIDE the unit cube -- one NaN from a domain-edge integrand
+        # (sqrt, log1p) poisons the whole iteration.  The clip's bias is
+        # below f32 coordinate granularity
+        coords.append(jnp.clip(acc_p, 0.0, 1.0))
         w = acc_q * acc_q
         wgt = w if wgt is None else wgt * w
     return jnp.stack(coords, axis=-1), wgt
-
-
-def fit_quality(xi: np.ndarray, p_coeffs, dp_coeffs) -> float:
-    """Max deviation of the fitted map from the grid map at bin edges --
-    a diagnostic, not a correctness gate (any monotone P is unbiased)."""
-    xi = np.asarray(xi, np.float64)
-    ndim, nbp1 = xi.shape
-    s = np.linspace(0, 1, nbp1)
-    t = 2.0 * s - 1.0
-    worst = 0.0
-    for d in range(ndim):
-        fitted = np.polynomial.chebyshev.chebval(t, p_coeffs[d])
-        worst = max(worst, float(np.max(np.abs(fitted - xi[d]))))
-    return worst

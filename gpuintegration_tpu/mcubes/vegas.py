@@ -741,6 +741,9 @@ def vegas(
 
     st = state or VegasState(xi=vgrid.uniform_grid(ndim, nbins, dtype))
     xi = st.xi
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2 (grid adjustment "
+                         "redistributes mass between bins)")
     if xi.shape != (ndim, nbins + 1):
         raise ValueError(
             f"state grid has shape {xi.shape}; expected ({ndim}, "
@@ -816,8 +819,13 @@ def vegas(
             if np.all(np.asarray(swgt) > 0.0):
                 tgral = si / swgt
                 sd = np.sqrt(1.0 / swgt)
+                # dof = ACCUMULATED iterations (skip window excluded);
+                # the reference divides by (it - 0.9999) even though it
+                # only accumulates when it > skip (vegasT.cuh:853,859),
+                # understating chi^2/dof ~(it-1)/(it-skip-1)-fold
                 chi2a = np.maximum(
-                    (schi - si * tgral) / (it - 1 - 0.9999), 0.0)
+                    (schi - si * tgral)
+                    / (it - 1 - skip_iters - 0.9999), 0.0)
             res.status = 0 if converged else 1
 
     while it <= total_iters and res.status == 1:
@@ -866,8 +874,11 @@ def vegas(
             if np.all(np.asarray(swgt) > 0.0):
                 tgral = si / swgt
                 sd = np.sqrt(1.0 / swgt)
+                # dof excludes the skip window (see the device-refine
+                # block's note)
                 chi2a = np.maximum(
-                    (schi - si * tgral) / (it - 1 - 0.9999), 0.0)
+                    (schi - si * tgral)
+                    / (it - 1 - skip_iters - 0.9999), 0.0)
             res.status = 0 if converged else 1
             break
 
@@ -915,7 +926,10 @@ def vegas(
             schi = schi + wgt * ti * ti
             swgt = swgt + wgt
             tgral = si / swgt
-            chi2a = np.maximum((schi - si * tgral) / (it - 0.9999), 0.0)
+            # dof excludes the skip window (vegasT.cuh:859 divides by
+            # it - 0.9999 while accumulating only when it > skip)
+            chi2a = np.maximum(
+                (schi - si * tgral) / (it - skip_iters - 0.9999), 0.0)
             sd = np.sqrt(1.0 / swgt)
             res.status = _all_pass(tgral, sd, it)
         if debug_logger is not None:

@@ -181,6 +181,12 @@ def _eval_gk(f, lows, lengths, n_gauss: int):
         (resasc > 0) & (raw > 0),
         resasc * jnp.minimum(1.0, (200.0 * raw / resasc) ** 1.5),
         raw)
+    # QUADPACK roundoff floor (dqk15.f): the reported error can never
+    # fall below what f64 arithmetic on |f| can deliver -- without it a
+    # large-magnitude cancelling integrand claims noise-level accuracy
+    resabs = half * jnp.sum(jnp.abs(vals) * wk_j[None, :], axis=1)
+    epmach = float(np.finfo(np.float64).eps)
+    err = jnp.maximum(err, 50.0 * epmach * resabs)
     return gk, err
 
 
@@ -461,28 +467,44 @@ def qawf(integrand, a: float, omega: float, sin_or_cos: str = "sin",
     batch = 16
     sums = []
     total = 0.0
+    quad_err = 0.0
     neval = 0
     k0 = 0
     while k0 < max_cycles:
         nb = min(batch, max_cycles - k0)
         lows = jnp.asarray(float(a) + (k0 + np.arange(nb)) * period)
         lengths = jnp.full(nb, period)
-        # each half-cycle is smooth: one GK61 per cycle suffices, and the
-        # cycle error rides into the epsilon-algorithm residual
-        e_d, _ = _eval_gk(g, lows, jnp.asarray(lengths), 30)
+        e_d, r_d = _eval_gk(g, lows, jnp.asarray(lengths), 30)
         e = np.asarray(e_d)
+        r = np.asarray(r_d)
         neval += nb * 61
-        for c in e:
-            total += float(c)
+        for i in range(nb):
+            ci, ri = float(e[i]), float(r[i])
+            if ri > 0.05 * epsabs:
+                # rough cycle (feature inside the half-period): integrate
+                # it ADAPTIVELY like QUADPACK's per-cycle QAGS -- one
+                # non-adaptive GK61 with its error thrown away reported
+                # errorest 1e-17 against a true error of 8e-3 on a peaked
+                # cycle (review repro)
+                lo_i = float(a) + (k0 + i) * period
+                sub = _qag_pool(g, np.array([lo_i, lo_i + period]),
+                                0.0, max(0.01 * epsabs, 1e-300),
+                                1 << 12, 30)
+                ci, ri = sub.estimate, sub.errorest
+                neval += sub.neval
+            quad_err += ri
+            total += ci
             sums.append(total)
         if len(sums) >= 6:
             best, err = _wynn_epsilon(sums)
+            err = err + quad_err      # series residual + quadrature error
             if math.isfinite(best) and err <= epsabs:
                 return IntegrationResult(
                     estimate=best, errorest=err, nregions=len(sums),
                     neval=neval, status=0)
         k0 += nb
     best, err = _wynn_epsilon(sums)
+    err = err + quad_err
     return IntegrationResult(estimate=best, errorest=err,
                              nregions=len(sums), neval=neval,
                              status=0 if err <= epsabs else 1)

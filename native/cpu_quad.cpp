@@ -309,7 +309,9 @@ int quad_cuhre(quad_integrand f, void* userdata, int ndim,
                double epsabs, long long max_evals, double* out_estimate,
                double* out_errorest, long long* out_nregions,
                int* out_status) {
-  if (ndim < 2 || ndim > 32) return -1;
+  // cap matches quad_rule_feval: the corner orbit has 2^ndim points
+  // (ndim 25 already needs ~7 GB of coordinates; 31 overflows int)
+  if (ndim < 2 || ndim > 20) return -1;
   const Rule rule = build_rule(ndim);
   std::vector<double> glo(lows, lows + ndim);
   std::vector<double> grange(ndim);
@@ -469,7 +471,9 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
       schi += wgt * ti * ti;
       swgt += wgt;
       tgral = si / swgt;
-      chi2a = std::max((schi - si * tgral) / (it - 0.9999), 0.0);
+      // dof = accumulated iterations only (the NR formula assumes no
+      // skip window; see gpuintegration_tpu/mcubes/vegas.py note)
+      chi2a = std::max((schi - si * tgral) / (it - skip_iters - 0.9999), 0.0);
       sd = std::sqrt(1.0 / swgt);
       const bool ok = (std::fabs(sd / tgral) <= epsrel) || (sd <= epsabs);
       status = (ok && it >= 5) ? 0 : 1;
@@ -488,7 +492,14 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
         }
         sm[kBins - 1] = (row[kBins - 2] + row[kBins - 1]) / 2.0;
         dt += sm[kBins - 1];
-        if (dt <= 0.0) continue;
+        if (dt <= 0.0) continue;  // all-zero dim keeps its edges
+        // NR's TINY floor: zero-mass bins keep a small rebin weight, or
+        // every edge collapses into an early narrow peak's bins
+        dt = 0.0;
+        for (int b = 0; b < kBins; ++b) {
+          sm[b] = std::max(sm[b], 1e-30);
+          dt += sm[b];
+        }
         std::vector<double> r(kBins, 0.0);
         double rc = 0.0;
         for (int b = 0; b < kBins; ++b) {

@@ -144,3 +144,49 @@ class TestFourier:
     def test_qawf_zero_omega_raises(self):
         with pytest.raises(ValueError):
             qawf(lambda x: x, 0.0, omega=0.0)
+
+
+class TestErrorHonesty:
+    """Reported errors must cover the truth (review regressions)."""
+
+    def test_qawf_peaked_cycle_not_confidently_wrong(self):
+        """A sharp feature inside one half-cycle: the old code ran one
+        non-adaptive GK61 and THREW AWAY its error, reporting 4e-17
+        against a true error of 8e-3."""
+        from gpuintegration_tpu.ops.quad1d import qawf
+
+        def f(x):
+            return 1.0 / (1.0 + (50.0 * (x - 4.0)) ** 2) * jnp.exp(-0.05 * x)
+
+        r = qawf(f, 0.0, 1.0, "sin", epsabs=1e-8)
+        # verified against qag over [0, 400] at epsrel 1e-13 (this repo)
+        truth = -0.03810737676239791
+        assert abs(r.estimate - truth) <= max(10 * r.errorest, 1e-10), (
+            r.estimate, r.errorest)
+
+    def test_gk_roundoff_floor(self):
+        """Large-magnitude cancelling integrand: the error can never be
+        reported below the f64 roundoff of |f| (QUADPACK 50*eps*resabs)."""
+        from gpuintegration_tpu.ops.quad1d import _eval_gk
+        import numpy as np
+        lo = jnp.asarray([0.0])
+        ln = jnp.asarray([2.0 * np.pi])
+        e, r = _eval_gk(lambda x: 1e16 * jnp.cos(x), lo, ln, 30)
+        # true integral 0; resabs ~ 4e16 -> floor ~ 4.4e2
+        assert float(r[0]) >= 50 * np.finfo(np.float64).eps * 1e16
+
+    def test_poly_map_stays_in_unit_cube(self):
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        from gpuintegration_tpu.mcubes.poly_importance import (
+            eval_map_and_weight, fit_importance_poly)
+        rng = np.random.RandomState(0)
+        d = rng.rand(2, 500) ** 4
+        xi = vgrid.smooth_and_refine(np.asarray(vgrid.uniform_grid(2, 500)),
+                                     d)
+        pc, qc = fit_importance_poly(xi, 14)
+        s = jnp.asarray(np.linspace(0.0, 1.0, 4001)[:, None]
+                        * np.ones((1, 2)), jnp.float32)
+        coords, _ = eval_map_and_weight(
+            jnp.asarray(pc, jnp.float32), jnp.asarray(qc, jnp.float32), s)
+        assert float(jnp.min(coords)) >= 0.0
+        assert float(jnp.max(coords)) <= 1.0

@@ -138,6 +138,18 @@ class TestGrid:
         np.testing.assert_allclose(out[:, -1], 1.0)
         assert np.all(np.diff(out, axis=1) > -1e-14)
 
+    def test_narrow_peak_keeps_outside_resolution(self):
+        """NR's TINY floor: a histogram concentrated in 3 of 500 bins
+        must NOT collapse every edge into the hot zone -- zero-mass bins
+        keep a floor weight so the rest of the domain retains resolution
+        (a second mode found later would otherwise be unrecoverable)."""
+        xi = np.asarray(vgrid.uniform_grid(1, 500))
+        d = np.zeros((1, 500))
+        d[0, 200:203] = 1.0
+        out = vgrid.smooth_and_refine(xi, d)
+        frac_outside = np.mean((out[0] < 0.39) | (out[0] > 0.42))
+        assert frac_outside > 0.2, frac_outside
+
     def test_zero_mass_dim_keeps_grid(self):
         xi = np.asarray(vgrid.uniform_grid(2, 30))
         d = np.zeros((2, 30))
