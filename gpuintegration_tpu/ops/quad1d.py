@@ -276,9 +276,16 @@ def cquad(integrand, a: float, b: float, epsrel: float = 1e-8,
     the same degree evaluate as one batch per round."""
     f = integrand
     span = float(b) - float(a)
+    nmax = _CQUAD_DEGREES[-1]
     lows = np.array([float(a)])
     lengths = np.array([span])
     level = np.array([0])               # index into _CQUAD_DEGREES
+    # CC nodes NEST: x_m[j] = x_{2m}[2j], so an interval's values live on
+    # the (nmax+1)-point master grid at stride nmax/m and an escalation
+    # only evaluates the m/2 NEW (odd-stride) nodes -- re-evaluating all
+    # m+1 cost ~2x the necessary integrand work per escalation
+    vcache = np.full((1, nmax + 1), np.nan)
+    fresh = np.array([True])            # no cached values yet
     fin_est = fin_err = 0.0
     neval = 0
     nregions = 1
@@ -288,23 +295,40 @@ def cquad(integrand, a: float, b: float, epsrel: float = 1e-8,
         ests = np.zeros(len(lows))
         errs = np.zeros(len(lows))
         for li, m in enumerate(_CQUAD_DEGREES):
-            sel = level == li
-            if not sel.any():
+            sel_mask = level == li
+            if not sel_mask.any():
                 continue
             x_cc, w_cc = cc_rule(m)
             # embedded rule: every other node of the m-rule is the m/2-rule
             _, w_half = cc_rule(m // 2)
             w_emb = np.zeros(m + 1)
             w_emb[::2] = w_half
-            mid = lows[sel, None] + 0.5 * lengths[sel, None]
-            half = 0.5 * lengths[sel, None]
-            x = jnp.asarray(mid + half * x_cc[None, :])
-            vals = np.asarray(f(x))
-            hi = (half[:, 0]) * (vals @ w_cc)
-            lo = (half[:, 0]) * (vals @ w_emb)
+            stride = nmax // m
+            pos = np.arange(0, nmax + 1, stride)
+            sel = np.flatnonzero(sel_mask)
+            fresh_sel = sel[fresh[sel]]
+            esc_sel = sel[~fresh[sel]]
+            if fresh_sel.size:
+                mid = lows[fresh_sel, None] + 0.5 * lengths[fresh_sel, None]
+                half = 0.5 * lengths[fresh_sel, None]
+                vals = np.asarray(f(jnp.asarray(mid + half * x_cc[None, :])))
+                vcache[np.ix_(fresh_sel, pos)] = vals
+                neval += fresh_sel.size * (m + 1)
+            if esc_sel.size:
+                new_nodes = x_cc[1::2]          # odd-indexed: not cached
+                mid = lows[esc_sel, None] + 0.5 * lengths[esc_sel, None]
+                half = 0.5 * lengths[esc_sel, None]
+                vals_new = np.asarray(
+                    f(jnp.asarray(mid + half * new_nodes[None, :])))
+                vcache[np.ix_(esc_sel, pos[1::2])] = vals_new
+                neval += esc_sel.size * (m // 2)
+            vals_all = vcache[np.ix_(sel, pos)]
+            half1 = 0.5 * lengths[sel]
+            hi = half1 * (vals_all @ w_cc)
+            lo = half1 * (vals_all @ w_emb)
             ests[sel] = hi
             errs[sel] = np.abs(hi - lo)
-            neval += int(sel.sum()) * (m + 1)
+        fresh[:] = False                 # everything evaluated is cached
         est = fin_est + float(ests.sum())
         err = fin_err + float(errs.sum())
         tol = max(epsrel * abs(est), epsabs)
@@ -315,8 +339,8 @@ def cquad(integrand, a: float, b: float, epsrel: float = 1e-8,
         done = errs <= share
         fin_est += float(ests[done].sum())
         fin_err += float(errs[done].sum())
-        lows, lengths, level, errs = (
-            z[~done] for z in (lows, lengths, level, errs))
+        lows, lengths, level, errs, vcache, fresh = (
+            z[~done] for z in (lows, lengths, level, errs, vcache, fresh))
         if len(lows) == 0:
             break
         can_escalate = level < len(_CQUAD_DEGREES) - 1
@@ -331,9 +355,13 @@ def cquad(integrand, a: float, b: float, epsrel: float = 1e-8,
                                    lows[split] + half])
             lengths = np.concatenate([lengths[~split], half, half])
             # children restart at the base degree (their halves are
-            # smoother); escalating survivors keep their bumped level
+            # smoother) with empty caches; escalating survivors keep
+            # their bumped level and cached values
             level = np.concatenate([level[~split],
                                     np.zeros(2 * k, dtype=int)])
+            vcache = np.concatenate(
+                [vcache[~split], np.full((2 * k, nmax + 1), np.nan)])
+            fresh = np.concatenate([fresh[~split], np.ones(2 * k, bool)])
             nregions += k
     return IntegrationResult(estimate=est, errorest=err,
                              nregions=nregions, neval=neval, status=status)

@@ -190,3 +190,22 @@ class TestErrorHonesty:
             jnp.asarray(pc, jnp.float32), jnp.asarray(qc, jnp.float32), s)
         assert float(jnp.min(coords)) >= 0.0
         assert float(jnp.max(coords)) <= 1.0
+
+
+def test_cquad_escalation_reuses_nested_nodes():
+    """CC nodes nest: a degree escalation evaluates only the m/2 NEW
+    nodes (regression: all m+1 were re-evaluated, ~2x the necessary
+    integrand work), and neval matches the actual evaluation count."""
+    from gpuintegration_tpu.ops.quad1d import cquad
+    calls = {"n": 0}
+
+    def f(x):
+        calls["n"] += int(np.prod(x.shape))
+        return jnp.cos(8.0 * x)     # escalates 8->16->32, never splits
+
+    r = cquad(f, 0.0, 1.0, epsrel=1e-10)
+    assert r.status == 0 and r.nregions == 1
+    assert calls["n"] == r.neval
+    # escalating 8->16->32 costs 9+8+16 = 33 evals; the non-nested
+    # version cost 9+17+33 = 59
+    assert r.neval == 33, r.neval
