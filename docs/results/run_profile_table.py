@@ -49,8 +49,8 @@ def main(out_path=None):
         (10, "float32", "pallas", (2, 3, 4)),
     ]
     with open(out_path, "w") as fh:
-        print("ndim,dtype,backend,splits_per_dim,regions,feval,best_s,"
-              "evals_per_sec", file=fh)
+        print("ndim,dtype,backend,splits_per_dim,regions,padded_capacity,"
+              "feval,best_s,evals_per_sec", file=fh)
         for ndim, dtype, backend, splits in configs:
             g = (gaussian_axes(ndim) if backend == "pallas"
                  else genz.f4_gaussian(ndim))
@@ -59,7 +59,8 @@ def main(out_path=None):
                 dtype=dtype, backend=backend)
             for r in rows:
                 print(f"{ndim},{dtype},{backend},{r['splits_per_dim']},"
-                      f"{r['regions']},{r['feval']},{r['best_s']:.6e},"
+                      f"{r['regions']},{r['padded_capacity']},"
+                      f"{r['feval']},{r['best_s']:.6e},"
                       f"{r['evals_per_sec']:.6e}", file=fh)
             fh.flush()
             best = max(r["evals_per_sec"] for r in rows)

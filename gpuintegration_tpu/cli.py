@@ -91,9 +91,13 @@ def main(argv=None):
     sp = sub.add_parser("ladder", parents=[common],
                         help="tighten epsrel until failure")
     sp.add_argument("--floor", type=float, default=1e-9)
-    sp = sub.add_parser("profile", parents=[common],
+    # profile is a pure throughput probe: no tolerances, no --runs (its
+    # repeat knob is --repeats) -- inheriting them silently ignored them
+    sp = sub.add_parser("profile",
                         help="rule-kernel throughput sweep "
                              "(call_cubature_rules analogue)")
+    sp.add_argument("--integrand", default="f4_gaussian")
+    sp.add_argument("--ndim", type=int, default=5)
     sp.add_argument("--splits", default="5:16")
     sp.add_argument("--repeats", type=int, default=11)
 
@@ -122,11 +126,15 @@ def main(argv=None):
             args.integrand, g, truth, sys.stdout, start=args.epsrel,
             floor=args.floor, ndim=ndim, runs_per_epsrel=args.runs,
             vol=vol, epsabs=args.epsabs)
+        if achieved is None:
+            print("# achieved epsrel: none (first rung failed)")
+            return 1
         print(f"# achieved epsrel: {achieved}")
         return 0
     if args.cmd == "profile":
         lo, hi = (int(t) for t in args.splits.split(":"))
-        print("splits_per_dim,regions,feval,best_s,evals_per_sec")
+        print("splits_per_dim,regions,padded_capacity,feval,best_s,"
+              "evals_per_sec")
         timing.call_cubature_rules(
             g, ndim, splits_per_dim=range(lo, hi), repeats=args.repeats,
             outfile=sys.stdout)

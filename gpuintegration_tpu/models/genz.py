@@ -27,12 +27,17 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class GenzIntegrand:
-    """A batched integrand together with its exact integral over [0,1]^n."""
+    """A batched integrand together with its exact integral over [0,1]^n.
+
+    ``truth_exact``: False when ``true_value`` is a high-accuracy numeric
+    estimate rather than a closed form (accuracy analyses below ~1e-6
+    relative must not treat such a truth as exact)."""
 
     name: str
     ndim: int
     f: Callable
     true_value: float
+    truth_exact: bool = True
 
     def __call__(self, x):
         return self.f(x)
@@ -90,7 +95,10 @@ def _c0_truth(a: float, b: float, ndim: int) -> float:
 def _discontinuous_truth(coeffs: np.ndarray, bounds: np.ndarray) -> float:
     total = 1.0
     for a, b in zip(coeffs, bounds):
-        total *= (math.exp(a * b) - 1.0) / a
+        # the integration domain is [0,1]: a bound past 1 contributes
+        # only up to 1 (the default b_i = (i+2)/10 exceeds 1 at ndim >=
+        # 9, where the unclamped formula overstated the truth 3.3x)
+        total *= (math.exp(a * min(b, 1.0)) - 1.0) / a
     return total
 
 

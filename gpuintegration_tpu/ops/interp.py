@@ -40,6 +40,21 @@ def _format_doubles(vals: np.ndarray) -> str:
     return " ".join(float(v).hex() for v in np.asarray(vals).ravel())
 
 
+def _ascending(knots, payloads, axis=0):
+    """Normalise a knot axis to ascending order at construction time
+    (searchsorted assumes ascending; a descending grid silently
+    extrapolated through the wrong cell).  Descending grids are flipped
+    with their payloads along ``axis``; non-monotone grids rejected."""
+    kn = np.asarray(knots)
+    d = np.diff(kn)
+    if (d > 0).all():
+        return knots, tuple(payloads)
+    if (d < 0).all():
+        return (knots[::-1],
+                tuple(jnp.flip(p, axis=axis) for p in payloads))
+    raise ValueError("knot grid must be strictly monotone")
+
+
 def _locate(knots: jax.Array, x: jax.Array) -> jax.Array:
     """Index i such that knots[i] <= x < knots[i+1], clamped to a valid
     cell; equivalent to the reference's shrinking IndexRange binary search
@@ -61,6 +76,7 @@ class Interp1D:
         zs = jnp.asarray(zs, jnp.float64)
         if xs.ndim != 1 or xs.shape != zs.shape:
             raise ValueError("Interp1D needs equal-length 1-D xs/zs")
+        xs, (zs,) = _ascending(xs, (zs,))
         self.xs = xs
         self.zs = zs
 
@@ -134,6 +150,8 @@ class Interp2D:
         zs = jnp.asarray(zs, jnp.float64)
         if zs.shape != (ys.shape[0], xs.shape[0]):
             raise ValueError(f"zs shape {zs.shape} != (len(ys), len(xs))")
+        xs, (zs,) = _ascending(xs, (zs,), axis=1)
+        ys, (zs,) = _ascending(ys, (zs,), axis=0)
         self.xs, self.ys, self.zs = xs, ys, zs
 
     def clamp(self, x, y):
@@ -190,6 +208,9 @@ class Interp3D:
         if vals.shape != (zs.shape[0], ys.shape[0], xs.shape[0]):
             raise ValueError(
                 f"vals shape {vals.shape} != (len(zs), len(ys), len(xs))")
+        xs, (vals,) = _ascending(xs, (vals,), axis=2)
+        ys, (vals,) = _ascending(ys, (vals,), axis=1)
+        zs, (vals,) = _ascending(zs, (vals,), axis=0)
         self.xs, self.ys, self.zs, self.vals = xs, ys, zs, vals
 
     def __call__(self, x, y, z):

@@ -174,31 +174,31 @@ def apply_cubature_rules_vector(
     reference's GPU layer itself lacks).
 
     Returns (estimates (ncomp,), per-region estimates (R, ncomp))."""
-    lows = jnp.asarray(lows, dtype)
-    lengths = jnp.asarray(lengths, dtype)
+    # delegate to the production vector rule path: dims-major pools,
+    # component-major outputs, per-orbit segment-sum contraction (the
+    # previous inline version materialized a region-major (R, P, ncomp)
+    # small-minor-axis intermediate and contracted with a per-point f64
+    # dot -- both banned by the pool-layout/contraction invariants)
+    lows = np.asarray(lows, np.dtype(jnp.dtype(dtype).name))
+    lengths = np.asarray(lengths, lows.dtype)
     if lows.shape[0] == ndim and lows.shape[1] != ndim:
-        lows = lows.T        # accept dims-major pools
-        lengths = lengths.T
+        lows, lengths = lows.T, lengths.T    # accept dims-major pools
     if vol is None:
         vol = Volume(ndim=ndim)
-    tables = rule_eval.rule_tables(ndim, jnp.dtype(dtype).name)
-    gl = jnp.asarray(vol.lows, dtype)
-    gr = jnp.asarray(vol.highs - vol.lows, dtype)
-
-    center = lows + 0.5 * lengths
-    x = (gl + (center[:, None, :]
-               - jnp.asarray(tables.gen)[None, :, :] * lengths[:, None, :])
-         * gr)                                           # (R, P, ndim)
-    jac = jnp.prod(gr)
-    vals = jnp.asarray(integrand(x), dtype) * jac        # (R, P, ncomp)
-    if vals.ndim != 3 or vals.shape[-1] != ncomp:
-        raise ValueError(f"integrand returned {vals.shape}, expected "
-                         f"(R, P, {ncomp})")
-    w0 = jnp.asarray(tables.wts[:, 0], dtype)
-    sums = jnp.einsum("rpk,p->rk", vals, w0)
-    reg_vol = jnp.prod(lengths, axis=1)
-    per_region = reg_vol[:, None] * sums                 # (R, ncomp)
-    return np.asarray(jnp.sum(per_region, axis=0)), np.asarray(per_region)
+    dt = jnp.dtype(dtype)
+    tables = rule_eval.rule_tables(ndim, dt.name)
+    gl = jnp.asarray(vol.lows, dt)
+    gr = jnp.asarray(np.asarray(vol.highs) - np.asarray(vol.lows), dt)
+    probe = jax.eval_shape(integrand,
+                           jax.ShapeDtypeStruct((3, ndim), dt))
+    if len(probe.shape) != 2 or probe.shape[-1] != ncomp:
+        raise ValueError(f"integrand returns {probe.shape}, expected "
+                         f"(..., {ncomp})")
+    est, _, _ = rule_eval.apply_rule(
+        integrand, tables, jnp.asarray(lows.T), jnp.asarray(lengths.T),
+        gl, gr, ncomp=ncomp)                             # (ncomp, R)
+    per_region = np.asarray(est).T                       # (R, ncomp)
+    return per_region.sum(axis=0), per_region
 
 
 def capture_func_evals(

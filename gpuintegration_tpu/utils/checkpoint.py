@@ -50,7 +50,14 @@ class PaganiCheckpoint:
         return (self.estimate, self.errorest, self.nregions, self.iters,
                 self.neval)
 
+    @staticmethod
+    def _norm(path: str) -> str:
+        # np.savez appends .npz on save but np.load does NOT on load --
+        # normalise here so save('/x/ck') / load('/x/ck') round-trips
+        return path if str(path).endswith(".npz") else str(path) + ".npz"
+
     def save(self, path: str):
+        path = self._norm(path)
         extra = {}
         if self.region_errorests is not None:
             extra = dict(region_estimates=self.region_estimates,
@@ -62,7 +69,7 @@ class PaganiCheckpoint:
 
     @classmethod
     def load(cls, path: str) -> "PaganiCheckpoint":
-        z = np.load(path)
+        z = np.load(cls._norm(path))
         return cls(lows=z["lows"], lengths=z["lengths"],
                    estimate=float(z["estimate"]),
                    errorest=float(z["errorest"]),
@@ -75,11 +82,19 @@ class PaganiCheckpoint:
 
 
 def save_vegas_state(state: VegasState, path: str):
+    path = PaganiCheckpoint._norm(path)
     np.savez(path, xi=np.asarray(state.xi), si=state.si, swgt=state.swgt,
-             schi=state.schi)
+             schi=state.schi, it0=getattr(state, "it0", 0))
 
 
 def load_vegas_state(path: str) -> VegasState:
-    z = np.load(path)
-    return VegasState(xi=jnp.asarray(z["xi"]), si=float(z["si"]),
-                      swgt=float(z["swgt"]), schi=float(z["schi"]))
+    z = np.load(PaganiCheckpoint._norm(path))
+
+    def scal(v):
+        # vector-integrand states carry (ncomp,) accumulators
+        a = np.asarray(v)
+        return a if a.ndim else float(a)
+
+    return VegasState(xi=jnp.asarray(z["xi"]), si=scal(z["si"]),
+                      swgt=scal(z["swgt"]), schi=scal(z["schi"]),
+                      it0=int(z["it0"]) if "it0" in z else 0)

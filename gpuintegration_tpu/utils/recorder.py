@@ -59,8 +59,12 @@ def dump_regions_csv(lows, lengths, n: int, outfile: IO,
     (reference: cuda/pagani/quad/quad.h:78-152), for offline analysis of
     how the adaptive subdivision distributed regions.  ``blocked`` selects
     the post-split block layout (real regions fill the first n/2 slots of
-    each static pool half -- region_pool.block_mask); a Workspace's final
-    pool is ``(lows, lengths, n, blocked) = ws.final_pool``.
+    each static pool half -- region_pool.block_mask).
+
+    To dump a Workspace's live pool, prefer ``ws.make_checkpoint()`` and
+    dump ``ck.lows``/``ck.lengths`` -- it handles BOTH pool layouts
+    (single-chip ``(lows, lengths, n, blocked)`` and the mesh runs'
+    per-shard ``("mesh", ...)`` 6-tuple, whose keep indexing differs).
     """
     import numpy as np
     lo = np.asarray(lows)

@@ -88,12 +88,13 @@ def epsrel_ladder(
     ndim: int | None = None,
     runs_per_epsrel: int = 2,
     **kw,
-) -> float:
+) -> float | None:
     """Tighten epsrel by 5x until failure or the floor; returns the last
-    tolerance achieved (the reference demos' epsrel ladder pattern, e.g.
+    tolerance achieved, or None when even the first rung failed (the
+    reference demos' epsrel ladder pattern, e.g.
     cuda/pagani/demos/new_interface_Genz3_3D.cu)."""
     epsrel = start
-    achieved = float("inf")
+    achieved = None          # no rung achieved yet (never report inf)
     while epsrel >= floor:
         good = clean_time_and_call(
             id, integrand, epsrel, true_value, outfile, ndim=ndim,
@@ -142,7 +143,7 @@ def mcubes_time_and_call(
                f"{epsabs:.15e},{res.estimate:.15e},{res.errorest:.15e},"
                f"{res.chi_sq:.5f},{res.iters},{res.status},{dt_ms}")
         if outfile is not None:
-            print(row, file=outfile)
+            print(row, file=outfile, flush=True)  # survive interrupts
     return good
 
 
@@ -174,13 +175,15 @@ def call_cubature_rules(
         if dtype != "float32":
             raise ValueError("the Pallas rule backend is f32-only")
 
-        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size):
+        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size,
+                      n=None):
             return pallas_apply_rule(f_axes, ndim, lo_c, lengths, gl, gr)
     else:
-        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size):
+        def eval_rule(f_axes, tables, lo_c, lengths, gl, gr, chunk_size,
+                      n=None):
             return rule_eval.apply_rule(
                 f_axes, tables, lo_c, lengths, gl, gr,
-                chunk_size=chunk_size)
+                chunk_size=chunk_size, n=n)
     f, _ = make_integrand(integrand, ndim)
     if backend == "pallas":
         f = integrand   # scalar-per-axis callable goes to Mosaic directly
@@ -198,12 +201,18 @@ def call_cubature_rules(
         lows, lengths, _ = region_pool.uniform_split(ndim, s, cap, dt)
         chunk_size = chunk if cap > chunk else None
 
+        # dynamic-trip n: chunked sweeps skip all-padding chunks, so the
+        # measured work tracks the s^ndim REAL regions (the reference's
+        # probe has no padding at all, new_time_and_call.cuh:30-70)
+        n_dev = (jnp.asarray(n_regions, jnp.int32)
+                 if (chunk_size and backend != "pallas") else None)
+
         @jax.jit
-        def loop(lo0, lengths=lengths, chunk_size=chunk_size):
+        def loop(lo0, lengths=lengths, chunk_size=chunk_size, n_dev=n_dev):
             def body(i, carry):
                 lo_c, acc = carry
                 est, _, _ = eval_rule(f, tables, lo_c, lengths, gl, gr,
-                                      chunk_size)
+                                      chunk_size, n=n_dev)
                 total = jnp.sum(est)
                 # carried dependency defeats launch memoisation/overlap
                 return (lo_c + total * 1e-30, acc + total)
@@ -217,10 +226,17 @@ def call_cubature_rules(
             t0 = time.perf_counter()
             jax.block_until_ready(loop(lo_i))
             best = min(best, (time.perf_counter() - t0) / repeats)
-        evals = cap * feval
-        rec = {"splits_per_dim": s, "regions": cap, "feval": feval,
+        # throughput counts REAL regions: padded-slot evaluations are
+        # this design's overhead, not useful work (the old accounting
+        # reported the padded capacity as 'regions' -- 65x off at 3D
+        # splits=5 -- and inflated rates up to 1.25x vs the reference's
+        # unpadded probe)
+        evals = n_regions * feval
+        rec = {"splits_per_dim": s, "regions": n_regions,
+               "padded_capacity": cap, "feval": feval,
                "best_s": best, "evals_per_sec": evals / best}
         results.append(rec)
         if outfile is not None:
-            print(f"{s},{cap},{feval},{best},{evals / best}", file=outfile)
+            print(f"{s},{n_regions},{cap},{feval},{best},{evals / best}",
+                  file=outfile, flush=True)
     return results

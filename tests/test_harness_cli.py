@@ -4,6 +4,8 @@ import io
 
 import pytest
 
+import numpy as np
+import jax.numpy as jnp
 from gpuintegration_tpu import Workspace
 from gpuintegration_tpu.models import genz
 from gpuintegration_tpu.utils import timing
@@ -130,3 +132,78 @@ class TestDemoIntegrands:
                    "--runs", "1"])
         assert rc == 0
         assert capsys.readouterr().out.startswith(timing.PAGANI_CSV_HEADER)
+
+
+class TestModelTruths:
+    """Closed-form truths validated independently (review regressions)."""
+
+
+    def test_f6_truth_clamps_bounds_past_one(self):
+        """Default b_i = (i+2)/10 exceeds 1 at ndim >= 9; the truth must
+        integrate over [0,1], not to b_i (the unclamped formula was 3.3x
+        off at 10D).  Cross-check by direct MC inside the box."""
+        from gpuintegration_tpu.models import genz
+        g = genz.f6_discontinuous(10)
+        # independent numeric check: the integral factorizes per dim as
+        # int_0^min(b_i,1) exp(a_i x) dx -- evaluate by fine trapezoid
+        truth = 1.0
+        for i in range(10):
+            a_i, b_i = i + 3, min((i + 2) / 10.0, 1.0)
+            xs = np.linspace(0.0, b_i, 200_001)
+            truth *= np.trapezoid(np.exp(a_i * xs), xs)
+        assert abs(truth - g.true_value) < 1e-6 * abs(g.true_value), (
+            truth, g.true_value)
+        # and the integrand really is zero past the clamp
+        x_out = np.full((1, 10), 0.95)
+        assert float(np.asarray(g(jnp.asarray(x_out)))[0]) == 0.0
+
+    def test_box_published_and_dp_cross_check(self):
+        """(8,15)/(8,25) pin to the published constants; the even-s DP
+        recursion independently reproduces the published (8,22) value."""
+        from gpuintegration_tpu.models.misc import box_integral
+        assert box_integral(8, 15).true_value == 8879.851175413485
+        assert box_integral(8, 25).true_value == 14996089.096112404019
+        b22 = box_integral(8, 22)
+        assert b22.truth_exact
+        assert abs(b22.true_value - 1495369.283757217694) < 1e-6
+        assert not box_integral(6, 5).truth_exact  # numeric, flagged
+
+    def test_profile_counts_real_regions(self):
+        """call_cubature_rules reports s^ndim real regions, not the
+        padded capacity (65x inflation at 3D splits=5)."""
+        from gpuintegration_tpu.utils.timing import call_cubature_rules
+        rows = call_cubature_rules(
+            lambda x, y, z: x * y * z, 3, splits_per_dim=[5],
+            repeats=2, chunk=1024)
+        assert rows[0]["regions"] == 125
+        assert rows[0]["padded_capacity"] == 1024
+
+
+class TestCheckpointPaths:
+    def test_save_load_without_npz_suffix(self, tmp_path):
+        """np.savez appends .npz on save but load does not (round-trip
+        crashed for suffix-less paths)."""
+        from gpuintegration_tpu import Workspace
+        from gpuintegration_tpu.models import genz
+        from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        ws = Workspace(2, chunk_size=256)
+        ws.integrate(genz.f4_gaussian(2, a=8.0), epsrel=1e-10,
+                     epsabs=1e-40, max_iterations=3)
+        ck = ws.make_checkpoint()
+        p = str(tmp_path / "ck_no_suffix")
+        ck.save(p)
+        ck2 = PaganiCheckpoint.load(p)
+        np.testing.assert_array_equal(ck.lows, ck2.lows)
+        assert ck2.estimate == ck.estimate
+
+    def test_vegas_state_roundtrip_with_it0(self, tmp_path):
+        from gpuintegration_tpu.mcubes.vegas import VegasState
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        from gpuintegration_tpu.utils.checkpoint import (
+            load_vegas_state, save_vegas_state)
+        st = VegasState(xi=vgrid.uniform_grid(2, 32), si=1.5, swgt=2.5,
+                        schi=3.5, it0=7)
+        p = str(tmp_path / "vs")
+        save_vegas_state(st, p)
+        st2 = load_vegas_state(p)
+        assert st2.it0 == 7 and st2.si == 1.5

@@ -120,3 +120,21 @@ class TestStatefulIntegrand:
         assert len(leaves) == 2
         it2 = jax.tree_util.tree_unflatten(treedef, leaves)
         assert float(it2(0.5)) == pytest.approx(2.5)
+
+
+class TestMonotoneGrids:
+    def test_descending_grid_flipped(self):
+        """Descending knots silently interpolated through the wrong cell
+        (regression: Interp1D([4,2,1,0],[8,2,3,1])(3.0) returned -4.0)."""
+        from gpuintegration_tpu.ops.interp import Interp1D, Interp2D
+        it = Interp1D([4.0, 2.0, 1.0, 0.0], [8.0, 2.0, 3.0, 1.0])
+        assert float(it(3.0)) == 5.0       # midpoint of (2,2)-(4,8)
+        it2 = Interp2D([1.0, 0.0], [0.0, 1.0],
+                       [[1.0, 2.0], [3.0, 4.0]])
+        # zs[y, x]: value at (x=0, y=0) is zs[0, x-index-of-0]=2.0
+        assert float(it2(0.0, 0.0)) == 2.0
+
+    def test_non_monotone_rejected(self):
+        from gpuintegration_tpu.ops.interp import Interp1D
+        with pytest.raises(ValueError, match="monotone"):
+            Interp1D([0.0, 2.0, 1.0], [0.0, 1.0, 2.0])
