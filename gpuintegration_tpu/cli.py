@@ -91,6 +91,21 @@ def main(argv=None):
     sp = sub.add_parser("ladder", parents=[common],
                         help="tighten epsrel until failure")
     sp.add_argument("--floor", type=float, default=1e-9)
+    sp = sub.add_parser(
+        "scan", help="vmapped parameter scan (+ optional d/dtheta) on a "
+                     "frozen mesh -- one batched dispatch per scan "
+                     "(diff.fixed_mesh_integral; the reference re-runs "
+                     "demo executables per parameter)")
+    sp.add_argument("--integrand", default="f4_gaussian",
+                    choices=["f4_gaussian", "f2_product_peak", "f5_c0"])
+    sp.add_argument("--ndim", type=int, default=5)
+    sp.add_argument("--values", default="1:9:17",
+                    help="theta grid lo:hi:count (the family's 'a')")
+    sp.add_argument("--partitions", type=int, default=4,
+                    help="uniform mesh partitions per axis")
+    sp.add_argument("--grad", action="store_true",
+                    help="also print dI/da per row")
+
     # profile is a pure throughput probe: no tolerances, no --runs (its
     # repeat knob is --repeats) -- inheriting them silently ignored them
     sp = sub.add_parser("profile",
@@ -130,6 +145,33 @@ def main(argv=None):
             print("# achieved epsrel: none (first rung failed)")
             return 1
         print(f"# achieved epsrel: {achieved}")
+        return 0
+    if args.cmd == "scan":
+        import jax
+        import jax.numpy as jnp
+        from gpuintegration_tpu.diff import fixed_mesh_integral
+        fams = {
+            "f4_gaussian": lambda x, a: jnp.exp(
+                -(a * a) * jnp.sum((x - 0.5) ** 2, axis=-1)),
+            "f2_product_peak": lambda x, a: 1.0 / jnp.prod(
+                1.0 / (a * a) + (x - 0.5) ** 2, axis=-1),
+            "f5_c0": lambda x, a: jnp.exp(
+                -a * jnp.sum(jnp.abs(x - 0.5), axis=-1)),
+        }
+        lo_s, hi_s, cnt_s = args.values.split(":")
+        thetas = jnp.linspace(float(lo_s), float(hi_s), int(cnt_s))
+        est_fn = fixed_mesh_integral(fams[args.integrand], args.ndim,
+                                     partitions_per_axis=args.partitions)
+        ests, errs = jax.vmap(est_fn)(thetas)    # whole scan: ONE dispatch
+        grads = (jax.vmap(jax.grad(lambda a: est_fn(a)[0]))(thetas)
+                 if args.grad else None)
+        print("a,estimate,errorest" + (",dI_da" if args.grad else ""))
+        for i in range(len(thetas)):
+            row = (f"{float(thetas[i]):.6g},{float(ests[i]):.17e},"
+                   f"{float(errs[i]):.3e}")
+            if grads is not None:
+                row += f",{float(grads[i]):.10e}"
+            print(row, flush=True)
         return 0
     if args.cmd == "profile":
         lo, hi = (int(t) for t in args.splits.split(":"))

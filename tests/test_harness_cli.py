@@ -207,3 +207,26 @@ class TestCheckpointPaths:
         save_vegas_state(st, p)
         st2 = load_vegas_state(p)
         assert st2.it0 == 7 and st2.si == 1.5
+
+
+def test_cli_scan_matches_truth_and_grad(capsys):
+    """scan: vmapped frozen-mesh parameter scan; estimates match the
+    Gaussian closed form and dI/da matches its derivative."""
+    import math
+    from gpuintegration_tpu.cli import main
+    rc = main(["scan", "--integrand", "f4_gaussian", "--ndim", "2",
+               "--values", "2:4:2", "--partitions", "6", "--grad"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "a,estimate,errorest,dI_da"
+
+    def truth(a):
+        return (math.sqrt(math.pi) / a * math.erf(a / 2.0)) ** 2
+
+    h = 1e-6
+    for line in out[1:]:
+        a_s, est_s, _, g_s = line.split(",")
+        a = float(a_s)
+        assert abs(float(est_s) - truth(a)) < 1e-6 * truth(a)
+        d = (truth(a + h) - truth(a - h)) / (2 * h)
+        assert abs(float(g_s) - d) < 1e-4 * abs(d)
