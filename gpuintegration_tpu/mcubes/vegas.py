@@ -646,6 +646,9 @@ class VegasState:
     swgt: float = 0.0
     schi: float = 0.0
     it0: int = 0
+    # iterations actually ACCUMULATED into si/swgt/schi across segments
+    # (skip windows excluded): the chi^2/dof denominator on resume
+    n_acc: int = 0
 
 
 def vegas(
@@ -755,6 +758,7 @@ def vegas(
         schi = np.zeros(ncomp)
 
     it_offset = int(getattr(st, "it0", 0))
+    acc_prior = int(getattr(st, "n_acc", 0))
     base_key = jax.random.PRNGKey(seed)
     if it_offset:
         # fresh stream family per resume segment (see VegasState.it0)
@@ -825,7 +829,8 @@ def vegas(
                 # understating chi^2/dof ~(it-1)/(it-skip-1)-fold
                 chi2a = np.maximum(
                     (schi - si * tgral)
-                    / (it - 1 - skip_iters - 0.9999), 0.0)
+                    / max(acc_prior + it - 1 - skip_iters - 0.9999,
+                          1e-4), 0.0)
             res.status = 0 if converged else 1
 
     while it <= total_iters and res.status == 1:
@@ -878,7 +883,8 @@ def vegas(
                 # block's note)
                 chi2a = np.maximum(
                     (schi - si * tgral)
-                    / (it - 1 - skip_iters - 0.9999), 0.0)
+                    / max(acc_prior + it - 1 - skip_iters - 0.9999,
+                          1e-4), 0.0)
             res.status = 0 if converged else 1
             break
 
@@ -929,7 +935,8 @@ def vegas(
             # dof excludes the skip window (vegasT.cuh:859 divides by
             # it - 0.9999 while accumulating only when it > skip)
             chi2a = np.maximum(
-                (schi - si * tgral) / (it - skip_iters - 0.9999), 0.0)
+                (schi - si * tgral)
+                / max(acc_prior + it - skip_iters - 0.9999, 1e-4), 0.0)
             sd = np.sqrt(1.0 / swgt)
             res.status = _all_pass(tgral, sd, it)
         if debug_logger is not None:
@@ -954,6 +961,7 @@ def vegas(
         res.chi_sq = float(np.max(chi2a))
     st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
     st.it0 = it_offset + res.iters
+    st.n_acc = acc_prior + max(res.iters - skip_iters, 0)
     res.lastPhase = 1 if it > adjust_iters else 0
     return res
 

@@ -506,9 +506,15 @@ def qawf(integrand, a: float, omega: float, sin_or_cos: str = "sin",
         e = np.asarray(e_d)
         r = np.asarray(r_d)
         neval += nb * 61
+        # per-cycle error budget: with up to max_cycles cycles summed
+        # into quad_err, a per-cycle trigger at a FIXED fraction of
+        # epsabs would let quad_err alone exceed epsabs (64 cycles x
+        # 0.05 = 3.2x), making the certificate unreachable by
+        # construction
+        cycle_tol = 0.25 * epsabs / max_cycles
         for i in range(nb):
             ci, ri = float(e[i]), float(r[i])
-            if ri > 0.05 * epsabs:
+            if ri > cycle_tol:
                 # rough cycle (feature inside the half-period): integrate
                 # it ADAPTIVELY like QUADPACK's per-cycle QAGS -- one
                 # non-adaptive GK61 with its error thrown away reported
@@ -516,7 +522,7 @@ def qawf(integrand, a: float, omega: float, sin_or_cos: str = "sin",
                 # cycle (review repro)
                 lo_i = float(a) + (k0 + i) * period
                 sub = _qag_pool(g, np.array([lo_i, lo_i + period]),
-                                0.0, max(0.01 * epsabs, 1e-300),
+                                0.0, max(0.5 * cycle_tol, 1e-300),
                                 1 << 12, 30)
                 ci, ri = sub.estimate, sub.errorest
                 neval += sub.neval

@@ -41,11 +41,16 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     sm = (left + hist + right) / 3.0
     sm = sm.at[..., 0].set((hist[..., 0] + hist[..., 1]) / 2.0)
     sm = sm.at[..., -1].set((hist[..., -2] + hist[..., -1]) / 2.0)
-    dt = jnp.sum(sm, axis=-1, keepdims=True)
-    frac = sm / jnp.where(dt > 0, dt, 1.0)
+    dt = jnp.sum(sm, axis=-1, keepdims=True)   # raw: gates keep-edges
+    # NR's TINY floor (same fix as grid.smooth_and_refine): zero-mass
+    # bins keep a small rebin weight or a narrow early peak collapses
+    # every edge into its own bins -- the device path must match the
+    # host refiner's behavior on the same histogram
+    sm = jnp.maximum(sm, 1e-30)
+    dts = jnp.sum(sm, axis=-1, keepdims=True)
+    frac = sm / dts
     safe = jnp.clip(frac, 1e-30, 1.0)
-    r = jnp.where(frac > 0,
-                  ((1.0 - frac) / (-jnp.log(safe))) ** 1.5, 0.0)
+    r = ((1.0 - frac) / (-jnp.log(safe))) ** 1.5
 
     cum = jnp.cumsum(r, axis=-1)                       # (R, ndim, nb)
     total = cum[..., -1:]

@@ -84,7 +84,8 @@ class PaganiCheckpoint:
 def save_vegas_state(state: VegasState, path: str):
     path = PaganiCheckpoint._norm(path)
     np.savez(path, xi=np.asarray(state.xi), si=state.si, swgt=state.swgt,
-             schi=state.schi, it0=getattr(state, "it0", 0))
+             schi=state.schi, it0=getattr(state, "it0", 0),
+             n_acc=getattr(state, "n_acc", 0))
 
 
 def load_vegas_state(path: str) -> VegasState:
@@ -97,4 +98,5 @@ def load_vegas_state(path: str) -> VegasState:
 
     return VegasState(xi=jnp.asarray(z["xi"]), si=scal(z["si"]),
                       swgt=scal(z["swgt"]), schi=scal(z["schi"]),
-                      it0=int(z["it0"]) if "it0" in z else 0)
+                      it0=int(z["it0"]) if "it0" in z else 0,
+                      n_acc=int(z["n_acc"]) if "n_acc" in z else 0)

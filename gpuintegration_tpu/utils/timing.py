@@ -197,7 +197,11 @@ def call_cubature_rules(
         n_regions = s ** ndim
         if n_regions > max_regions:
             continue
-        cap = max(region_pool.next_pow2(n_regions), chunk)
+        # minimal padding (next pow2, floored at the Pallas tile of 128):
+        # flooring at the chunk size inflated unchunked pools up to 65x
+        # while the rate credited only real regions -- rows across the
+        # chunked/unchunked boundary were not comparable
+        cap = max(region_pool.next_pow2(n_regions), 128)
         lows, lengths, _ = region_pool.uniform_split(ndim, s, cap, dt)
         chunk_size = chunk if cap > chunk else None
 

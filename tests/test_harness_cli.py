@@ -176,7 +176,9 @@ class TestModelTruths:
             lambda x, y, z: x * y * z, 3, splits_per_dim=[5],
             repeats=2, chunk=1024)
         assert rows[0]["regions"] == 125
-        assert rows[0]["padded_capacity"] == 1024
+        # minimal padding: next pow2 floored at the 128 Pallas tile (the
+        # old chunk floor evaluated 1024 slots for 125 real regions)
+        assert rows[0]["padded_capacity"] == 128
 
 
 class TestCheckpointPaths:

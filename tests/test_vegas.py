@@ -370,6 +370,28 @@ class TestStateResume:
         sd = (1.0 / float(np.asarray(st.swgt))) ** 0.5
         assert abs(est - g.true_value) < 6 * sd
 
+    def test_resume_chi2_counts_all_segments(self):
+        """chi2/dof on a resumed run divides by the iterations
+        accumulated across ALL segments (regression: only the current
+        segment's count was used, inflating chi2 ~2x after one resume;
+        a no-accumulation segment even hit a negative denominator)."""
+        from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        g = genz.f4_gaussian(3, a=3.0)
+        kw = dict(epsrel=0.0, epsabs=0.0, ncall=2e4, seed=9,
+                  adjust_iters=0, skip_iters=0, nbins=64)
+        st = VegasState(xi=vgrid.uniform_grid(3, 64))
+        vegas(g, total_iters=4, state=st, **kw)
+        r2 = vegas(g, total_iters=4, state=st, **kw)
+        assert st.n_acc == 8
+        # independent chi2 over all 8 accumulated iterations (NR
+        # divisor: n_accumulated - 0.9999) from the state's accumulators
+        si, swgt, schi = (float(np.asarray(v))
+                          for v in (st.si, st.swgt, st.schi))
+        expect = max((schi - si * (si / swgt)) / (8 - 0.9999), 0.0)
+        assert r2.chi_sq == pytest.approx(expect, rel=1e-10), (
+            r2.chi_sq, expect)
+
     def test_resume_deterministic(self):
         from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
         from gpuintegration_tpu.mcubes import grid as vgrid
