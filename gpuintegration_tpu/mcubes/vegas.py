@@ -71,23 +71,46 @@ def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
 def _onehot_hist(ia, f2, nbins: int):
     """(ndim, nbins) histogram of f2 over per-dim bin ids, scatter-free.
 
-    ia: (C, npg, ndim) int32 bin ids in [0, nbins); f2: (C, npg) values.
+    ia: (C, npg, ndim) -- or dims-major (ndim, N) -- int32 bin ids in
+    [0, nbins); f2: (C, npg) values (flattened sample order matches the
+    dims-major columns: n = cube * npg + sample).
     One (1, N) @ (N, nbins) one-hot contraction per dimension rides the
     MXU; dynamic scatters (segment_sum) serialize on TPU (measured 3.7x
     slower; a coarse x fine factored two-one-hot variant measured no
     faster than this).
     """
-    ndim = ia.shape[-1]
+    dims_major = ia.ndim == 2
+    ndim = ia.shape[0] if dims_major else ia.shape[-1]
     f2f = f2.astype(jnp.float32).reshape(-1)
     bins = jnp.arange(nbins, dtype=jnp.int32)
     rows = []
     for dim in range(ndim):
-        oh = (ia[..., dim].reshape(-1)[:, None]
-              == bins[None, :]).astype(jnp.float32)
+        col = ia[dim] if dims_major else ia[..., dim].reshape(-1)
+        oh = (col[:, None] == bins[None, :]).astype(jnp.float32)
         # HIGHEST: keep full f32 mass (default matmul truncates to bf16)
         rows.append(jnp.matmul(f2f, oh,
                                precision=jax.lax.Precision.HIGHEST))
     return jnp.stack(rows)
+
+
+def _use_pallas_lookup() -> bool:
+    """Trace-time gate for the Pallas VMEM bin resolve: TPU backend only
+    (Mosaic), overridable both ways for debugging/tests.  The kernel's
+    edge/xo/ia outputs are bitwise-equal to the XLA branch (exact
+    one-hot selections of the same f32 table); rc agrees to <= 2 ulp
+    (FMA fusion differs between layouts) and the downstream
+    importance-weight product reassociates (dims-major running product
+    vs an axis reduce) -- all far inside Monte-Carlo noise (tested in
+    tests/test_pallas_lookup.py).  Both
+    the host loop and the fused frozen phase trace through this same
+    gate, so the two stay bit-equivalent on any one backend (the
+    invariant that matters)."""
+    import os
+    if os.environ.get("GPUINT_TPU_NO_PALLAS_LOOKUP"):
+        return False
+    if os.environ.get("GPUINT_TPU_FORCE_PALLAS_LOOKUP"):
+        return True   # tests: exercise the kernel in interpret mode on CPU
+    return jax.default_backend() == "tpu"
 
 
 def _edge_lookup(xi32, ia, nbins: int):
@@ -219,24 +242,62 @@ def _vegas_iteration(
 
         # stratified + importance point (Setup_Integrand_Eval,
         # vegasT.cuh:188-235): xn in [1, nbins+1), bin ia, position inside.
-        xn = (kg[:, None, :].astype(f32) - ran) * dxg32 + 1.0
-        ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)   # (C, npg, ndim)
-        # Two-level scatter/gather-free bin-edge lookup (bitwise-identical
-        # to the direct (N, nbins+1) one-hot contraction this replaced --
-        # see _edge_lookup for the MXU arithmetic; the dynamic-gather
-        # version before either ran at ~170M lookups/s, serialized).
-        edge_lo, edge_hi = _edge_lookup(xi32, ia, nbins)  # (C, npg, ndim)
-        xo = edge_hi - edge_lo                          # bin width
-        rc = edge_lo + (xn - ia.astype(f32)) * xo
-        if ed == dtype:
-            x = (regn_lo + rc.astype(dtype) * dx)       # (C, npg, ndim)
-            wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
+        if _use_pallas_lookup():
+            # TPU fast path: the whole bin resolve (truncation to ia,
+            # two-level one-hot edge selection, rc/xo) runs dims-major in
+            # a VMEM-resident Pallas kernel (mcubes.pallas_lookup) with
+            # the exact arithmetic of the XLA branch below.  Dims-major
+            # matters twice over: every (C, npg, ndim) intermediate
+            # lane-pads ndim -> 128 on TPU when materialized (pool-layout
+            # invariant), and the XLA lookup's one-hot operands spill to
+            # HBM -- together they capped the grid path at ~50M samples/s.
+            from gpuintegration_tpu.mcubes.pallas_lookup import (
+                bin_resolve_pallas)
+            xn_t = ((kg.T[:, :, None].astype(f32)
+                     - jnp.moveaxis(ran, -1, 0)) * dxg32
+                    + 1.0).reshape(ndim, -1)            # (ndim, C*npg)
+            rc_t, xo_t, hist_ids = bin_resolve_pallas(
+                xi32, xn_t, nbins, with_ia=accumulate_hist,
+                interpret=jax.default_backend() != "tpu")
+            rc_rows = rc_t.reshape(ndim, chunk_cubes, npg)
+            xo_rows = xo_t.reshape(ndim, chunk_cubes, npg)
+            if ed == dtype:
+                x = jnp.stack(
+                    [regn_lo[dd] + rc_rows[dd].astype(dtype) * dx[dd]
+                     for dd in range(ndim)], axis=-1)   # (C, npg, ndim)
+                wgt = xjac
+                for dd in range(ndim):
+                    wgt = wgt * (xo_rows[dd] * xnd32).astype(dtype)
+            else:
+                x = jnp.stack(
+                    [regn_lo[dd].astype(ed)
+                     + rc_rows[dd].astype(ed) * dx[dd].astype(ed)
+                     for dd in range(ndim)], axis=-1)
+                w32 = xo_rows[0] * xnd32
+                for dd in range(1, ndim):
+                    w32 = w32 * (xo_rows[dd] * xnd32)
+                wgt = xjac * w32.astype(dtype)
         else:
-            # f32 eval path: point arithmetic and the importance-weight
-            # product stay in f32 (rc is f32-granular either way); only
-            # the per-cube/global accumulation below is in ``dtype``.
-            x = (regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed))
-            wgt = xjac * jnp.prod(xo * xnd32, axis=-1).astype(dtype)
+            xn = (kg[:, None, :].astype(f32) - ran) * dxg32 + 1.0
+            ia = jnp.clip(xn.astype(jnp.int32), 1, nbins)  # (C, npg, ndim)
+            # Two-level scatter/gather-free bin-edge lookup
+            # (bitwise-identical to the direct (N, nbins+1) one-hot
+            # contraction this replaced -- see _edge_lookup for the MXU
+            # arithmetic; the dynamic-gather version before either ran at
+            # ~170M lookups/s, serialized).
+            edge_lo, edge_hi = _edge_lookup(xi32, ia, nbins)
+            xo = edge_hi - edge_lo                      # bin width
+            rc = edge_lo + (xn - ia.astype(f32)) * xo
+            hist_ids = ia                               # (C, npg, ndim)
+            if ed == dtype:
+                x = (regn_lo + rc.astype(dtype) * dx)   # (C, npg, ndim)
+                wgt = xjac * jnp.prod((xo * xnd32).astype(dtype), axis=-1)
+            else:
+                # f32 eval path: point arithmetic and the importance-weight
+                # product stay in f32 (rc is f32-granular either way); only
+                # the per-cube/global accumulation below is in ``dtype``.
+                x = (regn_lo.astype(ed) + rc.astype(ed) * dx.astype(ed))
+                wgt = xjac * jnp.prod(xo * xnd32, axis=-1).astype(dtype)
 
         if ncomp == 1:
             fx = f(x).astype(dtype) * wgt               # (C, npg)
@@ -271,7 +332,7 @@ def _vegas_iteration(
             # bins (32 ms vs 120 ms per chunk).  The histogram only steers
             # grid adaptation, so f32 suffices.  Vector integrands adapt
             # on component 0 (CUBA semantics).
-            d = d + _onehot_hist(ia - 1,
+            d = d + _onehot_hist(hist_ids - 1,
                                  f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
