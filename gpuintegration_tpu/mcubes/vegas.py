@@ -729,7 +729,7 @@ def vegas(
     state: VegasState | None = None,
     nbins: int = vgrid.NDMX,
     debug_logger=None,
-    importance: str = "grid",
+    importance: str | None = None,
     poly_degree: int = 14,
     eval_dtype=None,
     refine: str = "host",
@@ -741,9 +741,15 @@ def vegas(
 
     ``importance``: 'grid' evaluates the importance map by table lookup
     (reference parity); 'poly' uses the gather-free polynomial inverse-CDF
-    (mcubes.poly_importance) -- typically >10x faster on TPU, identical
-    statistics (unbiased for any monotone map), marginally less optimal
-    variance on extremely peaked integrands.
+    (mcubes.poly_importance) -- identical statistics (unbiased for any
+    monotone map), marginally less optimal variance on extremely peaked
+    integrands.  Default (None) is AUTO: 'poly', the TPU-native map --
+    measured 139M vs 68M samples/s at 6D even after the grid path's
+    fused Pallas bin resolve (the table lookup is selection-bound on
+    hardware with no gather unit; see README "VEGAS importance") --
+    except when ``refine='device'`` requires the grid path.  Pass
+    'grid' explicitly for bin-level parity with the reference's NR
+    grid streams.
 
     ``eval_dtype``: dtype the integrand is EVALUATED in (default: same as
     ``dtype``).  ``eval_dtype=jnp.float32`` skips TPU f64 emulation in the
@@ -845,6 +851,10 @@ def vegas(
     it = 1
     if refine not in ("host", "device"):
         raise ValueError(f"refine {refine!r}: 'host' or 'device'")
+    if importance is None:
+        importance = "grid" if refine == "device" else "poly"
+    if importance not in ("grid", "poly"):
+        raise ValueError(f"importance {importance!r}: 'grid' or 'poly'")
     if refine == "device":
         if importance != "grid":
             raise ValueError("refine='device' requires importance='grid' "
