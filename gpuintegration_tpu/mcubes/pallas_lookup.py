@@ -186,3 +186,77 @@ def bin_resolve_pallas(xi32, xn_t, nbins: int, *, with_ia: bool = False,
         )(xn_p, tt)
     rc, xo = outs[0][:, :n], outs[1][:, :n]
     return rc, xo, (outs[2][:, :n] if with_ia else None)
+
+
+# ---------------------------------------------------------------------------
+# f^2 adaptation histogram (the atomicAdd d[] replacement, vegasT.cuh:309-313)
+
+_HBN = 2048      # samples per program for the histogram kernel
+_BC = 128        # bin chunk = one lane row of the accumulator
+
+
+def _make_hist_kernel(ndim: int, n_bc: int):
+    def kernel(ia_ref, f2_ref, out_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        f2 = f2_ref[0, :][None, :]                       # (1, HBN) f32
+        for d in range(ndim):
+            ia = ia_ref[d, :][None, :]                   # (1, HBN) i32
+            for h in range(n_bc):
+                bins = jax.lax.broadcasted_iota(
+                    jnp.int32, (_BC, _HBN), 0) + h * _BC
+                m = jnp.where(ia == bins, f2, 0.0)       # (BC, HBN)
+                out_ref[d * n_bc + h, :] = (
+                    out_ref[d * n_bc + h, :] + jnp.sum(m, axis=1))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "interpret"))
+def hist_pallas(ia, f2, nbins: int, *, interpret: bool = False):
+    """(ndim, nbins) f32 histogram of f2 over per-dim bin ids, VMEM-resident.
+
+    ia: (C, npg, ndim) or dims-major (ndim, N) int32 bin ids in
+    [0, nbins); f2: (C, npg) or (N,) values (flattened sample order
+    matches the dims-major columns, n = cube * npg + sample).  Same
+    contraction as vegas._onehot_hist, but the one-hot mask lives only
+    in VMEM as (128-bin, HBN-sample) compare chunks accumulated into a
+    resident (ndim*ceil(nbins/128), 128) block across the sample grid --
+    the XLA path materializes a (N, nbins) f32 one-hot in HBM (~2 kB per
+    sample at 500 bins), measured as ~7 ns/sample of the grid-adjustment
+    iteration time.  Reduction order differs from the XLA dot (per-block
+    partials vs one long contraction): the histogram is f32 and only
+    steers grid adaptation, so either is fine -- but the host loop and
+    the fused adjustment phase must trace through the SAME gate
+    (vegas._use_pallas_hist) to stay bit-equivalent per backend.
+    """
+    if ia.ndim == 3:                                     # (C, npg, ndim)
+        ia_t = jnp.moveaxis(ia, -1, 0).reshape(ia.shape[-1], -1)
+    else:                                                # (ndim, N)
+        ia_t = ia
+    ndim, n = ia_t.shape
+    n_bc = -(-nbins // _BC)
+    n_pad = -(-n // _HBN) * _HBN
+    ia_t = jnp.pad(ia_t.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
+    # padding lands in bin 0 with weight 0: contributes nothing
+    f2_t = jnp.pad(f2.astype(jnp.float32).reshape(1, -1),
+                   ((0, 0), (0, n_pad - n)))
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _make_hist_kernel(ndim, n_bc),
+            grid=(n_pad // _HBN,),
+            in_specs=[
+                pl.BlockSpec((ndim, _HBN), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _HBN), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ndim * n_bc, _BC), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ndim * n_bc, _BC), jnp.float32),
+            interpret=interpret,
+        )(ia_t, f2_t)
+    return out.reshape(ndim, n_bc * _BC)[:, :nbins]

@@ -93,6 +93,32 @@ def _onehot_hist(ia, f2, nbins: int):
     return jnp.stack(rows)
 
 
+def _use_pallas_hist() -> bool:
+    """Trace-time gate for the Pallas VMEM f^2 histogram (TPU only,
+    overridable both ways).  NOT bitwise-equal to _onehot_hist (per-block
+    partial sums vs one long f32 dot) -- the histogram is f32 and only
+    steers grid adaptation, and the host loop and the fused adjustment
+    phase trace through this same gate, so the two stay bit-equivalent
+    on any one backend (the invariant that matters)."""
+    import os
+    if os.environ.get("GPUINT_TPU_NO_PALLAS_HIST"):
+        return False
+    if os.environ.get("GPUINT_TPU_FORCE_PALLAS_HIST"):
+        return True   # tests: exercise the kernel in interpret mode on CPU
+    return jax.default_backend() == "tpu"
+
+
+def _hist(ia, f2, nbins: int):
+    """Dispatch the f^2 adaptation histogram to the VMEM Pallas kernel
+    (TPU: the XLA one-hot spills ~2 kB/sample of mask to HBM, measured
+    ~7 ns/sample of adjustment-iteration time) or the XLA contraction."""
+    if _use_pallas_hist():
+        from gpuintegration_tpu.mcubes.pallas_lookup import hist_pallas
+        return hist_pallas(ia, f2, nbins,
+                           interpret=jax.default_backend() != "tpu")
+    return _onehot_hist(ia, f2, nbins)
+
+
 def _use_pallas_lookup() -> bool:
     """Trace-time gate for the Pallas VMEM bin resolve: TPU backend only
     (Mosaic), overridable both ways for debugging/tests.  The kernel's
@@ -332,8 +358,8 @@ def _vegas_iteration(
             # bins (32 ms vs 120 ms per chunk).  The histogram only steers
             # grid adaptation, so f32 suffices.  Vector integrands adapt
             # on component 0 (CUBA semantics).
-            d = d + _onehot_hist(hist_ids - 1,
-                                 f2 if ncomp == 1 else f2[0], nbins)
+            d = d + _hist(hist_ids - 1,
+                          f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
@@ -424,8 +450,7 @@ def _vegas_iteration_poly(
 
         if accumulate_hist:
             ia = jnp.clip((s * nbins).astype(jnp.int32), 0, nbins - 1)
-            d = d + _onehot_hist(
-                ia, f2 if ncomp == 1 else f2[0], nbins)
+            d = d + _hist(ia, f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)

@@ -14,7 +14,7 @@ import pytest
 
 from gpuintegration_tpu.mcubes import vegas as V
 from gpuintegration_tpu.mcubes.pallas_lookup import (
-    bin_resolve_pallas, edge_lookup_pallas)
+    bin_resolve_pallas, edge_lookup_pallas, hist_pallas)
 
 
 def _random_grid(ndim, nbins, seed=0):
@@ -69,6 +69,52 @@ def test_bin_resolve_interpret_bitwise(ndim, nbins, with_ia):
             np.asarray(ids), np.moveaxis(np.asarray(ia)[0], -1, 0))
     else:
         assert ids is None
+
+
+@pytest.mark.parametrize("layout", ["dims_major", "cube_major"])
+@pytest.mark.parametrize("ndim,nbins", [(3, 500), (2, 37), (6, 128)])
+def test_hist_interpret_matches_xla(ndim, nbins, layout):
+    """The VMEM histogram reproduces the XLA one-hot contraction.  Not
+    bitwise (per-block partial sums vs one long f32 dot), but the f2
+    values are O(1) randoms so the f32 sums agree to a few ulp."""
+    rng = np.random.default_rng(3 + ndim)
+    C, npg = 11, 37                # C*npg = 407, not a multiple of _HBN
+    ia_np = rng.integers(0, nbins, (C, npg, ndim)).astype(np.int32)
+    f2_np = rng.random((C, npg)).astype(np.float32)
+    ref = np.asarray(V._onehot_hist(
+        jnp.asarray(ia_np), jnp.asarray(f2_np), nbins))
+    if layout == "dims_major":
+        ia = jnp.asarray(np.moveaxis(ia_np, -1, 0).reshape(ndim, -1))
+        f2 = jnp.asarray(f2_np.reshape(-1))
+    else:
+        ia, f2 = jnp.asarray(ia_np), jnp.asarray(f2_np)
+    out = np.asarray(hist_pallas(ia, f2, nbins, interpret=True))
+    assert out.shape == (ndim, nbins)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=0.0)
+    # total mass is exactly preserved modulo f32 reassociation
+    np.testing.assert_allclose(out.sum(axis=1), ref.sum(axis=1), rtol=1e-6)
+
+
+def test_vegas_forced_pallas_hist_matches_xla(monkeypatch):
+    """End-to-end: a forced-pallas-hist adjustment run stays within MC-noise
+    agreement of the XLA-hist run (the histogram only steers adaptation)."""
+    def f(x):
+        return jnp.exp(-jnp.sum((x - 0.5) ** 2, axis=-1) * 8.0)
+
+    kw = dict(ncall=2e4, ndim=3, total_iters=4, adjust_iters=4,
+              seed=11, epsrel=1e-9)
+    monkeypatch.delenv("GPUINT_TPU_FORCE_PALLAS_HIST", raising=False)
+    r_xla = V.vegas(f, **kw)
+    jax.clear_caches()
+    monkeypatch.setenv("GPUINT_TPU_FORCE_PALLAS_HIST", "1")
+    r_pal = V.vegas(f, **kw)
+    jax.clear_caches()
+
+    assert r_pal.neval == r_xla.neval
+    # the f32 hist differs by reassociation only; the rebinned grid and
+    # hence the estimates track to well inside the MC error
+    np.testing.assert_allclose(r_pal.estimate, r_xla.estimate, rtol=1e-5)
+    np.testing.assert_allclose(r_pal.errorest, r_xla.errorest, rtol=1e-3)
 
 
 def test_vegas_forced_pallas_matches_xla(monkeypatch):
