@@ -373,7 +373,8 @@ def _vegas_iteration(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "accumulate_hist", "dtype_name",
-                     "eval_dtype_name", "ncomp"))
+                     "eval_dtype_name", "ncomp", "sampler", "f_axes",
+                     "tile_a"))
 def _vegas_iteration_poly(
     f,
     ndim: int,
@@ -395,18 +396,57 @@ def _vegas_iteration_poly(
     *,
     eval_dtype_name: str | None = None,
     ncomp: int = 1,
+    sampler: str = "xla",
+    f_axes=None,
+    tile_a: int = 0,
 ):
     """Gather-free VEGAS iteration: polynomial inverse-CDF sampling
     (mcubes.poly_importance).  Same stratification, accumulators and
     histogram as _vegas_iteration; coordinates and weights come from
     Horner chains instead of grid lookups.  ``eval_dtype_name`` and
     ``chunk_offset`` (global-chunk PRNG streams for multi-chip) as in
-    _vegas_iteration."""
+    _vegas_iteration.
+
+    ``sampler='pallas'``: the whole chunk body (PRNG, stratified point
+    generation, Chebyshev map, integrand, per-cube variance) runs in the
+    fused VMEM kernel (mcubes.pallas_vegas) -- integrand evaluation is
+    f32 and the RNG is the core hardware PRNG (a different uniform
+    stream family than Threefry; unbiased either way).  Requires the
+    scalar-per-axis ``f_axes``; adaptation iterations route the kernel's
+    (ia, f2) pair through the shared _hist gate."""
     from gpuintegration_tpu.mcubes.poly_importance import (
         eval_map_and_weight)
     dtype = jnp.dtype(dtype_name)
     ed = jnp.dtype(eval_dtype_name) if eval_dtype_name else dtype
     f32 = jnp.float32
+
+    def chunk_body_pallas(c, carry):
+        from gpuintegration_tpu.mcubes.pallas_vegas import (
+            DEFAULT_A, poly_sample_chunk)
+        ti, tsi, d = carry
+        gc = chunk_offset + c
+        ck = jax.random.fold_in(key, gc)
+        a_rows = tile_a or DEFAULT_A
+        on_tpu = jax.default_backend() == "tpu"
+        bits = None
+        if not on_tpu:
+            # CPU/interpret: Mosaic's hardware PRNG has no lowering;
+            # inject Threefry bits (tests exercise the kernel this way)
+            n_tiles = -(-chunk_cubes // (a_rows * 128))
+            bits = jax.random.bits(
+                ck, (npg * ndim, n_tiles * a_rows, 128), jnp.uint32)
+        outs = poly_sample_chunk(
+            f_axes, ndim, ng, npg, chunk_cubes, nbins, accumulate_hist,
+            p_coeffs.astype(f32), q_coeffs.astype(f32),
+            regn_lo, dx, xjac, (gc * chunk_cubes).astype(jnp.int32),
+            ncubes.astype(jnp.int32), ck, bits,
+            tile_a=a_rows, interpret=not on_tpu)
+        acc = outs[0]
+        ti = ti + jnp.sum(acc[:, 0, :].astype(dtype))
+        tsi = tsi + jnp.sum(acc[:, 1, :].astype(dtype))
+        if accumulate_hist:
+            d = d + _hist(outs[1], outs[2], nbins)
+        return ti, tsi, d
 
     def chunk_body(c, carry):
         ti, tsi, d = carry
@@ -455,8 +495,9 @@ def _vegas_iteration_poly(
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
     ti0 = jnp.zeros(() if ncomp == 1 else (ncomp,), dtype)
+    body = chunk_body_pallas if sampler == "pallas" else chunk_body
     ti, tsi, d = jax.lax.fori_loop(
-        0, num_chunks, chunk_body, (ti0, ti0, d0))
+        0, num_chunks, body, (ti0, ti0, d0))
     return ti, tsi, d
 
 
@@ -464,7 +505,8 @@ def _vegas_iteration_poly(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "accumulate_hist", "dtype_name", "importance",
-                     "eval_dtype_name", "mesh", "ncomp"))
+                     "eval_dtype_name", "mesh", "ncomp", "sampler", "f_axes",
+                     "tile_a"))
 def _mesh_iteration(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, accumulate_hist: bool, dtype_name: str, importance: str,
@@ -473,6 +515,9 @@ def _mesh_iteration(
     *,
     eval_dtype_name: str | None = None,
     ncomp: int = 1,
+    sampler: str = "xla",
+    f_axes=None,
+    tile_a: int = 0,
 ):
     """One VEGAS iteration SPMD over the mesh: device i samples global
     chunks [i*num_chunks, (i+1)*num_chunks) and ti/tsi/d are all-reduced
@@ -491,7 +536,8 @@ def _mesh_iteration(
             ti, tsi, d = _vegas_iteration_poly.__wrapped__(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
                 accumulate_hist, dtype_name, key, a, b, rl, dxv, xj, nc,
-                off, eval_dtype_name=eval_dtype_name, ncomp=ncomp)
+                off, eval_dtype_name=eval_dtype_name, ncomp=ncomp,
+                sampler=sampler, f_axes=f_axes, tile_a=tile_a)
         else:
             ti, tsi, d = _vegas_iteration.__wrapped__(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
@@ -512,7 +558,8 @@ def _mesh_iteration(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
                      "nbins", "dtype_name", "importance", "total_iters",
-                     "skip_iters", "eval_dtype_name", "mesh", "ncomp"))
+                     "skip_iters", "eval_dtype_name", "mesh", "ncomp",
+                     "sampler", "f_axes", "tile_a"))
 def _frozen_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
     nbins: int, dtype_name: str, importance: str, total_iters: int,
@@ -524,6 +571,9 @@ def _frozen_phase(
     eval_dtype_name: str | None = None,
     mesh=None,
     ncomp: int = 1,
+    sampler: str = "xla",
+    f_axes=None,
+    tile_a: int = 0,
 ):
     """ALL remaining frozen-grid iterations in ONE dispatch.
 
@@ -563,7 +613,8 @@ def _frozen_phase(
                     f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
                     dtype_name, key, map_a, map_b, regn_lo, dx, xjac,
                     ncubes, chunk_offset, eval_dtype_name=eval_dtype_name,
-                    ncomp=ncomp)
+                    ncomp=ncomp, sampler=sampler, f_axes=f_axes,
+                    tile_a=tile_a)
             else:
                 ti, tsi, _ = _vegas_iteration.__wrapped__(
                     f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, False,
@@ -759,6 +810,7 @@ def vegas(
     eval_dtype=None,
     refine: str = "host",
     mesh=None,
+    sampler: str | None = None,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -801,6 +853,17 @@ def vegas(
     results are deterministic for a fixed (seed, mesh) and differ from
     single-chip only by all-reduce reassociation.  (The reference is
     single-GPU only, SURVEY.md section 2.7.)
+
+    ``sampler``: 'xla' evaluates the poly sampling chain in fused XLA;
+    'pallas' runs the whole chunk body (hardware PRNG, stratified point
+    generation, Chebyshev map, integrand, per-cube variance) in one
+    VMEM-resident kernel (mcubes.pallas_vegas) -- integrand evaluation
+    is f32 and the uniform stream is the core PRNG rather than Threefry
+    (unbiased either way; deterministic per (seed, chunk/tile
+    decomposition)).  Requires importance='poly', a scalar integrand
+    given scalar-per-axis (cubacpp convention, jnp ops only).  Default
+    (None) is AUTO: 'pallas' on TPU when eval_dtype=float32 and the
+    constraints hold, else 'xla'.
     """
     from gpuintegration_tpu.integrand import deduce_ncomp
     f, ndim = make_integrand(integrand, ndim)
@@ -880,6 +943,38 @@ def vegas(
         importance = "grid" if refine == "device" else "poly"
     if importance not in ("grid", "poly"):
         raise ValueError(f"importance {importance!r}: 'grid' or 'poly'")
+
+    # ---- fused Pallas sampler resolution (see the ``sampler`` doc) ----
+    import os
+    from gpuintegration_tpu.integrand import _positional_arity
+    f_axes = integrand if (_positional_arity(integrand) == ndim
+                           and ndim > 1) else None
+    # cube ids live in i32 inside the kernel; bound the COVERED range
+    # (padded tiles included), not just ncubes
+    covered = n_dev * num_chunks * chunk_cubes
+    pallas_ok = (importance == "poly" and ncomp == 1
+                 and f_axes is not None and npg <= 8
+                 and covered < 2 ** 31)
+    if sampler is None:
+        on_tpu = jax.default_backend() == "tpu"
+        want = ((on_tpu and ed_name == "float32"
+                 and not os.environ.get("GPUINT_TPU_NO_PALLAS_SAMPLER"))
+                or bool(os.environ.get("GPUINT_TPU_FORCE_PALLAS_SAMPLER")))
+        sampler = "pallas" if (want and pallas_ok) else "xla"
+    elif sampler == "pallas":
+        if not pallas_ok:
+            raise ValueError(
+                "sampler='pallas' needs importance='poly', a scalar "
+                "integrand in scalar-per-axis form f(x0, ..., x{n-1}), "
+                "npg <= 8 and < 2^31 sub-cubes "
+                f"(got importance={importance!r}, ncomp={ncomp}, "
+                f"per-axis={f_axes is not None}, npg={npg}, "
+                f"covered={covered})")
+    elif sampler != "xla":
+        raise ValueError(f"sampler {sampler!r}: 'xla' or 'pallas'")
+    tile_a = int(os.environ.get("GPUINT_TPU_VEGAS_TILE_A", "0"))
+    s_kw = (dict(sampler="pallas", f_axes=f_axes, tile_a=tile_a)
+            if sampler == "pallas" else {})
     if refine == "device":
         if importance != "grid":
             raise ValueError("refine='device' requires importance='grid' "
@@ -955,7 +1050,7 @@ def vegas(
                 jnp.asarray(epsabs, f64),
                 jnp.asarray(it, jnp.int32), jnp.asarray(si, f64),
                 jnp.asarray(swgt, f64), jnp.asarray(schi, f64),
-                eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
+                eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp, **s_kw)
             out = np.asarray(jnp.concatenate([
                 it_d[None].astype(f64), jnp.atleast_1d(si_d),
                 jnp.atleast_1d(swgt_d), jnp.atleast_1d(schi_d),
@@ -998,13 +1093,13 @@ def vegas(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
                 dtype.name, importance, mesh,
                 key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
-                eval_dtype_name=ed_name, ncomp=ncomp)
+                eval_dtype_name=ed_name, ncomp=ncomp, **s_kw)
         elif importance == "poly":
             ti_d, tsi_d, d = _vegas_iteration_poly(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
                 dtype.name, key, map_a, map_b,
                 regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name,
-                ncomp=ncomp)
+                ncomp=ncomp, **s_kw)
         else:
             ti_d, tsi_d, d = _vegas_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
