@@ -127,6 +127,43 @@ def bench_pallas(ndim=8, chunk=1 << 13, inner=30):
     return chunk * tables.feval / best
 
 
+def bench_vegas_pallas(ndim=6, ncall=1e9, iters=10):
+    """Fused Pallas VEGAS sampler, frozen-phase samples/s -- the
+    m-CUBES vegas_kernelF analogue (vegasT.cuh:492-619): hardware PRNG,
+    stratified point-gen, Chebyshev importance map, integrand and
+    per-cube variance in one VMEM kernel (mcubes/pallas_vegas.py).
+    Adapts a grid cheaply first, then times ``iters`` frozen iterations
+    at production ncall (epsrel 1e-12 so no early exit)."""
+    import math
+    from gpuintegration_tpu.mcubes import grid as vgrid
+    from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
+
+    def g6(x0, x1, x2, x3, x4, x5):   # explicit arity: the sampler
+        s = 0.0                        # deduces ndim/per-axis form from it
+        for x in (x0, x1, x2, x3, x4, x5):
+            s = s + (x - 0.5) ** 2
+        return jnp.exp(-25.0 * s)
+
+    truth = (math.sqrt(math.pi / 25.0) * math.erf(2.5)) ** ndim
+    st = VegasState(xi=vgrid.uniform_grid(ndim, 500, jnp.float64))
+    vegas(g6, epsrel=1e-9, ncall=1e7, ndim=ndim, total_iters=8,
+          adjust_iters=8, seed=1, importance="poly", sampler="pallas",
+          state=st)
+
+    def frozen(seed):
+        st2 = VegasState(xi=st.xi)
+        return vegas(g6, epsrel=1e-12, epsabs=0.0, ncall=ncall, ndim=ndim,
+                     total_iters=iters, adjust_iters=0, seed=seed,
+                     importance="poly", sampler="pallas", state=st2)
+
+    frozen(2)                                  # compile + warm
+    t0 = time.perf_counter()
+    r = frozen(3)
+    dt = time.perf_counter() - t0
+    rel = abs(r.estimate - truth) / truth
+    return r.neval / dt, rel
+
+
 def bench_time_to_tolerance(ndim=8, epsrel=1e-5, max_wall_s=2400.0):
     """Wall time for the flagship 8D Gaussian carried to a CERTIFIED
     epsrel=1e-5 via the partitioned checkpoint-resume continuation
@@ -198,6 +235,12 @@ def main():
         _OUT["detail"]["pallas_f32_8d_evals_per_sec"] = bench_pallas()
     except Exception:      # non-TPU backend or Mosaic unavailable
         _OUT["detail"]["pallas_f32_8d_evals_per_sec"] = None
+    try:
+        vp_rate, vp_rel = bench_vegas_pallas()
+        _OUT["detail"]["vegas_6d_pallas_frozen_samples_per_sec"] = vp_rate
+        _OUT["detail"]["vegas_6d_pallas_rel_err"] = vp_rel
+    except Exception:      # non-TPU backend or Mosaic unavailable
+        _OUT["detail"]["vegas_6d_pallas_frozen_samples_per_sec"] = None
     try:
         ttt, res, rel_err = bench_time_to_tolerance()
         _OUT["detail"].update({
