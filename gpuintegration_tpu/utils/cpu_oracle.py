@@ -63,6 +63,15 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_longlong)]
+    lib.quad_suave.restype = ctypes.c_int
+    lib.quad_suave.argtypes = [
+        _INTEGRAND_T, ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_double, ctypes.c_longlong, ctypes.c_ulonglong,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong)]
     lib.quad_rule_feval.restype = ctypes.c_int
     lib.quad_rule_feval.argtypes = [ctypes.c_int]
     _lib = lib
@@ -134,6 +143,39 @@ def vegas_cpu(f: Callable, ndim: int, lows=None, highs=None,
         raise RuntimeError(f"quad_vegas failed with rc={rc}")
     res = IntegrationResult(estimate=est.value, errorest=err.value,
                             chi_sq=chi2.value, status=status.value)
+    res.neval = int(neval.value)
+    return res
+
+
+def suave_cpu(f: Callable, ndim: int, lows=None, highs=None,
+              epsrel: float = 1e-3, epsabs: float = 1e-12,
+              nnew: int = 2048, nmin: int = 2, flatness: float = 50.0,
+              max_regions: int = 1024, seed: int = 0) -> IntegrationResult:
+    """CPU Suave oracle (the cubacpp/suave.hh parameter surface):
+    subregion-adaptive importance MC with grid inheritance, sample reuse
+    and fluctuation-based splitting — the serial independent twin of
+    ``gpuintegration_tpu.pagani.suave.suave``."""
+    lib = load_library()
+    if lows is None:
+        lows = np.zeros(ndim)
+        highs = np.ones(ndim)
+    lo_p, lo_keep = _c_doubles(lows)
+    hi_p, hi_keep = _c_doubles(highs)
+    est = ctypes.c_double()
+    err = ctypes.c_double()
+    status = ctypes.c_int()
+    neval = ctypes.c_longlong()
+    nreg = ctypes.c_longlong()
+    cb = _wrap(f)
+    rc = lib.quad_suave(cb, None, ndim, lo_p, hi_p, epsrel, epsabs,
+                        nnew, nmin, flatness, max_regions, seed,
+                        ctypes.byref(est), ctypes.byref(err),
+                        ctypes.byref(status), ctypes.byref(neval),
+                        ctypes.byref(nreg))
+    if rc != 0:
+        raise RuntimeError(f"quad_suave failed with rc={rc}")
+    res = IntegrationResult(estimate=est.value, errorest=err.value,
+                            nregions=int(nreg.value), status=status.value)
     res.neval = int(neval.value)
     return res
 

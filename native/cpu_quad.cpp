@@ -11,6 +11,12 @@
 //    embedded rule (same rule family as the TPU PAGANI path) and a
 //    worst-error-first region heap.
 //  * quad_vegas: NR-style VEGAS with importance sampling + stratification.
+//  * quad_suave: subregion-adaptive importance MC (the algorithm behind
+//    cubacpp/suave.hh -> CUBA Suave): per-region importance grids that
+//    children inherit, sample reuse via sufficient statistics, and a
+//    fluctuation-minimizing split dimension.  Deliberately the serial
+//    pick-worst-region control flow (vs the TPU batch redesign in
+//    gpuintegration_tpu/pagani/suave.py) so the two are independent.
 //
 // Build: g++ -O2 -std=c++17 -shared -fPIC cpu_quad.cpp -o libcpu_quad.so
 
@@ -298,6 +304,53 @@ struct HeapRegion {
   bool operator<(const HeapRegion& o) const { return err < o.err; }
 };
 
+// NR grid update shared by quad_vegas and quad_suave: 3-bin smoothing of
+// the f^2 histogram, log-damped weights, rebin to equal weight per new bin.
+// ``xi_d`` holds nb+1 edges over [0,1]; an all-zero histogram keeps them.
+void smooth_damp_rebin(std::vector<double>& xi_d,
+                       const std::vector<double>& row, int nb, double alph) {
+  std::vector<double> sm(nb);
+  sm[0] = (row[0] + row[1]) / 2.0;
+  double dt = sm[0];
+  for (int b = 1; b < nb - 1; ++b) {
+    sm[b] = (row[b - 1] + row[b] + row[b + 1]) / 3.0;
+    dt += sm[b];
+  }
+  sm[nb - 1] = (row[nb - 2] + row[nb - 1]) / 2.0;
+  dt += sm[nb - 1];
+  if (dt <= 0.0) return;
+  // NR's TINY floor: zero-mass bins keep a small rebin weight, or every
+  // edge collapses into an early narrow peak's bins
+  dt = 0.0;
+  for (int b = 0; b < nb; ++b) {
+    sm[b] = std::max(sm[b], 1e-30);
+    dt += sm[b];
+  }
+  std::vector<double> r(nb, 0.0);
+  double rc = 0.0;
+  for (int b = 0; b < nb; ++b) {
+    if (sm[b] > 0.0) {
+      const double frac = sm[b] / dt;
+      r[b] = std::pow((1.0 - frac) / (-std::log(frac)), alph);
+    }
+    rc += r[b];
+  }
+  std::vector<double> newxi(nb + 1);
+  newxi[0] = 0.0;
+  newxi[nb] = 1.0;
+  double dr = 0.0;
+  int k = 0;
+  for (int i = 1; i < nb; ++i) {
+    const double target = rc / nb;
+    while (dr < target && k < nb) dr += r[k++];
+    const double xo = (k > 1) ? xi_d[k - 1] : 0.0;
+    const double xn = xi_d[k];
+    dr -= target;
+    newxi[i] = xn - (xn - xo) * dr / std::max(r[k - 1], 1e-300);
+  }
+  xi_d = newxi;
+}
+
 }  // namespace
 
 extern "C" {
@@ -479,53 +532,9 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
       status = (ok && it >= 5) ? 0 : 1;
     }
 
-    if (adjusting) {
-      // 3-bin smoothing + damped weights + rebin, per dimension
-      for (int d = 0; d < ndim; ++d) {
-        std::vector<double>& row = dh[d];
-        std::vector<double> sm(kBins);
-        sm[0] = (row[0] + row[1]) / 2.0;
-        double dt = sm[0];
-        for (int b = 1; b < kBins - 1; ++b) {
-          sm[b] = (row[b - 1] + row[b] + row[b + 1]) / 3.0;
-          dt += sm[b];
-        }
-        sm[kBins - 1] = (row[kBins - 2] + row[kBins - 1]) / 2.0;
-        dt += sm[kBins - 1];
-        if (dt <= 0.0) continue;  // all-zero dim keeps its edges
-        // NR's TINY floor: zero-mass bins keep a small rebin weight, or
-        // every edge collapses into an early narrow peak's bins
-        dt = 0.0;
-        for (int b = 0; b < kBins; ++b) {
-          sm[b] = std::max(sm[b], 1e-30);
-          dt += sm[b];
-        }
-        std::vector<double> r(kBins, 0.0);
-        double rc = 0.0;
-        for (int b = 0; b < kBins; ++b) {
-          if (sm[b] > 0.0) {
-            const double frac = sm[b] / dt;
-            r[b] = std::pow((1.0 - frac) / (-std::log(frac)), kAlph);
-          }
-          rc += r[b];
-        }
-        // rebin to equal weight per new bin
-        std::vector<double> newxi(kBins + 1);
-        newxi[0] = 0.0;
-        newxi[kBins] = 1.0;
-        double dr = 0.0;
-        int k = 0;
-        for (int i = 1; i < kBins; ++i) {
-          const double target = rc / kBins;
-          while (dr < target && k < kBins) dr += r[k++];
-          const double xo = (k > 1) ? xi[d][k - 1] : 0.0;
-          const double xn = xi[d][k];
-          dr -= target;
-          newxi[i] = xn - (xn - xo) * dr / std::max(r[k - 1], 1e-300);
-        }
-        xi[d] = newxi;
-      }
-    }
+    if (adjusting)
+      for (int d = 0; d < ndim; ++d)
+        smooth_damp_rebin(xi[d], dh[d], kBins, kAlph);
   }
 
   *out_estimate = tgral;
@@ -533,6 +542,192 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
   *out_chi2 = chi2a;
   *out_status = status;
   *out_neval = neval;
+  return 0;
+}
+
+// Subregion-adaptive importance-sampling MC (CUBA Suave's algorithm;
+// reference binding cubacpp/cubacpp/suave.hh).  Serial pick-worst-region
+// loop: each region carries its own per-dimension importance grid
+// (children inherit the parent's, split dimension reset to uniform),
+// sample information is reused across subdivisions as inverse-variance
+// sufficient statistics, and the split dimension minimizes the sampled
+// fluctuation (p-norm of |weighted f| over the two prospective halves,
+// p = min(flatness, 16) in overflow-safe ratios-to-max form).
+// status: 0 converged, 1 max_regions reached without convergence.
+int quad_suave(quad_integrand f, void* userdata, int ndim,
+               const double* lows, const double* highs, double epsrel,
+               double epsabs, long long nnew, int nmin, double flatness,
+               long long max_regions, unsigned long long seed,
+               double* out_estimate, double* out_errorest, int* out_status,
+               long long* out_neval, long long* out_nregions) {
+  if (ndim < 1 || ndim > 32 || nnew < 2 || nmin < 1 || max_regions < 1)
+    return -1;
+  constexpr int kB = 64;        // bins per region-local grid dimension
+  constexpr double kAlph = 1.5;
+  const double p = std::min(flatness, 16.0);
+
+  struct SRegion {
+    std::vector<double> lo, len;            // unit space
+    std::vector<std::vector<double>> grid;  // ndim x (kB+1) edges in [0,1]
+    double wi = 0.0, w = 0.0;               // inverse-variance accumulators
+    std::vector<double> flu;                // per-dim fluctuation, last cycle
+    std::vector<double> mass_lo;            // per-dim SIGNED lower-half mass
+    double mass = 0.0, mass_abs = 0.0;      // signed / absolute total mass
+  };
+
+  std::vector<double> glo(lows, lows + ndim);
+  std::vector<double> grange(ndim);
+  double gjac = 1.0;
+  for (int d = 0; d < ndim; ++d) {
+    grange[d] = highs[d] - lows[d];
+    gjac *= grange[d];
+  }
+
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  long long neval = 0;
+
+  const long long ns = nnew * nmin;
+  std::vector<double> us(ns * ndim), wfs(ns);  // cycle sample buffer
+  std::vector<double> x(ndim);
+  std::vector<int> bins(ndim);
+
+  // One cycle: nmin passes of nnew importance-sampled points through the
+  // region's grid (refined after each pass), then the cycle estimate,
+  // variance, per-dim fluctuation and signed half masses from the buffer.
+  auto cycle = [&](SRegion& r) {
+    double vol = 1.0;
+    for (int d = 0; d < ndim; ++d) vol *= r.len[d];
+    std::vector<std::vector<double>> dh(ndim, std::vector<double>(kB));
+    long long s = 0;
+    for (int pass = 0; pass < nmin; ++pass) {
+      for (auto& row : dh) std::fill(row.begin(), row.end(), 0.0);
+      for (long long k = 0; k < nnew; ++k, ++s) {
+        double wgt = gjac * vol;
+        for (int d = 0; d < ndim; ++d) {
+          const double u = uni(rng);
+          us[s * ndim + d] = u;
+          const double pos = u * kB;
+          int b = std::min((int)pos, kB - 1);
+          bins[d] = b;
+          const double xo = r.grid[d][b + 1] - r.grid[d][b];
+          const double rloc = r.grid[d][b] + (pos - b) * xo;
+          x[d] = glo[d] + (r.lo[d] + rloc * r.len[d]) * grange[d];
+          wgt *= xo * kB;
+        }
+        const double wf = wgt * f(x.data(), ndim, userdata);
+        wfs[s] = wf;
+        for (int d = 0; d < ndim; ++d) dh[d][bins[d]] += wf * wf;
+      }
+      for (int d = 0; d < ndim; ++d)
+        smooth_damp_rebin(r.grid[d], dh[d], kB, kAlph);
+    }
+    neval += ns;
+
+    double s1 = 0.0, s2 = 0.0, maxv = 1e-300;
+    for (long long k = 0; k < ns; ++k) {
+      s1 += wfs[k];
+      s2 += wfs[k] * wfs[k];
+      maxv = std::max(maxv, std::fabs(wfs[k]));
+    }
+    const double mean = s1 / ns;
+    const double var =
+        std::max(s2 / ns - mean * mean, 0.0) / std::max(ns - 1.0, 1.0);
+    r.flu.assign(ndim, 0.0);
+    r.mass_lo.assign(ndim, 0.0);
+    r.mass = s1;
+    r.mass_abs = 0.0;
+    for (long long k = 0; k < ns; ++k) r.mass_abs += std::fabs(wfs[k]);
+    for (int d = 0; d < ndim; ++d) {
+      double plo = 0.0, phi = 0.0;
+      for (long long k = 0; k < ns; ++k) {
+        const double t = std::pow(std::fabs(wfs[k]) / maxv, p);
+        if (us[k * ndim + d] < 0.5) {
+          plo += t;
+          r.mass_lo[d] += wfs[k];
+        } else {
+          phi += t;
+        }
+      }
+      r.flu[d] =
+          maxv * (std::pow(plo, 1.0 / p) + std::pow(phi, 1.0 / p));
+    }
+    // fold the cycle into the reuse accumulators (I = mean, var-of-mean;
+    // the volume factor is already inside wgt)
+    const double cvar = std::max(var, 1e-300);
+    r.wi += mean / cvar;
+    r.w += 1.0 / cvar;
+  };
+
+  std::vector<SRegion> regions(1);
+  regions[0].lo.assign(ndim, 0.0);
+  regions[0].len.assign(ndim, 1.0);
+  regions[0].grid.assign(
+      ndim, [&] {
+        std::vector<double> e(kB + 1);
+        for (int b = 0; b <= kB; ++b) e[b] = (double)b / kB;
+        return e;
+      }());
+  cycle(regions[0]);
+
+  int status = 1;
+  double total = 0.0, err = 0.0;
+  for (;;) {
+    total = 0.0;
+    double var_sum = 0.0;
+    size_t worst = 0;
+    double worst_var = -1.0;
+    for (size_t i = 0; i < regions.size(); ++i) {
+      total += regions[i].wi / regions[i].w;
+      const double v = 1.0 / regions[i].w;
+      var_sum += v;
+      if (v > worst_var) {
+        worst_var = v;
+        worst = i;
+      }
+    }
+    err = std::sqrt(var_sum);
+    if (err <= std::max(epsrel * std::fabs(total), epsabs)) {
+      status = 0;
+      break;
+    }
+    if ((long long)regions.size() >= max_regions) break;
+
+    // split the worst region at its fluctuation-minimizing dimension
+    SRegion& par = regions[worst];
+    int d = 0;
+    for (int k = 1; k < ndim; ++k)
+      if (par.flu[k] < par.flu[d]) d = k;
+    const double e_par = par.wi / par.w;
+    const double w_par = par.w;
+    // seed children from the parent's accumulated information: estimate
+    // apportioned by the SIGNED measured lower-half mass (even split
+    // under heavy cancellation), weight halved
+    double fl = 0.5;
+    if (std::fabs(par.mass) > 0.1 * par.mass_abs)
+      fl = std::min(std::max(par.mass_lo[d] / par.mass, -1.0), 2.0);
+
+    SRegion child = par;  // upper half: inherits grid + geometry
+    par.len[d] *= 0.5;    // par becomes the lower half
+    child.len[d] = par.len[d];
+    child.lo[d] = par.lo[d] + par.len[d];
+    for (int b = 0; b <= kB; ++b) {  // split dim restarts uniform
+      par.grid[d][b] = (double)b / kB;
+      child.grid[d][b] = (double)b / kB;
+    }
+    par.w = child.w = w_par * 0.5;
+    par.wi = par.w * e_par * fl;
+    child.wi = child.w * e_par * (1.0 - fl);
+    regions.push_back(std::move(child));
+    cycle(regions[worst]);
+    cycle(regions.back());
+  }
+
+  *out_estimate = total;
+  *out_errorest = err;
+  *out_status = status;
+  *out_neval = neval;
+  *out_nregions = (long long)regions.size();
   return 0;
 }
 

@@ -63,6 +63,62 @@ def test_vegas_cpu_gaussian():
     assert abs(r.estimate - truth) / truth < 2e-2
 
 
+def test_suave_cpu_product_peak():
+    """The Suave oracle converges to the closed form and its error bar
+    covers the true error (subregion importance MC with grid inheritance,
+    reference algorithm behind cubacpp/suave.hh)."""
+    a, b = 5.0, 0.5
+
+    def f(x):
+        return float(np.prod(1.0 / (1.0 / a ** 2 + (x - b) ** 2)))
+
+    truth = (a * (math.atan(a * (1 - b)) - math.atan(-a * b))) ** 3
+    r = cpu_oracle.suave_cpu(f, 3, epsrel=1e-3, seed=3)
+    assert r.status == 0
+    assert abs(r.estimate - truth) <= 3 * r.errorest
+    assert abs(r.estimate - truth) / truth < 1e-3
+
+
+def test_suave_cpu_sign_changing_subdivides():
+    """epsabs-driven run on a zero integral: the pool must actually
+    subdivide (fluctuation splitting) and the estimate stay within error
+    bars of zero."""
+
+    def s(x):
+        return float(math.sin(2 * math.pi * x[0]) * (x[1] + 0.5))
+
+    r = cpu_oracle.suave_cpu(s, 2, epsrel=0.0, epsabs=2e-4, seed=0)
+    assert r.status == 0
+    assert r.nregions > 10
+    assert abs(r.estimate) <= 3 * r.errorest
+
+
+def test_suave_tpu_matches_cpu_oracle():
+    """The TPU batch Suave and the serial CPU Suave oracle agree within
+    combined error bars on a peaked integrand (the test_cpu_vs_gpu.cu
+    contract applied to the third CUBA algorithm)."""
+    from gpuintegration_tpu.pagani.suave import suave
+
+    a = 5.0
+
+    def g_np(x):
+        return float(np.exp(-a * a * np.sum((x - 0.5) ** 2)))
+
+    import jax.numpy as jnp
+
+    def g_jax(x, y, z):
+        s = (x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2
+        return jnp.exp(-a * a * s)
+
+    truth = (math.sqrt(math.pi) / a * math.erf(a / 2)) ** 3
+    cpu = cpu_oracle.suave_cpu(g_np, 3, epsrel=2e-3, seed=1)
+    tpu = suave(g_jax, epsrel=2e-3, epsabs=1e-40, nnew=512, seed=2)
+    assert cpu.status == 0 and tpu.status == 0
+    assert abs(cpu.estimate - tpu.estimate) <= 3 * (cpu.errorest
+                                                    + tpu.errorest)
+    assert abs(cpu.estimate - truth) <= 3 * cpu.errorest
+
+
 def test_tpu_matches_cpu_oracle():
     """The headline cross-check: adaptive runs on both implementations of
     the same algorithm family agree within combined error bars."""
