@@ -8,6 +8,7 @@ Examples:
   python -m gpuintegration_tpu.cli pagani --integrand f4_gaussian --ndim 8 \
       --epsrel 1e-6
   python -m gpuintegration_tpu.cli mcubes --integrand gauss9d --ncall 1e8
+  python -m gpuintegration_tpu.cli suave --integrand f2_product_peak --ndim 5
   python -m gpuintegration_tpu.cli ladder --integrand f2_product_peak --ndim 6
   python -m gpuintegration_tpu.cli profile --integrand f1_oscillatory --ndim 8
 """
@@ -92,6 +93,17 @@ def main(argv=None):
                     default=None, help="integrand evaluation dtype "
                     "(accumulators stay f64; float32 skips TPU f64 "
                     "emulation in the integrand)")
+    sp = sub.add_parser("suave", parents=[common],
+                        help="Suave subregion-adaptive importance MC "
+                             "(cubacpp suave.hh analogue)")
+    sp.add_argument("--nnew", type=int, default=2048,
+                    help="fresh samples per region per pass")
+    sp.add_argument("--nmin", type=int, default=2,
+                    help="sampling passes per cycle (reuse granularity)")
+    sp.add_argument("--flatness", type=float, default=50.0,
+                    help="fluctuation-norm exponent (capped at 16)")
+    sp.add_argument("--max-regions", type=int, default=1024)
+    sp.add_argument("--seed", type=int, default=0)
     sp = sub.add_parser("ladder", parents=[common],
                         help="tighten epsrel until failure")
     sp.add_argument("--floor", type=float, default=1e-9)
@@ -140,6 +152,25 @@ def main(argv=None):
             importance=(None if args.importance == "auto"
                         else args.importance),
             eval_dtype=args.eval_dtype, refine=args.refine)
+        return 0 if good else 1
+    if args.cmd == "suave":
+        import time as _time
+        from gpuintegration_tpu.pagani.suave import suave
+        print("id,ndim,true_value,epsrel,epsabs,estimate,errorest,"
+              "nregions,neval,iters,status,time_ms")
+        good = False
+        for i in range(args.runs):
+            t0 = _time.perf_counter()
+            r = suave(g, epsrel=args.epsrel, epsabs=args.epsabs, vol=vol,
+                      ndim=ndim, nnew=args.nnew, nmin=args.nmin,
+                      flatness=args.flatness, max_regions=args.max_regions,
+                      seed=args.seed + i)
+            ms = (_time.perf_counter() - t0) * 1e3
+            good = good or r.status == 0
+            print(f"{args.integrand},{ndim},{truth:.15e},"
+                  f"{args.epsrel:.3e},{args.epsabs:.3e},"
+                  f"{r.estimate:.15e},{r.errorest:.15e},{r.nregions},"
+                  f"{r.neval},{r.iters},{r.status},{ms:.1f}", flush=True)
         return 0 if good else 1
     if args.cmd == "ladder":
         print(timing.PAGANI_CSV_HEADER)

@@ -68,6 +68,18 @@ class TestCLI:
         assert rc == 0
         assert out.startswith(timing.MCUBES_CSV_HEADER)
 
+    def test_suave_subcommand(self, capsys):
+        from gpuintegration_tpu.cli import main
+        rc = main(["suave", "--integrand", "f4_gaussian", "--ndim", "2",
+                   "--epsrel", "5e-3", "--nnew", "512", "--seed", "2"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        header, row = out.strip().splitlines()[:2]
+        assert header.startswith("id,ndim,true_value")
+        cols = row.split(",")
+        assert cols[0] == "f4_gaussian" and cols[1] == "2"
+        assert int(cols[10]) == 0  # status
+
     def test_unknown_integrand_errors(self):
         from gpuintegration_tpu.cli import main
         with pytest.raises(SystemExit):
