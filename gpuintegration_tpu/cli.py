@@ -74,6 +74,16 @@ def main(argv=None):
 
     sp = sub.add_parser("pagani", parents=[common],
                         help="adaptive cubature (clean_time_and_call analogue)")
+    sp.add_argument("--continuation", action="store_true",
+                    help="drive integrate_to_convergence (checkpoint-"
+                         "resume + partitioned continuation past the "
+                         "pool wall -- deep-tolerance runs)")
+    sp.add_argument("--max-wall-s", type=float, default=None,
+                    help="wall-clock bound per continuation run")
+    sp.add_argument("--finish-scale", type=float, default=1.0,
+                    help="retire regions at epsrel*SCALE while certifying "
+                         "at epsrel (reserves error-budget headroom for "
+                         "deep rungs; see Workspace.integrate)")
     sp = sub.add_parser("mcubes", parents=[common],
                         help="VEGAS Monte Carlo (mcubes_time_and_call analogue)")
     sp.add_argument("--ncall", type=float, default=1e6)
@@ -137,10 +147,14 @@ def main(argv=None):
 
     if args.cmd == "pagani":
         print(timing.PAGANI_CSV_HEADER)
+        extra = {}
+        if args.finish_scale != 1.0:
+            extra["finish_epsrel_scale"] = args.finish_scale
         good = timing.clean_time_and_call(
             args.integrand, g, args.epsrel, truth, sys.stdout,
             ndim=ndim, vol=vol, epsabs=args.epsabs,
-            runs_per_epsrel=args.runs)
+            runs_per_epsrel=args.runs, continuation=args.continuation,
+            max_wall_s=args.max_wall_s, **extra)
         return 0 if good else 1
     if args.cmd == "mcubes":
         print(timing.MCUBES_CSV_HEADER)

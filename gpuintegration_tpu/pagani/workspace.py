@@ -296,8 +296,21 @@ class Workspace:
         seed: int = 0,
         fused: bool = True,
         ledger: tuple | None = None,
+        finish_epsrel_scale: float = 1.0,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
+
+        ``finish_epsrel_scale``: tighten per-region retirement (two-level
+        finished classification, two_level.refine_error) and the
+        classifier's drop budget to ``epsrel * scale`` while the GLOBAL
+        accuracy test stays at ``epsrel``.  At the default 1.0 the
+        per-region criterion matches the reference (hybrid.cuh:30-38) --
+        but regions retired right at the bound can collectively bank up
+        to ~1.0x the whole error budget, after which no continuation can
+        certify the global tolerance (observed on the 8D Gaussian at
+        epsrel=1e-6: banked error alone reached 1.03x the budget).  A
+        scale of 0.25-0.5 reserves the remaining fraction of the budget
+        for the still-active queue at the cost of more refinement work.
 
         ``fused``: run bursts of adaptive iterations fully on device
         (pagani.fused_loop) whenever the pool fits one bucket below the
@@ -327,6 +340,9 @@ class Workspace:
         analogue of Sub_regions::take_snapshot, Sub_regions.cuh:219-229).
         """
         import time as _time
+        if not (0.0 < finish_epsrel_scale <= 1.0):
+            raise ValueError("finish_epsrel_scale must be in (0, 1]")
+        eps_work = epsrel * finish_epsrel_scale
         ndim = self.ndim
         dtype = self.dtype
         dtype_name = dtype.name
@@ -367,7 +383,8 @@ class Workspace:
             return self._integrate_vector(
                 f, ncomp, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
-                max_iterations, initial_regions, recorder)
+                max_iterations, initial_regions, recorder,
+                finish_scale=finish_epsrel_scale)
 
         if self.mesh is not None:
             if vegas_assisted or predict_split:
@@ -379,7 +396,8 @@ class Workspace:
             return self._integrate_mesh(
                 f, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
-                max_iterations, initial_regions, recorder, fused, ledger)
+                max_iterations, initial_regions, recorder, fused, ledger,
+                finish_scale=finish_epsrel_scale)
 
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
@@ -410,9 +428,12 @@ class Workspace:
         parent_est = jnp.zeros((max(cap // 2, 1),), dtype)
         use_refine = jnp.asarray(False)
         n_dev = jnp.asarray(n, jnp.int32)
-        eps_dev = jnp.asarray(epsrel, dtype)
+        # retirement + classifier budgets run at eps_work; the global
+        # accuracy test and the budget-overflow rollback keep the true
+        # epsrel (see the finish_epsrel_scale docstring)
+        eps_dev = jnp.asarray(eps_work, dtype)
 
-        classifier = HeuristicClassifier(epsrel, epsabs,
+        classifier = HeuristicClassifier(eps_work, epsabs,
                                          self.max_pool_regions)
         feval = rule_eval.rule_tables(ndim, dtype_name).feval
 
@@ -701,7 +722,7 @@ class Workspace:
     def _integrate_vector(
         self, f, ncomp, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
-        initial_regions, recorder,
+        initial_regions, recorder, finish_scale=1.0,
     ) -> IntegrationResult:
         """Adaptive loop for vector-valued integrands: f maps (..., ndim)
         -> (..., ncomp).  All components share one point set and one
@@ -713,7 +734,7 @@ class Workspace:
         error-budget rollback key on the WORST component."""
         import time as _time
         ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
-        eps_dev = jnp.asarray(epsrel, dtype)
+        eps_dev = jnp.asarray(epsrel * finish_scale, dtype)
 
         min_cap = self.chunk_size
         if initial_regions is not None:
@@ -740,7 +761,7 @@ class Workspace:
         use_refine = jnp.asarray(False)
         n_dev = jnp.asarray(n, jnp.int32)
 
-        classifier = HeuristicClassifier(epsrel, epsabs,
+        classifier = HeuristicClassifier(epsrel * finish_scale, epsabs,
                                          self.max_pool_regions)
         feval = rule_eval.rule_tables(ndim, dtype_name).feval
 
@@ -884,7 +905,7 @@ class Workspace:
     def _integrate_mesh(
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
-        initial_regions, recorder, fused, ledger=None,
+        initial_regions, recorder, fused, ledger=None, finish_scale=1.0,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
 
@@ -908,7 +929,7 @@ class Workspace:
         mesh = self.mesh
         D = int(mesh.devices.size)
         ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
-        eps_dev = jnp.asarray(epsrel, dtype)
+        eps_dev = jnp.asarray(epsrel * finish_scale, dtype)
 
         # ---- initial per-shard pools (host NumPy; initial pools are tiny)
         if initial_regions is not None:
@@ -940,7 +961,7 @@ class Workspace:
         parent_est = jax.device_put(jnp.zeros((D * cap_s,), dtype), vsh)
         use_refine = jnp.asarray(False)
 
-        classifier = HeuristicClassifier(epsrel, epsabs,
+        classifier = HeuristicClassifier(epsrel * finish_scale, epsabs,
                                          self.max_pool_regions)
         feval = rule_eval.rule_tables(ndim, dtype_name).feval
         cum = IntegrationResult(status=1)

@@ -44,6 +44,7 @@ def clean_time_and_call(
     workspace: Workspace | None = None,
     continuation: bool = False,
     max_wall_s: float | None = None,
+    **integrate_kw,
 ) -> bool:
     """Repeated adaptive runs at one tolerance; CSV row per run.
 
@@ -54,11 +55,15 @@ def clean_time_and_call(
     ``max_wall_s`` bounds each continuation run (unattended ladders).
 
     Returns True if any run converged (status 0) -- same contract as the
-    reference harness (new_time_and_call.cuh:170-173)."""
+    reference harness (new_time_and_call.cuh:170-173).  Extra keyword
+    arguments (e.g. ``finish_epsrel_scale`` for deep rungs) are forwarded
+    to the drive function."""
     _, nd = make_integrand(integrand, ndim)
     ws = workspace or Workspace(nd)
     drive = ws.integrate_to_convergence if continuation else ws.integrate
-    extra = {"max_wall_s": max_wall_s} if continuation else {}
+    extra = dict(integrate_kw)
+    if continuation:
+        extra["max_wall_s"] = max_wall_s
     good = False
     for i in range(runs_per_epsrel):
         t0 = time.perf_counter()

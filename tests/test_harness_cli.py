@@ -60,6 +60,20 @@ class TestCLI:
         assert rc == 0
         assert out.startswith(timing.PAGANI_CSV_HEADER)
 
+    def test_pagani_continuation_flags(self, capsys):
+        """--continuation/--finish-scale drive integrate_to_convergence
+        with tightened retirement; the CSV row still certifies at the
+        CLI's epsrel."""
+        from gpuintegration_tpu.cli import main
+        rc = main(["pagani", "--integrand", "f4_gaussian", "--ndim", "2",
+                   "--epsrel", "1e-4", "--runs", "1", "--continuation",
+                   "--finish-scale", "0.5", "--max-wall-s", "120"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        row = out.strip().splitlines()[1].split(",")
+        est, err = float(row[6]), float(row[7])
+        assert err / abs(est) <= 1e-4
+
     def test_mcubes_subcommand(self, capsys):
         from gpuintegration_tpu.cli import main
         rc = main(["mcubes", "--integrand", "addition", "--ndim", "2",

@@ -479,6 +479,54 @@ class TestContinuation:
         assert abs(r.estimate - g.true_value) <= max(
             r.errorest, 1e-6 * abs(g.true_value))
 
+    def test_finish_scale_validation(self):
+        g = genz.f4_gaussian(2)
+        ws = Workspace(2, chunk_size=256)
+        with pytest.raises(ValueError):
+            ws.integrate(g, finish_epsrel_scale=0.0)
+        with pytest.raises(ValueError):
+            ws.integrate(g, finish_epsrel_scale=1.5)
+
+    def test_finish_scale_tightens_retirement_only(self, monkeypatch):
+        """finish_epsrel_scale must reach the two-level classification as
+        epsrel*scale while the returned certificate is still tested at
+        the full epsrel.  (The deep-rung mechanism: at scale 1.0, regions
+        retired at the per-region bound can collectively bank ~1.0x the
+        whole error budget -- observed 1.03x on the 8D Gaussian at 1e-6
+        -- after which no continuation can certify the global target.)"""
+        from gpuintegration_tpu.pagani import workspace as W
+        seen = []
+        orig = W._post_stage
+
+        def spy(*args):
+            seen.append(float(args[-1]))   # eps_dev (last positional)
+            return orig(*args)
+
+        monkeypatch.setattr(W, "_post_stage", spy)
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        r = ws.integrate(g, epsrel=1e-5, epsabs=1e-40, fused=False,
+                         finish_epsrel_scale=0.25)
+        assert seen and all(abs(e - 0.25e-5) < 1e-18 for e in seen)
+        assert r.status == 0
+        assert r.errorest / abs(r.estimate) <= 1e-5
+        assert abs(r.estimate - g.true_value) <= max(
+            r.errorest, 1e-6 * abs(g.true_value))
+
+    def test_finish_scale_through_continuation(self):
+        """The scale must thread through integrate_to_convergence's
+        resumed rounds and partitioned-continuation slices (kw
+        pass-through) and still produce an honest certificate."""
+        g = genz.f4_gaussian(4, a=15.0)
+        ws = Workspace(4, max_pool_regions=4096, chunk_size=128)
+        r = ws.integrate_to_convergence(g, epsrel=1e-6, epsabs=1e-40,
+                                        finish_epsrel_scale=0.5)
+        assert r.status == 0
+        cert = r.errorest / abs(r.estimate)
+        assert 0 < cert <= 1e-6
+        rel = abs(r.estimate - g.true_value) / abs(g.true_value)
+        assert rel <= max(cert, 1e-7), (rel, cert)
+
     def test_make_slices_exactness_flags(self):
         """Slices cut from a per-region stash are exact (certifiable);
         apportioned slices are flagged inexact so the global certificate
