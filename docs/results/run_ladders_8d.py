@@ -54,10 +54,17 @@ def main(out_path=None):
                           flush=True)
                     break
                 t0 = time.time()
+                # rungs at/below 1e-6: retire regions at 0.4*epsrel so
+                # the banked finished-error mass cannot consume the whole
+                # certificate budget (retirement marginality,
+                # docs/DESIGN.md section 3a); shallower rungs don't need
+                # the extra refinement work
+                extra = ({"finish_epsrel_scale": 0.4}
+                         if epsrel <= 1e-6 else {})
                 good = timing.clean_time_and_call(
                     name, g, epsrel, g.true_value, fh, ndim=ndim,
                     runs_per_epsrel=1, workspace=ws, continuation=True,
-                    max_wall_s=min(900.0, left))
+                    max_wall_s=min(900.0, left), **extra)
                 print(f"# {name} eps={epsrel:.3e} good={good} "
                       f"wall={time.time() - t0:.0f}s",
                       file=sys.stderr, flush=True)
