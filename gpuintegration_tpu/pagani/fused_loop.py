@@ -65,6 +65,8 @@ def fused_adaptive_phase(
     neval,                    # f64 scalar
     est_hist,                 # (3,) f64: last three cumulative estimates
     max_iters,                # int32: total iteration budget
+    abs_per_vol=None,         # pool-dtype scalar: volume-apportioned
+                              # retirement budget (two_level.refine_error)
     *,
     mesh=None,
     rule_backend: str = "xla",
@@ -142,7 +144,7 @@ def fused_adaptive_phase(
     def run(lows, lengths, n_loc0, n_glob0, parent_est,
             global_lo, global_range, epsrel_pool, epsrel, epsabs,
             cum_est, cum_err, result_nregions, iters_done, neval,
-            est_hist, max_iters):
+            est_hist, max_iters, abs_per_vol):
         cap = lows.shape[1]           # per-shard capacity in mesh mode
         # parent slot is carried at FULL capacity (a grow exit returns up
         # to cap compacted parents); refine_error only reads [:cap//2]
@@ -167,7 +169,9 @@ def fused_adaptive_phase(
             (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
              fin_err_d, n_active_d) = iteration_math(
                 relerr_classification, True, est_raw, err_raw, n_loc,
-                par_c, jnp.asarray(True), epsrel_pool)
+                par_c, jnp.asarray(True), epsrel_pool,
+                lengths=None if abs_per_vol is None else ln_c,
+                abs_per_vol=abs_per_vol)
             # ledger arithmetic in f64, exactly like the host's Python
             # floats (widening the dtype-reduced sums is exact); mesh:
             # psum the f64 partials -> replicated globals
@@ -268,7 +272,7 @@ def fused_adaptive_phase(
 
     scalars = (global_lo, global_range, epsrel_pool, epsrel, epsabs,
                cum_est, cum_err, result_nregions, iters_done, neval,
-               est_hist, max_iters)
+               est_hist, max_iters, abs_per_vol)
     if mesh is None:
         lo_f, ln_f, par_f, sd_f, _nl, packed = run(
             lows, lengths, n, n, parent_est, *scalars)

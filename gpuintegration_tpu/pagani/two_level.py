@@ -9,6 +9,18 @@ discrepancy between (self + sibling) and the parent estimate:
     err' = err * (1 + 2*diff/(self_err + sibl_err)) + diff
 
 and a region is *finished* (inactive) when err' < max(epsrel*|est|, 1e-200).
+
+Optionally the finished test adds a volume-apportioned absolute term
+``abs_per_vol * vol_region`` (beyond-reference).  The reference's purely
+relative criterion can never retire a region whose estimate is ~0 -- on
+oscillatory integrands the regions straddling zero crossings refine
+forever and spread inflated errors across the whole pool (the 8D
+f1_oscillatory certificate wall, docs/VALIDATION.md section 2b).  Retired
+regions are disjoint and their unit-space volumes sum to <= 1, so the
+error banked through this term is globally bounded by ``abs_per_vol``
+-- callers budget it as a fraction of epsrel*|integral| (see
+Workspace.integrate(finish_abs_per_vol=) and
+integrate_to_convergence(finish_vol_scale=)).
 """
 from __future__ import annotations
 
@@ -26,6 +38,8 @@ def refine_error(
     n: jax.Array,              # traced number of real children (= 2*parents)
     epsrel,
     relerr_classification: bool = True,
+    volumes=None,              # (cap,) unit-space region volumes
+    abs_per_vol=None,          # scalar: absolute error budget per unit volume
 ):
     """Returns (refined_errorests (cap,), active (cap,) float 0/1 masked to n).
 
@@ -63,6 +77,10 @@ def refine_error(
         # zero-estimate region could then never finish
         floor = max(1e-200, float(np.finfo(estimates.dtype).tiny))
         max_err = jnp.maximum(epsrel * jnp.abs(self_res), floor)
+        if abs_per_vol is not None:
+            # volume-apportioned absolute retirement (module docstring);
+            # padded slots have vol 0, so the term never un-masks them
+            max_err = jnp.maximum(max_err, abs_per_vol * volumes)
         finished = refined < max_err
     else:
         finished = jnp.zeros_like(refined, dtype=bool)
@@ -77,6 +95,8 @@ def refine_error_vector(
     n: jax.Array,
     epsrel,
     relerr_classification: bool = True,
+    volumes=None,              # (cap,) unit-space region volumes
+    abs_per_vol=None,          # scalar: shared by all components
 ):
     """Vector-valued twin of ``refine_error``: the inflation runs per
     component (same formulas, component-major arrays), and a region is
@@ -108,6 +128,8 @@ def refine_error_vector(
     if relerr_classification:
         floor = max(1e-200, float(np.finfo(estimates.dtype).tiny))
         max_err = jnp.maximum(epsrel * jnp.abs(self_res), floor)
+        if abs_per_vol is not None:
+            max_err = jnp.maximum(max_err, (abs_per_vol * volumes)[None, :])
         finished = jnp.all(refined < max_err, axis=0)
     else:
         finished = jnp.zeros((cap,), bool)

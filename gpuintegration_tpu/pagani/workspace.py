@@ -83,6 +83,8 @@ def iteration_math(
     parent_estimates,
     use_refine,           # traced bool: parents valid?
     epsrel,
+    lengths=None,         # (ndim, cap) -- only needed with abs_per_vol
+    abs_per_vol=None,     # scalar: volume-apportioned retirement budget
 ):
     """The per-iteration post-processing pipeline: masking, two-level
     refinement, classification, and the iteration/finished reductions.
@@ -97,9 +99,12 @@ def iteration_math(
     est = jnp.where(mask, est, 0.0)
     err = jnp.where(mask, err, 0.0)
 
+    volumes = (jnp.prod(lengths, axis=0)
+               if abs_per_vol is not None else None)
     refined, active_r = two_level.refine_error(
         est, err, parent_estimates, n, epsrel,
-        relerr_classification=relerr_classification)
+        relerr_classification=relerr_classification,
+        volumes=volumes, abs_per_vol=abs_per_vol)
     all_active = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
     refined = jnp.where(use_refine, refined, err)
     active = jnp.where(use_refine, active_r, all_active)
@@ -124,6 +129,8 @@ def _post_stage(
     parent_estimates,
     use_refine,
     epsrel,
+    lengths=None,
+    abs_per_vol=None,
 ):
     """jit wrapper of iteration_math for the host loop: one stacked scalar
     vector -> a single D2H transfer per iteration (the reference pays one
@@ -131,7 +138,8 @@ def _post_stage(
     (est, refined, active, iter_est, iter_err, finished_est,
      finished_err, n_active) = iteration_math(
         relerr_classification, blocked, est, err, n,
-        parent_estimates, use_refine, epsrel)
+        parent_estimates, use_refine, epsrel,
+        lengths=lengths, abs_per_vol=abs_per_vol)
     scalars = jnp.stack([iter_est, iter_err, finished_est, finished_err,
                          n_active])
     return est, refined, active, scalars
@@ -148,6 +156,8 @@ def _post_stage_vector(
     parent_estimates,       # (ncomp, cap_parent)
     use_refine,
     epsrel,
+    lengths=None,
+    abs_per_vol=None,
 ):
     """Vector twin of ``_post_stage``: per-component masking, two-level
     refinement (all-components finished semantics) and the iteration/
@@ -158,9 +168,12 @@ def _post_stage_vector(
     mask = region_pool.block_mask(cap, n, blocked)
     est = jnp.where(mask[None], est, 0.0)
     err = jnp.where(mask[None], err, 0.0)
+    volumes = (jnp.prod(lengths, axis=0)
+               if abs_per_vol is not None else None)
     refined_r, active_r = two_level.refine_error_vector(
         est, err, parent_estimates, n, epsrel,
-        relerr_classification=relerr_classification)
+        relerr_classification=relerr_classification,
+        volumes=volumes, abs_per_vol=abs_per_vol)
     all_active = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
     refined = jnp.where(use_refine, refined_r, err)
     active = jnp.where(use_refine, active_r, all_active)
@@ -297,6 +310,7 @@ class Workspace:
         fused: bool = True,
         ledger: tuple | None = None,
         finish_epsrel_scale: float = 1.0,
+        finish_abs_per_vol: float = 0.0,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
 
@@ -311,6 +325,18 @@ class Workspace:
         epsrel=1e-6: banked error alone reached 1.03x the budget).  A
         scale of 0.25-0.5 reserves the remaining fraction of the budget
         for the still-active queue at the cost of more refinement work.
+
+        ``finish_abs_per_vol``: additionally retire a region once its
+        refined error is below ``finish_abs_per_vol * vol_region``
+        (unit-space volume).  The purely relative criterion can never
+        retire a region whose estimate is ~0, so on oscillatory
+        integrands the zero-crossing regions refine forever
+        (two_level.py module docstring).  Retired regions are disjoint
+        and unit volumes sum to <= 1, so the error banked through this
+        term is globally bounded by ``finish_abs_per_vol``; budget it as
+        a fraction of ``epsrel * |integral|`` (the partitioned
+        continuation does this automatically for its slices).  0 = off
+        (reference semantics).
 
         ``fused``: run bursts of adaptive iterations fully on device
         (pagani.fused_loop) whenever the pool fits one bucket below the
@@ -342,6 +368,8 @@ class Workspace:
         import time as _time
         if not (0.0 < finish_epsrel_scale <= 1.0):
             raise ValueError("finish_epsrel_scale must be in (0, 1]")
+        if finish_abs_per_vol < 0.0:
+            raise ValueError("finish_abs_per_vol must be >= 0")
         eps_work = epsrel * finish_epsrel_scale
         ndim = self.ndim
         dtype = self.dtype
@@ -384,7 +412,8 @@ class Workspace:
                 f, ncomp, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
                 max_iterations, initial_regions, recorder,
-                finish_scale=finish_epsrel_scale)
+                finish_scale=finish_epsrel_scale,
+                abs_per_vol=finish_abs_per_vol)
 
         if self.mesh is not None:
             if vegas_assisted or predict_split:
@@ -397,7 +426,8 @@ class Workspace:
                 f, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
                 max_iterations, initial_regions, recorder, fused, ledger,
-                finish_scale=finish_epsrel_scale)
+                finish_scale=finish_epsrel_scale,
+                abs_per_vol=finish_abs_per_vol)
 
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
@@ -432,6 +462,10 @@ class Workspace:
         # accuracy test and the budget-overflow rollback keep the true
         # epsrel (see the finish_epsrel_scale docstring)
         eps_dev = jnp.asarray(eps_work, dtype)
+        # None (not a traced 0) when off: keeps the traced pipeline
+        # byte-identical to the reference semantics in the default path
+        apv_dev = (jnp.asarray(finish_abs_per_vol, dtype)
+                   if finish_abs_per_vol > 0.0 else None)
 
         classifier = HeuristicClassifier(eps_work, epsabs,
                                          self.max_pool_regions)
@@ -485,6 +519,7 @@ class Workspace:
                         jnp.asarray(float(cum.neval), jnp.float64),
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
+                        apv_dev,
                         rule_backend=self.rule_backend,
                         f_axes=self._f_axes,
                         interpret=jax.default_backend() != "tpu")
@@ -576,7 +611,9 @@ class Workspace:
                     global_lo, global_range)
             est, refined, active, scalars_d = _post_stage(
                 effective_relerr, blocked, est_raw, err_raw, n_dev,
-                parent_est, use_refine, eps_dev)
+                parent_est, use_refine, eps_dev,
+                lengths=None if apv_dev is None else lengths,
+                abs_per_vol=apv_dev)
             if predict_split and result_nregions == 0 and it == 15:
                 # pool snapshot (Workspace.cuh:244-248); carries the layout
                 # flag -- blocked pools keep real slots in the first n/2 of
@@ -722,7 +759,7 @@ class Workspace:
     def _integrate_vector(
         self, f, ncomp, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
-        initial_regions, recorder, finish_scale=1.0,
+        initial_regions, recorder, finish_scale=1.0, abs_per_vol=0.0,
     ) -> IntegrationResult:
         """Adaptive loop for vector-valued integrands: f maps (..., ndim)
         -> (..., ncomp).  All components share one point set and one
@@ -735,6 +772,8 @@ class Workspace:
         import time as _time
         ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
         eps_dev = jnp.asarray(epsrel * finish_scale, dtype)
+        apv_dev = (jnp.asarray(abs_per_vol, dtype)
+                   if abs_per_vol > 0.0 else None)
 
         min_cap = self.chunk_size
         if initial_regions is not None:
@@ -792,7 +831,9 @@ class Workspace:
                 n=n_dev, blocked=blocked, ncomp=ncomp)
             est, refined, active, scalars_d = _post_stage_vector(
                 relerr_classification, blocked, ncomp, est_raw, err_raw,
-                n_dev, parent_est, use_refine, eps_dev)
+                n_dev, parent_est, use_refine, eps_dev,
+                lengths=None if apv_dev is None else lengths,
+                abs_per_vol=apv_dev)
             scalars = np.asarray(scalars_d)       # ONE sync per iteration
             iter_est = scalars[0:ncomp].astype(np.float64)
             iter_err = scalars[ncomp:2 * ncomp].astype(np.float64)
@@ -906,6 +947,7 @@ class Workspace:
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, fused, ledger=None, finish_scale=1.0,
+        abs_per_vol=0.0,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
 
@@ -930,6 +972,8 @@ class Workspace:
         D = int(mesh.devices.size)
         ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
         eps_dev = jnp.asarray(epsrel * finish_scale, dtype)
+        apv_dev = (jnp.asarray(abs_per_vol, dtype)
+                   if abs_per_vol > 0.0 else None)
 
         # ---- initial per-shard pools (host NumPy; initial pools are tiny)
         if initial_regions is not None:
@@ -1005,6 +1049,7 @@ class Workspace:
                         jnp.asarray(float(cum.neval), jnp.float64),
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
+                        apv_dev,
                         mesh=mesh)
                 packed = np.asarray(packed_d)     # ONE sync for the burst
                 n = int(packed[0])
@@ -1064,7 +1109,9 @@ class Workspace:
             est, refined, active, mask_b, _ns_act, scalars_d = \
                 S.sharded_post_stage(
                     relerr_classification, blocked, mesh,
-                    est_raw, err_raw, ns, parent_est, use_refine, eps_dev)
+                    est_raw, err_raw, ns, parent_est, use_refine, eps_dev,
+                    lengths=None if apv_dev is None else lengths,
+                    abs_per_vol=apv_dev)
             self.final_pool = ("mesh", lows, lengths, np.asarray(ns),
                                cap_s, blocked)
             self._ledger_excl_pool = (cum.estimate, cum.errorest,
@@ -1321,19 +1368,51 @@ class Workspace:
         while True:
             q_est = sum(w[2] for w in work)
             q_err = sum(w[3] for w in work)
-            if all(w[5] for w in work) and (fin_err + q_err) <= max(
-                    epsrel * abs(fin_est + q_est), epsabs):
+            budget = max(epsrel * abs(fin_est + q_est), epsabs)
+            if all(w[5] for w in work) and (fin_err + q_err) <= budget:
                 status = 0               # certified: banked + EXACT queue
                 break
             if not work or runs >= max_runs or (
                     deadline is not None and _time.monotonic() >= deadline):
                 break                    # honest non-convergence
+            # Dynamic slice targets.  A slice naturally exits once its
+            # error meets the caller's tolerances RELATIVE TO ITS OWN
+            # SIGNED ESTIMATE and banks whatever it achieved.  On
+            # oscillatory integrands the slice estimates dwarf the global
+            # integral (cancellation), so every slice is already
+            # "converged" on its first sweep and banks its stored error
+            # untouched -- the banked sum then overshoots the global
+            # budget with no slice ever refining (the 8D f1_oscillatory
+            # 1e-4 wall: 16 slices banked 4.29e-9 vs the 3.44e-9 budget,
+            # bit-identical under any finish_epsrel_scale).  When the
+            # PROJECTED natural exits cannot meet the global budget,
+            # re-apportion the remaining budget over the queue by
+            # stored-error share and tighten this slice's tolerances to
+            # its share; the volume-apportioned retirement term gives the
+            # zero-crossing regions (which can never pass a relative
+            # test) a sound way to finish inside the share.
+            projected = fin_err + sum(
+                min(w[3], epsrel * abs(w[2])) for w in work)
+            needed = budget - fin_err
+            if projected > budget and needed <= 0:
+                break       # banked alone exceeds the budget: no slice
+                            # can ever certify this run (banked error is
+                            # immutable) -- stop burning evaluations
             lows_i, lengths_i, s_est_i, s_err_i, depth, _exact = \
                 work.pop()
             n_in = lows_i.shape[0]
+            eps_rel_i, eps_abs_i, kw_i = epsrel, epsabs, kw
+            if projected > budget and q_err > 0 and s_err_i > 0:
+                share = 0.8 * (needed / q_err) * s_err_i
+                vol_i = float(np.prod(lengths_i, axis=1).sum())
+                eps_rel_i = min(epsrel, share / max(abs(s_est_i), 1e-300))
+                eps_abs_i = share
+                kw_i = dict(kw)
+                if vol_i > 0.0:
+                    kw_i["finish_abs_per_vol"] = 0.5 * share / vol_i
             r_i = self.integrate(
-                integrand, epsrel, epsabs, vol,
-                initial_regions=(lows_i, lengths_i), **kw)
+                integrand, eps_rel_i, eps_abs_i, vol,
+                initial_regions=(lows_i, lengths_i), **kw_i)
             runs += 1
             iters += r_i.iters
             neval += r_i.neval

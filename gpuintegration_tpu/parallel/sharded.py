@@ -99,33 +99,44 @@ def sharded_reductions(mesh, est, refined, active):
     jax.jit,
     static_argnames=("relerr_classification", "blocked", "mesh"))
 def sharded_post_stage(relerr_classification, blocked, mesh,
-                       est, err, ns, parent_est, use_refine, epsrel):
+                       est, err, ns, parent_est, use_refine, epsrel,
+                       lengths=None, abs_per_vol=None):
     """Per-shard twin of workspace._post_stage: masking, two-level
     refinement and classification run shard-locally through the SAME
     traced pipeline (workspace.iteration_math); the five iteration
     scalars are psum'd into replicated f64 globals.  Also returns the
-    per-shard validity mask (the classifier and the rollback need it)."""
+    per-shard validity mask (the classifier and the rollback need it).
+
+    ``lengths``/``abs_per_vol``: optional volume-apportioned retirement
+    (two_level.refine_error) -- volumes are shard-local products, so the
+    criterion adds zero cross-chip traffic."""
     from gpuintegration_tpu.pagani.workspace import iteration_math
     from gpuintegration_tpu.pagani import region_pool
 
-    def local(e, r, ns_l, par, ur, eps):
+    def local(e, r, ns_l, par, ur, eps, *rest):
         cap_s = e.shape[0]
         n_loc = ns_l[0]
+        ln_l, apv = rest if rest else (None, None)
         (e2, refined, active, i_est, i_err, f_est, f_err,
          n_act) = iteration_math(
-            relerr_classification, blocked, e, r, n_loc, par, ur, eps)
+            relerr_classification, blocked, e, r, n_loc, par, ur, eps,
+            lengths=ln_l, abs_per_vol=apv)
         s = jnp.stack([i_est, i_err, f_est, f_err, n_act]).astype(
             jnp.float64)
         s = jax.lax.psum(s, REGION_AXIS)
         mask = region_pool.block_mask(cap_s, n_loc, blocked)
         return e2, refined, active, mask, n_act[None].astype(jnp.int32), s
 
+    in_specs = (_VEC, _VEC, _VEC, _VEC, P(), P())
+    args = (est, err, ns, parent_est, use_refine, epsrel)
+    if abs_per_vol is not None:
+        in_specs += (_POOL, P())
+        args += (lengths, abs_per_vol)
     fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(_VEC, _VEC, _VEC, _VEC, P(), P()),
+        local, mesh=mesh, in_specs=in_specs,
         out_specs=(_VEC, _VEC, _VEC, _VEC, _VEC, P()),
         check_vma=False)
-    return fn(est, err, ns, parent_est, use_refine, epsrel)
+    return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))

@@ -179,6 +179,26 @@ class TestTwoLevelError:
                                  epsrel=1e-3, relerr_classification=False)
         np.testing.assert_array_equal(np.asarray(active), [1.0, 1.0])
 
+    def test_volume_apportioned_retirement(self):
+        """A zero-estimate (zero-crossing) region can NEVER pass the
+        relative finished test; the volume-apportioned absolute term
+        retires it once refined < abs_per_vol * vol (two_level.py module
+        docstring -- the oscillatory certificate-wall mechanism)."""
+        est = jnp.asarray([0.0, 0.0], jnp.float64)
+        err = jnp.asarray([1e-9, 1e-9], jnp.float64)
+        parents = jnp.asarray([0.0], jnp.float64)
+        vols = jnp.asarray([1e-3, 1e-12], jnp.float64)
+        # relative-only: zero-estimate regions stay active forever
+        _, active = refine_error(est, err, parents, jnp.asarray(2),
+                                 epsrel=1e-3)
+        np.testing.assert_array_equal(np.asarray(active), [1.0, 1.0])
+        # volume term: region 0 (1e-9 < 1e-4 * 1e-3) retires; region 1's
+        # bound (1e-4 * 1e-12) is below its error -> stays active
+        _, active = refine_error(est, err, parents, jnp.asarray(2),
+                                 epsrel=1e-3, volumes=vols,
+                                 abs_per_vol=1e-4)
+        np.testing.assert_array_equal(np.asarray(active), [0.0, 1.0])
+
     def test_padding_masked(self):
         # blocked layout, n=2: real children at slot 0 (left block) and
         # slot 2 (right block); slots 1 and 3 are padding.

@@ -486,6 +486,52 @@ class TestContinuation:
             ws.integrate(g, finish_epsrel_scale=0.0)
         with pytest.raises(ValueError):
             ws.integrate(g, finish_epsrel_scale=1.5)
+        with pytest.raises(ValueError):
+            ws.integrate(g, finish_abs_per_vol=-1.0)
+
+    def test_finish_abs_per_vol_host_fused_equal(self):
+        """The volume-apportioned retirement term must (a) retire regions
+        earlier than the relative-only criterion (fewer total regions for
+        the same certified result), (b) keep the certificate honest, and
+        (c) run bit-identically through the host and fused loops (it sits
+        inside the shared iteration_math pipeline)."""
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        r0 = ws.integrate(g, epsrel=1e-5, epsabs=1e-40, fused=False)
+        apv = 1e-9   # well under epsrel * |I| ~ 1.1e-7: sound budget
+        r1 = ws.integrate(g, epsrel=1e-5, epsabs=1e-40, fused=False,
+                          finish_abs_per_vol=apv)
+        r2 = ws.integrate(g, epsrel=1e-5, epsabs=1e-40, fused=True,
+                          finish_abs_per_vol=apv)
+        for r in (r0, r1, r2):
+            assert r.status == 0
+            assert abs(r.estimate - g.true_value) <= max(
+                r.errorest, 1e-6 * abs(g.true_value))
+        assert r1.nregions < r0.nregions          # earlier retirement
+        assert r1.estimate == r2.estimate          # host == fused
+        assert r1.errorest == r2.errorest
+        assert r1.nregions == r2.nregions
+
+    def test_oscillatory_wall_certified_by_dynamic_slice_targets(self):
+        """The oscillatory certificate wall (docs/VALIDATION.md section 2b):
+        every continuation slice is already 'converged' relative to its
+        own signed estimate (slice estimates dwarf the global integral
+        through cancellation), so with caller tolerances the slices bank
+        their stored errors untouched and the banked sum overshoots the
+        global budget -- bit-identically under any finish_epsrel_scale.
+        The dynamic slice targets re-apportion the remaining budget by
+        stored-error share and tighten each slice to its share (with the
+        volume term giving zero-crossing regions a sound exit), which
+        must carry this run to an honest certificate."""
+        g = genz.f1_oscillatory(3, coeffs=[7.0, 8.0, 9.0])
+        ws = Workspace(3, max_pool_regions=2048, chunk_size=128)
+        r = ws.integrate_to_convergence(g, epsrel=1e-7, epsabs=1e-40,
+                                        max_wall_s=300)
+        assert r.status == 0
+        cert = r.errorest / abs(r.estimate)
+        assert 0 < cert <= 1e-7
+        rel = abs(r.estimate - g.true_value) / abs(g.true_value)
+        assert rel <= max(cert, 1e-8), (rel, cert)
 
     def test_finish_scale_tightens_retirement_only(self, monkeypatch):
         """finish_epsrel_scale must reach the two-level classification as
@@ -498,9 +544,9 @@ class TestContinuation:
         seen = []
         orig = W._post_stage
 
-        def spy(*args):
+        def spy(*args, **kwargs):
             seen.append(float(args[-1]))   # eps_dev (last positional)
-            return orig(*args)
+            return orig(*args, **kwargs)
 
         monkeypatch.setattr(W, "_post_stage", spy)
         g = genz.f4_gaussian(3, a=8.0)
