@@ -84,6 +84,12 @@ def main(argv=None):
                     help="retire regions at epsrel*SCALE while certifying "
                          "at epsrel (reserves error-budget headroom for "
                          "deep rungs; see Workspace.integrate)")
+    sp.add_argument("--finish-abs-per-vol", type=float, default=0.0,
+                    help="also retire a region once its error is below "
+                         "VALUE*vol_region (volume-apportioned absolute "
+                         "term -- gives zero-crossing regions of "
+                         "oscillatory integrands a sound exit; banked "
+                         "total is bounded by VALUE)")
     sp = sub.add_parser("mcubes", parents=[common],
                         help="VEGAS Monte Carlo (mcubes_time_and_call analogue)")
     sp.add_argument("--ncall", type=float, default=1e6)
@@ -150,6 +156,8 @@ def main(argv=None):
         extra = {}
         if args.finish_scale != 1.0:
             extra["finish_epsrel_scale"] = args.finish_scale
+        if args.finish_abs_per_vol > 0.0:
+            extra["finish_abs_per_vol"] = args.finish_abs_per_vol
         good = timing.clean_time_and_call(
             args.integrand, g, args.epsrel, truth, sys.stdout,
             ndim=ndim, vol=vol, epsabs=args.epsabs,
