@@ -37,19 +37,26 @@ from gpuintegration_tpu.pagani import region_pool  # noqa: E402
 BASELINE_EVALS_PER_SEC = 1.0e9
 
 
-def bench_one(gf, ndim=8, chunk=1 << 13, inner=30, dtype="float64"):
+def bench_one(gf, ndim=8, pool=1 << 13, inner=30, dtype="float64",
+              chunk_size=None):
+    """Best-pass rule throughput over one padded pool of ``pool`` regions.
+
+    ``chunk_size`` bounds the (chunk, feval) intermediate via lax.map for
+    pools past the single-dispatch memory budget; every pool slot is
+    evaluated, so pool*feval/time is the honest rate."""
     f, _ = make_integrand(gf, ndim)
     tables = rule_eval.rule_tables(ndim, dtype)
     dt = jnp.dtype(dtype)
     gl = jnp.zeros(ndim, dt)
     gr = jnp.ones(ndim, dt)
-    lo, ln, _ = region_pool.uniform_split(ndim, 2, chunk, dt)
+    lo, ln, _ = region_pool.uniform_split(ndim, 2, pool, dt)
 
     @jax.jit
     def loop(lo0):
         def body(i, carry):
             lo_c, acc = carry
-            est, err, sd = rule_eval.apply_rule(f, tables, lo_c, ln, gl, gr)
+            est, err, sd = rule_eval.apply_rule(f, tables, lo_c, ln, gl, gr,
+                                                chunk_size=chunk_size)
             s = jnp.sum(est)
             # carried dependency defeats launch memoisation / overlap
             return (lo_c + s * 1e-30, acc + s)
@@ -61,7 +68,17 @@ def bench_one(gf, ndim=8, chunk=1 << 13, inner=30, dtype="float64"):
         t0 = time.perf_counter()
         jax.block_until_ready(loop(lo))
         best = min(best, (time.perf_counter() - t0) / inner)
-    return chunk * tables.feval / best
+    return pool * tables.feval / best
+
+
+# Pool-size sweep, best kept per integrand: the reference's throughput
+# probe sweeps splits_per_dim 5..15 over pools up to 35e6 regions and
+# its CSV keeps the best pass (new_time_and_call.cuh:30-70); f64
+# throughput saturates past ~1M regions (docs/results/rule_throughput.csv),
+# so one small pool (dispatch-bound regime) + one 2M pool (saturated,
+# chunked through the same 8192-region kernel the adaptive loop uses)
+# brackets the sweep.
+_POOL_SWEEP = ((1 << 13, 30, None), (1 << 21, 2, 1 << 13))
 
 
 def bench_suite(ndim=8):
@@ -72,7 +89,9 @@ def bench_suite(ndim=8):
         "f5_c0": genz.f5_c0_continuous(ndim),
         "f6_discontinuous": genz.f6_discontinuous(ndim),
     }
-    return {name: bench_one(g, ndim) for name, g in suite.items()}
+    return {name: max(bench_one(g, ndim, pool=p, inner=i, chunk_size=c)
+                      for p, i, c in _POOL_SWEEP)
+            for name, g in suite.items()}
 
 
 def bench_vegas(ndim=6, ncall=1e7, importance="poly"):
@@ -89,10 +108,12 @@ def bench_vegas(ndim=6, ncall=1e7, importance="poly"):
     return r.neval / dt, rel
 
 
-def bench_pallas(ndim=8, chunk=1 << 13, inner=30):
+def bench_pallas(ndim=8, inner=30):
     """f32 Pallas fused rule kernel throughput (the recommended f32 path:
-    VMEM-resident point-gen + integrand + contraction, measured ~2.9x the
-    XLA f32 path -- docs/DESIGN.md section 7)."""
+    VMEM-resident point-gen + integrand + contraction -- docs/DESIGN.md
+    section 7).  Same pool-size sweep as the f64 headline: the kernel is
+    grid-launch-bound at small pools (8.4e9 evals/s at 8k regions) and
+    saturates past ~1M (5.1e10, docs/results/rule_throughput.csv)."""
     from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
 
     def g8(*xs):
@@ -105,26 +126,31 @@ def bench_pallas(ndim=8, chunk=1 << 13, inner=30):
     tables = rule_eval.rule_tables(ndim, "float32")
     gl = jnp.zeros(ndim, dt)
     gr = jnp.ones(ndim, dt)
-    lo, ln, _ = region_pool.uniform_split(ndim, 2, chunk, dt)
 
-    @jax.jit
-    def loop(lo0):
-        def body(i, carry):
-            lo_c, acc = carry
-            est, _, _ = pallas_apply_rule(g8, ndim, lo_c, ln, gl, gr,
-                                          interpret=False)
-            s = jnp.sum(est)
-            return (lo_c + s * 1e-30, acc + s)
-        return jax.lax.fori_loop(0, inner, body, (lo0, jnp.zeros((), dt)))
+    def one(pool, inner):
+        lo, ln, _ = region_pool.uniform_split(ndim, 2, pool, dt)
 
-    jax.block_until_ready(loop(lo))
-    best = float("inf")
-    for i in range(3):
-        lo_i = lo * (1.0 + (i + 1) * 1e-6)
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(lo_i))
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return chunk * tables.feval / best
+        @jax.jit
+        def loop(lo0):
+            def body(i, carry):
+                lo_c, acc = carry
+                est, _, _ = pallas_apply_rule(g8, ndim, lo_c, ln, gl, gr,
+                                              interpret=False)
+                s = jnp.sum(est)
+                return (lo_c + s * 1e-30, acc + s)
+            return jax.lax.fori_loop(0, inner, body,
+                                     (lo0, jnp.zeros((), dt)))
+
+        jax.block_until_ready(loop(lo))
+        best = float("inf")
+        for i in range(3):
+            lo_i = lo * (1.0 + (i + 1) * 1e-6)
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(lo_i))
+            best = min(best, (time.perf_counter() - t0) / inner)
+        return pool * tables.feval / best
+
+    return max(one(1 << 13, inner), one(1 << 21, 4))
 
 
 def bench_vegas_pallas(ndim=6, ncall=1e9, iters=10):
