@@ -58,9 +58,11 @@ def main(out_path=None):
                 # the banked finished-error mass cannot consume the whole
                 # certificate budget (retirement marginality,
                 # docs/DESIGN.md section 3a); shallower rungs don't need
-                # the extra refinement work
-                extra = ({"finish_epsrel_scale": 0.4}
-                         if epsrel <= 1e-6 else {})
+                # the extra refinement work.  (The dynamic slice targets
+                # for cancelling integrands are built into the
+                # continuation and need no knob.)
+                scaled = epsrel <= 1e-6
+                extra = {"finish_epsrel_scale": 0.4} if scaled else {}
                 good = timing.clean_time_and_call(
                     name, g, epsrel, g.true_value, fh, ndim=ndim,
                     runs_per_epsrel=1, workspace=ws, continuation=True,
@@ -68,6 +70,20 @@ def main(out_path=None):
                 print(f"# {name} eps={epsrel:.3e} good={good} "
                       f"wall={time.time() - t0:.0f}s",
                       file=sys.stderr, flush=True)
+                if not good and not scaled:
+                    # retry the rung once with tighter retirement before
+                    # declaring the floor -- the f1 1e-5 rung needs it
+                    # (marginality sits at the main-phase bank there)
+                    left = case_budget_s - (time.time() - t_case)
+                    if left > 60.0:
+                        print(f"# {name} eps={epsrel:.3e} retry s=0.4",
+                              file=sys.stderr, flush=True)
+                        good = timing.clean_time_and_call(
+                            name, g, epsrel, g.true_value, fh, ndim=ndim,
+                            runs_per_epsrel=1, workspace=ws,
+                            continuation=True,
+                            max_wall_s=min(900.0, left),
+                            finish_epsrel_scale=0.4)
                 if not good:
                     break
                 achieved = epsrel
