@@ -573,6 +573,30 @@ class TestContinuation:
         rel = abs(r.estimate - g.true_value) / abs(g.true_value)
         assert rel <= max(cert, 1e-7), (rel, cert)
 
+    def test_continuation_hopeless_banked_budget_exits_fast(self):
+        """When the checkpoint's already-banked error alone exceeds the
+        global budget, no slice can ever certify (banked error is
+        immutable) -- the continuation must exit status 1 without
+        evaluating anything instead of burning its run budget."""
+        from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        from gpuintegration_tpu.types import IntegrationResult
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=256)
+        n = 8
+        ck = PaganiCheckpoint(
+            lows=np.full((n, 3), 0.25), lengths=np.full((n, 3), 0.25),
+            estimate=1.0, errorest=1e-3,       # banked 1e-3 >> budget
+            nregions=100, iters=5, neval=1000,
+            region_estimates=np.full(n, 1e-6),
+            region_errorests=np.full(n, 1e-9))
+        last = IntegrationResult(estimate=1.0, errorest=1e-3, status=1,
+                                 nregions=100, iters=5, neval=1000)
+        r = ws._partitioned_continuation(
+            g, 1e-6, 1e-40, None, ck, last, rounds_left=8)
+        assert r.status == 1
+        assert r.neval == 1000          # nothing new evaluated
+        assert r.errorest >= 1e-3       # banked + queue, honest
+
     def test_make_slices_exactness_flags(self):
         """Slices cut from a per-region stash are exact (certifiable);
         apportioned slices are flagged inexact so the global certificate
