@@ -19,8 +19,8 @@ f1_oscillatory certificate wall, docs/VALIDATION.md section 2b).  Retired
 regions are disjoint and their unit-space volumes sum to <= 1, so the
 error banked through this term is globally bounded by ``abs_per_vol``
 -- callers budget it as a fraction of epsrel*|integral| (see
-Workspace.integrate(finish_abs_per_vol=) and
-integrate_to_convergence(finish_vol_scale=)).
+Workspace.integrate(finish_abs_per_vol=); the partitioned
+continuation's dynamic slice targets set it automatically).
 """
 from __future__ import annotations
 
@@ -78,8 +78,11 @@ def refine_error(
         floor = max(1e-200, float(np.finfo(estimates.dtype).tiny))
         max_err = jnp.maximum(epsrel * jnp.abs(self_res), floor)
         if abs_per_vol is not None:
-            # volume-apportioned absolute retirement (module docstring);
-            # padded slots have vol 0, so the term never un-masks them
+            # volume-apportioned absolute retirement (module docstring).
+            # Padded slots replicate region 0's volume (workspace pads by
+            # broadcasting), so this CAN mark them finished -- harmless
+            # only because `active` is gated on `mask` below; never bank
+            # off `finished` alone.
             max_err = jnp.maximum(max_err, abs_per_vol * volumes)
         finished = refined < max_err
     else:

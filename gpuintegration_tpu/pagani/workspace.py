@@ -1392,20 +1392,33 @@ class Workspace:
             # zero-crossing regions (which can never pass a relative
             # test) a sound way to finish inside the share.
             projected = fin_err + sum(
-                min(w[3], epsrel * abs(w[2])) for w in work)
+                min(w[3], max(epsrel * abs(w[2]), epsabs)) for w in work)
             needed = budget - fin_err
-            if projected > budget and needed <= 0:
-                break       # banked alone exceeds the budget: no slice
-                            # can ever certify this run (banked error is
-                            # immutable) -- stop burning evaluations
-            lows_i, lengths_i, s_est_i, s_err_i, depth, _exact = \
+            # Hopeless-banked-budget exit.  The banked error is immutable
+            # but the BUDGET is not: refining slices moves the queue
+            # estimate and with it epsrel*|fin_est + q_est|.  The stored
+            # queue error bounds that motion, so the run is provably
+            # uncertifiable only once the bank exceeds the best budget any
+            # refinement could reach -- then stop without evaluating.
+            best_budget = max(
+                epsrel * (abs(fin_est + q_est) + q_err), epsabs)
+            if fin_err > best_budget:
+                break
+            lows_i, lengths_i, s_est_i, s_err_i, depth, exact = \
                 work.pop()
             n_in = lows_i.shape[0]
             eps_rel_i, eps_abs_i, kw_i = epsrel, epsabs, kw
-            if projected > budget and q_err > 0 and s_err_i > 0:
+            if projected > budget and needed > 0 and q_err > 0 \
+                    and s_err_i > 0:
                 share = 0.8 * (needed / q_err) * s_err_i
                 vol_i = float(np.prod(lengths_i, axis=1).sum())
-                eps_rel_i = min(epsrel, share / max(abs(s_est_i), 1e-300))
+                # an apportioned (inexact) slice's stored estimate is a
+                # uniform share, not its own: a relative tolerance derived
+                # from it can overshoot the share arbitrarily, so inexact
+                # slices get a purely absolute target (share + volume term)
+                eps_rel_i = (
+                    min(epsrel, share / max(abs(s_est_i), 1e-300))
+                    if exact else 0.0)
                 eps_abs_i = share
                 kw_i = dict(kw)
                 if vol_i > 0.0:

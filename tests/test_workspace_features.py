@@ -597,6 +597,38 @@ class TestContinuation:
         assert r.neval == 1000          # nothing new evaluated
         assert r.errorest >= 1e-3       # banked + queue, honest
 
+    def test_continuation_growing_budget_is_not_hopeless(self):
+        """The hopeless exit must account for budget GROWTH: the global
+        budget epsrel*|fin_est + q_est| moves as slices refine the queue
+        estimate, bounded by the queue's stored error.  When the bank
+        exceeds the current budget but NOT the best reachable budget
+        (fin_err <= epsrel*(|fin_est+q_est| + q_err)), the continuation
+        must keep evaluating rather than exit on the biased-low estimate.
+        (Regression: the exit used to fire off the current budget alone.)"""
+        from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        from gpuintegration_tpu.types import IntegrationResult
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=256)
+        n = 8
+        # bank 1.05e-6 > current budget ~1e-6, but the queue's stored
+        # error (8 * 0.0625 = 0.5) admits budgets up to ~1.5e-6
+        ck = PaganiCheckpoint(
+            lows=np.full((n, 3), 0.25), lengths=np.full((n, 3), 0.25),
+            estimate=1.0, errorest=1.05e-6,
+            nregions=100, iters=5, neval=1000,
+            region_estimates=np.zeros(n),
+            region_errorests=np.full(n, 0.0625))
+        last = IntegrationResult(estimate=1.0, errorest=1.05e-6 + 0.5,
+                                 status=1, nregions=100, iters=5,
+                                 neval=1000)
+        r = ws._partitioned_continuation(
+            g, 1e-6, 1e-40, None, ck, last, rounds_left=8)
+        assert r.neval > 1000           # slices WERE evaluated
+        # the 8 identical regions integrate to ~1.09e-2, lifting the
+        # budget to ~1.011e-6 -- still below the immutable 1.05e-6 bank,
+        # so the honest outcome remains non-certified
+        assert r.status == 1
+
     def test_make_slices_exactness_flags(self):
         """Slices cut from a per-region stash are exact (certifiable);
         apportioned slices are flagged inexact so the global certificate
