@@ -156,7 +156,9 @@ def main(argv=None):
         extra = {}
         if args.finish_scale != 1.0:
             extra["finish_epsrel_scale"] = args.finish_scale
-        if args.finish_abs_per_vol > 0.0:
+        if args.finish_abs_per_vol != 0.0:
+            # pass negatives through so Workspace.integrate's validation
+            # rejects them loudly instead of silently disabling the feature
             extra["finish_abs_per_vol"] = args.finish_abs_per_vol
         good = timing.clean_time_and_call(
             args.integrand, g, args.epsrel, truth, sys.stdout,

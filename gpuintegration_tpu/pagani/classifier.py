@@ -169,7 +169,9 @@ class HeuristicClassifier:
         0.1 steps first, then active share 0.5 -> 0.7."""
         table = np.asarray(_ladder_probe(errorests, mask, k))
         ts, counts, kept = table[0], table[1], table[2]
-        target_error = abs(self._estimates[2]) * self.epsrel
+        # budget = max(epsrel*|est|, epsabs), matching accuracy_reached
+        # (epsabs-dominated runs: the continuation's absolute slice targets)
+        target_error = max(abs(self._estimates[2]) * self.epsrel, self.epsabs)
         error_budget = target_error - total_finished_errorest
         extra = iter_errorest - kept - iter_finished_errorest   # (K,)
         pct_active = counts / num_regions
@@ -220,7 +222,9 @@ class HeuristicClassifier:
         hi = float(jnp.nanmax(masked))
         threshold = iter_errorest / num_regions
         rng_lo, rng_hi = lo, hi
-        target_error = abs(self._estimates[2]) * self.epsrel
+        # budget = max(epsrel*|est|, epsabs), matching accuracy_reached
+        # (epsabs-dominated runs: the continuation's absolute slice targets)
+        target_error = max(abs(self._estimates[2]) * self.epsrel, self.epsabs)
 
         num_inc = num_dec = 0
         best_flags = None

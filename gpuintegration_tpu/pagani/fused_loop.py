@@ -189,8 +189,11 @@ def fused_adaptive_phase(
                 tot_err <= epsabs)
 
             # error-budget-overflow rollback (Workspace.cuh:121-146) --
-            # a GLOBAL decision applied to every shard's flags
-            overflow = (cum_r + fin_err) > jnp.abs(tot_est) * epsrel
+            # a GLOBAL decision applied to every shard's flags; the budget
+            # includes the epsabs term (host-loop equivalence: epsabs-
+            # dominated runs would otherwise roll back on any banked error)
+            overflow = (cum_r + fin_err) > jnp.maximum(
+                jnp.abs(tot_est) * epsrel, epsabs)
             mask = region_pool.block_mask(cap, n_loc, True)
             all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
             active = jnp.where(overflow, all_act, active)

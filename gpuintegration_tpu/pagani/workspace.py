@@ -660,9 +660,16 @@ class Workspace:
             classifier.store_estimate(cum.estimate + iter_est)
 
             # -- error-budget-overflow rollback (Workspace.cuh:121-146) -----
+            # The budget is max(epsrel*|est|, epsabs) -- the same test
+            # accuracy_reached applies.  The reference omits the epsabs
+            # term (its demos are epsrel-driven); here epsabs-dominated
+            # runs are real (the partitioned continuation hands inexact
+            # slices a purely absolute share target with epsrel=0), and
+            # an epsrel-only rollback would fire on ANY banked error,
+            # un-retiring every region each iteration.
             leaves_est = cum.estimate + iter_est
             leaves_fin_err = cum.errorest + finished_err
-            if leaves_fin_err > abs(leaves_est) * epsrel:
+            if leaves_fin_err > max(abs(leaves_est) * epsrel, epsabs):
                 active = _all_active(active, n_dev, blocked)
                 finished_est = 0.0
                 finished_err = 0.0
@@ -1142,10 +1149,11 @@ class Workspace:
 
             classifier.store_estimate(cum.estimate + iter_est)
 
-            # error-budget-overflow rollback (Workspace.cuh:121-146)
+            # error-budget-overflow rollback (Workspace.cuh:121-146);
+            # budget includes the epsabs term -- see the host loop's note
             leaves_est = cum.estimate + iter_est
             leaves_fin_err = cum.errorest + finished_err
-            if leaves_fin_err > abs(leaves_est) * epsrel:
+            if leaves_fin_err > max(abs(leaves_est) * epsrel, epsabs):
                 active = jnp.where(mask_b, 1.0, 0.0).astype(dtype)
                 finished_est = finished_err = 0.0
                 n_active = n

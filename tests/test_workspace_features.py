@@ -512,6 +512,29 @@ class TestContinuation:
         assert r1.errorest == r2.errorest
         assert r1.nregions == r2.nregions
 
+    def test_absolute_target_run_banks_regions(self):
+        """epsabs-dominated run (epsrel=0): the error-budget-overflow
+        rollback must use max(epsrel*|est|, epsabs) -- the same budget as
+        accuracy_reached.  With an epsrel-only rollback ANY positive
+        banked error rolls back every retirement each iteration, so the
+        volume-apportioned absolute targets the partitioned continuation
+        hands its inexact slices (eps_rel_i=0, epsabs=share) could never
+        bank a region and burned to the pool wall instead.  Regression:
+        confirmed broken before the fix (nFinishedRegions stayed 0)."""
+        g = genz.f1_oscillatory(3, coeffs=[7.0, 8.0, 9.0])
+        ws = Workspace(3, chunk_size=1024)
+        epsabs = 1e-7
+        rs = [ws.integrate(g, epsrel=0.0, epsabs=epsabs, fused=fused,
+                           finish_abs_per_vol=0.5 * epsabs)
+              for fused in (False, True)]
+        for r in rs:
+            assert r.status == 0
+            assert r.nFinishedRegions > 0     # retirement actually banked
+            assert abs(r.estimate - g.true_value) <= max(
+                r.errorest, epsabs)
+        assert rs[0].estimate == rs[1].estimate   # host == fused
+        assert rs[0].nregions == rs[1].nregions
+
     def test_oscillatory_wall_certified_by_dynamic_slice_targets(self):
         """The oscillatory certificate wall (docs/VALIDATION.md section 2b):
         every continuation slice is already 'converged' relative to its
