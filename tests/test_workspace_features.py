@@ -652,6 +652,36 @@ class TestContinuation:
         # so the honest outcome remains non-certified
         assert r.status == 1
 
+    def test_continuation_inexact_slice_absolute_target_certifies(self):
+        """End-to-end drive of the INEXACT-slice dynamic-target branch:
+        a checkpoint with no per-region stash (mesh/fused exits) yields
+        apportioned slices; with banked error below the epsabs budget but
+        projected natural exits above it, the branch hands the slice a
+        purely absolute target (eps_rel_i=0, epsabs=share,
+        finish_abs_per_vol) -- which must produce an honest certified
+        result.  (Regression: with the epsrel-only rollback this path
+        could never bank a region.)"""
+        from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+        from gpuintegration_tpu.types import IntegrationResult
+        g = genz.f1_oscillatory(3, coeffs=[7.0, 8.0, 9.0])
+        ws = Workspace(3, chunk_size=256)
+        # 8 octants covering the unit cube, no per-region stash
+        lows = np.array([[i & 1, (i >> 1) & 1, (i >> 2) & 1]
+                         for i in range(8)]) * 0.5
+        ck = PaganiCheckpoint(
+            lows=lows, lengths=np.full((8, 3), 0.5),
+            estimate=0.0, errorest=0.5e-4,   # banked: below the budget
+            nregions=100, iters=5, neval=1000)
+        last = IntegrationResult(estimate=float(g.true_value),
+                                 errorest=0.5e-4 + 1.0, status=1,
+                                 nregions=100, iters=5, neval=1000)
+        r = ws._partitioned_continuation(
+            g, 0.0, 1e-4, None, ck, last, rounds_left=8)
+        assert r.neval > 1000              # the slice WAS evaluated
+        assert r.status == 0               # certified off the share
+        assert r.errorest <= 1e-4
+        assert abs(r.estimate - g.true_value) <= max(r.errorest, 1e-4)
+
     def test_make_slices_exactness_flags(self):
         """Slices cut from a per-region stash are exact (certifiable);
         apportioned slices are flagged inexact so the global certificate
