@@ -1,0 +1,63 @@
+"""Deep-tolerance hardware run of the 6D cluster-likelihood workload.
+
+The reference's production story is physics integrands driven to tight
+tolerances (its demos: cuda/pagani/demos/hybrid.cu cross-check pattern,
+test_cpu_vs_gpu.cu CPU/GPU agreement).  The suite already validates this
+model at 3e-4 on the CPU mesh (tests/test_physics_model.py); this script
+records the PRODUCTION regime on the real TPU: PAGANI carried to 1e-6
+via the continuation driver, VEGAS cross-check within combined errors.
+
+Usage:  python docs/results/run_physics_deep.py
+Appends a row to physics_deep.csv (clean_time_and_call schema; the
+closed form is unknown, so true_value records the PAGANI estimate and
+the cross-check is the VEGAS agreement printed as a comment row).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from gpuintegration_tpu import Workspace                 # noqa: E402
+from gpuintegration_tpu.mcubes import vegas as V         # noqa: E402
+from gpuintegration_tpu.models.physics import ClusterLikelihood  # noqa: E402
+from gpuintegration_tpu.utils import timing              # noqa: E402
+
+
+def main(out_path=None):
+    out_path = out_path or os.path.join(
+        os.path.dirname(__file__), "physics_deep.csv")
+    model = ClusterLikelihood()
+    ws = Workspace(6)
+    t0 = time.time()
+    res = ws.integrate_to_convergence(model, epsrel=1e-6, epsabs=1e-40,
+                                      max_wall_s=1200.0)
+    wall = time.time() - t0
+    t1 = time.time()
+    rv = V.integrate(model, epsrel=1e-4, ncall=5e7, total_iters=15,
+                     adjust_iters=10, skip_iters=5, seed=7)
+    wall_v = time.time() - t1
+    agree = abs(res.estimate - rv.estimate) <= 3 * (res.errorest
+                                                    + rv.errorest)
+    need_header = not os.path.exists(out_path) \
+        or os.path.getsize(out_path) == 0
+    with open(out_path, "a") as fh:
+        if need_header:
+            print(timing.PAGANI_CSV_HEADER, file=fh, flush=True)
+        print(f"cluster_likelihood_6d,6,xla,{res.estimate:.15e},1e-06,"
+              f"1e-40,{res.estimate:.15e},{res.errorest:.15e},"
+              f"{res.nregions},{res.nFinishedRegions},{res.iters},"
+              f"{res.status},{wall * 1e3}", file=fh, flush=True)
+        print(f"# vegas cross-check: est={rv.estimate:.15e} "
+              f"err={rv.errorest:.3e} chi2={rv.chi_sq:.3f} "
+              f"status={rv.status} wall={wall_v:.0f}s "
+              f"agree_3sigma={agree}", file=fh, flush=True)
+    print(f"pagani: est={res.estimate:.9e} err={res.errorest:.3e} "
+          f"status={res.status} wall={wall:.0f}s nregions={res.nregions}")
+    print(f"vegas:  est={rv.estimate:.9e} err={rv.errorest:.3e} "
+          f"status={rv.status} agree={agree}")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
