@@ -63,6 +63,37 @@ def _locate(knots: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.clip(idx, 0, knots.shape[0] - 2)
 
 
+# Knot-count ceilings under which the dense hat-basis contraction (a
+# (batch, K) matmul against the table) is used instead of searchsorted +
+# dynamic gathers.  On the TPU runtime, eval-batch-sized dynamic gathers
+# serialize (~1 s per 8M-element f64 gather) and the searchsorted/gather
+# integrand path has crashed the axon worker outright; a K-wide dense
+# contraction rides the MXU instead.  Above these ceilings the per-point
+# flop cost of the dense form outgrows the gather cost and the gather
+# path is kept.
+_DENSE_MAX_1D = 4096
+_DENSE_MAX_2D = 16384     # nx * ny cells
+_DENSE_MAX_3D = 65536     # nx * ny * nz cells
+
+
+def _hat_weights(knots: jax.Array, x: jax.Array) -> jax.Array:
+    """Partition-of-unity linear hat weights, shape ``x.shape + (K,)``.
+
+    ``sum_k w_k(x) * z_k`` equals clamped piecewise-linear interpolation
+    of ``(knots, z)`` for x inside [knots[0], knots[-1]] (callers clamp
+    first).  Exactly two weights are nonzero per point; at a knot the
+    weight is exactly 1 so knot values reproduce bitwise.  Dense form of
+    the reference's search-then-lerp (Interp1D.cuh:55-120), chosen so
+    interpolated integrands lower to matmuls rather than per-point
+    gathers on TPU."""
+    lo = jnp.concatenate([knots[:1] - 1.0, knots[:-1]])   # knots[k-1]
+    hi = jnp.concatenate([knots[1:], knots[-1:] + 1.0])   # knots[k+1]
+    xk = x[..., None]
+    rising = (xk - lo) / (knots - lo)
+    falling = (hi - xk) / (hi - knots)
+    return jnp.clip(jnp.minimum(rising, falling), 0.0, 1.0)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Interp1D:
@@ -100,8 +131,14 @@ class Interp1D:
 
     def __call__(self, x):
         """Clamped evaluation (the reference's operator() clamps out-of-
-        range queries to the edge values, Interp1D.cuh clamp/do_clamp)."""
-        return self.eval(self.clamp(jnp.asarray(x, jnp.float64)))
+        range queries to the edge values, Interp1D.cuh clamp/do_clamp).
+
+        Small tables evaluate gather-free via the dense hat contraction
+        (see _hat_weights); large tables fall back to search + gather."""
+        xc = self.clamp(jnp.asarray(x, jnp.float64))
+        if self.xs.shape[0] <= _DENSE_MAX_1D:
+            return _hat_weights(self.xs, xc) @ self.zs
+        return self.eval(xc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
     @classmethod
@@ -177,6 +214,11 @@ class Interp2D:
         x = jnp.asarray(x, jnp.float64)
         y = jnp.asarray(y, jnp.float64)
         xc, yc = self.clamp(x, y)
+        nx, ny = self.xs.shape[0], self.ys.shape[0]
+        if nx * ny <= _DENSE_MAX_2D:
+            wx = _hat_weights(self.xs, xc)            # (..., nx)
+            wy = _hat_weights(self.ys, yc)            # (..., ny)
+            return jnp.sum((wx @ self.zs.T) * wy, axis=-1)
         return self.eval(xc, yc)
 
     def tree_flatten(self):
@@ -217,6 +259,17 @@ class Interp3D:
         x = jnp.clip(jnp.asarray(x, jnp.float64), self.xs[0], self.xs[-1])
         y = jnp.clip(jnp.asarray(y, jnp.float64), self.ys[0], self.ys[-1])
         z = jnp.clip(jnp.asarray(z, jnp.float64), self.zs[0], self.zs[-1])
+        nx, ny, nz = (self.xs.shape[0], self.ys.shape[0], self.zs.shape[0])
+        if nx * ny * nz <= _DENSE_MAX_3D:
+            wx = _hat_weights(self.xs, x)             # (..., nx)
+            wy = _hat_weights(self.ys, y)             # (..., ny)
+            wz = _hat_weights(self.zs, z)             # (..., nz)
+            t = jnp.einsum("...i,kji->...kj", wx, self.vals)
+            t = jnp.sum(t * wy[..., None, :], axis=-1)   # (..., nz)
+            return jnp.sum(t * wz, axis=-1)
+        return self.eval(x, y, z)
+
+    def eval(self, x, y, z):
         i = _locate(self.xs, x)
         j = _locate(self.ys, y)
         k = _locate(self.zs, z)

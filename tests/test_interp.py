@@ -122,6 +122,57 @@ class TestStatefulIntegrand:
         assert float(it2(0.5)) == pytest.approx(2.5)
 
 
+class TestDenseGatherEquivalence:
+    """__call__ routes small tables through the gather-free hat-basis
+    contraction (TPU-safe); it must agree with the search+gather eval()
+    to fp roundoff on random non-uniform grids, including at knots and
+    clamped points."""
+
+    def test_1d(self):
+        rng = np.random.default_rng(0)
+        xs = np.sort(rng.uniform(-3, 5, 33))
+        zs = rng.normal(size=33)
+        it = Interp1D(xs, zs)
+        q = np.concatenate([rng.uniform(-4, 6, 257), xs])
+        dense = np.asarray(it(jnp.asarray(q)))
+        gather = np.asarray(it.eval(it.clamp(jnp.asarray(q))))
+        np.testing.assert_allclose(dense, gather, rtol=0, atol=1e-13)
+
+    def test_2d(self):
+        rng = np.random.default_rng(1)
+        xs = np.sort(rng.uniform(0, 1, 17))
+        ys = np.sort(rng.uniform(-2, 2, 9))
+        zs = rng.normal(size=(9, 17))
+        it = Interp2D(xs, ys, zs)
+        qx = rng.uniform(-0.2, 1.2, 300)
+        qy = rng.uniform(-2.5, 2.5, 300)
+        dense = np.asarray(it(jnp.asarray(qx), jnp.asarray(qy)))
+        xc, yc = it.clamp(jnp.asarray(qx), jnp.asarray(qy))
+        gather = np.asarray(it.eval(xc, yc))
+        np.testing.assert_allclose(dense, gather, rtol=0, atol=1e-13)
+
+    def test_3d(self):
+        rng = np.random.default_rng(2)
+        xs = np.sort(rng.uniform(0, 1, 6))
+        ys = np.sort(rng.uniform(0, 1, 5))
+        zs = np.sort(rng.uniform(0, 1, 4))
+        vals = rng.normal(size=(4, 5, 6))
+        it = Interp3D(xs, ys, zs, vals)
+        q = rng.uniform(-0.1, 1.1, (3, 200))
+        dense = np.asarray(it(*map(jnp.asarray, q)))
+        clamped = [jnp.clip(jnp.asarray(qi, jnp.float64), k[0], k[-1])
+                   for qi, k in zip(q, (xs, ys, zs))]
+        gather = np.asarray(it.eval(*clamped))
+        np.testing.assert_allclose(dense, gather, rtol=0, atol=1e-13)
+
+    def test_large_table_uses_gather_path(self):
+        from gpuintegration_tpu.ops import interp as I
+        xs = np.linspace(0, 1, I._DENSE_MAX_1D + 2)
+        it = Interp1D(xs, xs ** 2)
+        # still correct through the gather branch
+        assert float(it(0.5)) == pytest.approx(0.25, abs=1e-6)
+
+
 class TestMonotoneGrids:
     def test_descending_grid_flipped(self):
         """Descending knots silently interpolated through the wrong cell
