@@ -64,7 +64,7 @@ def _locate(knots: jax.Array, x: jax.Array) -> jax.Array:
 
 
 # Knot-count ceilings under which the dense hat-basis contraction (a
-# (batch, K) matmul against the table) is used instead of searchsorted +
+# (K, batch) matmul against the table) is used instead of searchsorted +
 # dynamic gathers.  On the TPU runtime, eval-batch-sized dynamic gathers
 # serialize (~1 s per 8M-element f64 gather) and the searchsorted/gather
 # integrand path has crashed the axon worker outright; a K-wide dense
@@ -75,9 +75,18 @@ _DENSE_MAX_1D = 4096
 _DENSE_MAX_2D = 16384     # nx * ny cells
 _DENSE_MAX_3D = 65536     # nx * ny * nz cells
 
+# Per-chunk f32/f64 element budget for dense-path temporaries.  Rule-eval
+# batches reach tens of millions of points; an unchunked (table_axis,
+# batch) temp at that size OOMs HBM (a 33M-point batch against a 64x32
+# table compiled to a 16 GB temp once lane padding hit the minor 32-wide
+# axis).  Chunking with lax.map bounds every temp to ~tens of MB while
+# keeping each slab a full MXU matmul.
+_DENSE_CHUNK_ELEMS = 16 * 1024 * 1024
 
-def _hat_weights(knots: jax.Array, x: jax.Array) -> jax.Array:
-    """Partition-of-unity linear hat weights, shape ``x.shape + (K,)``.
+
+def _hat_weights_t(knots: jax.Array, x: jax.Array) -> jax.Array:
+    """Partition-of-unity linear hat weights, DIMS-MAJOR: shape ``(K, N)``
+    for flat ``x`` of shape ``(N,)``.
 
     ``sum_k w_k(x) * z_k`` equals clamped piecewise-linear interpolation
     of ``(knots, z)`` for x inside [knots[0], knots[-1]] (callers clamp
@@ -85,13 +94,38 @@ def _hat_weights(knots: jax.Array, x: jax.Array) -> jax.Array:
     weight is exactly 1 so knot values reproduce bitwise.  Dense form of
     the reference's search-then-lerp (Interp1D.cuh:55-120), chosen so
     interpolated integrands lower to matmuls rather than per-point
-    gathers on TPU."""
+    gathers on TPU.  The knot axis is MAJOR (sublane) so the wide batch
+    axis rides the 128-lane minor dimension unpadded — a (N, 32)-shaped
+    layout pads 4x on TPU and has OOMed at rule-eval batch sizes."""
     lo = jnp.concatenate([knots[:1] - 1.0, knots[:-1]])   # knots[k-1]
     hi = jnp.concatenate([knots[1:], knots[-1:] + 1.0])   # knots[k+1]
-    xk = x[..., None]
-    rising = (xk - lo) / (knots - lo)
-    falling = (hi - xk) / (hi - knots)
+    xk = x[None, :]
+    rising = (xk - lo[:, None]) / (knots - lo)[:, None]
+    falling = (hi[:, None] - xk) / (hi - knots)[:, None]
     return jnp.clip(jnp.minimum(rising, falling), 0.0, 1.0)
+
+
+def _chunked_flat_eval(kernel, arrays, per_point_elems):
+    """Run ``kernel(tuple_of_flat_chunks) -> flat_chunk`` over the
+    flattened, broadcast-together ``arrays``, slab by slab, so dense-path
+    temporaries stay within ``_DENSE_CHUNK_ELEMS`` elements.
+
+    Static-shape discipline: the chunk count and padding are computed
+    from static shapes at trace time; the loop is a ``lax.map`` (one
+    compiled body reused across slabs).  Small batches take the direct
+    single-call path with no padding."""
+    shape = jnp.broadcast_shapes(*(a.shape for a in arrays))
+    flat = [jnp.broadcast_to(a, shape).reshape(-1) for a in arrays]
+    n = flat[0].shape[0] if shape else 1
+    chunk = max(512, _DENSE_CHUNK_ELEMS // max(per_point_elems, 1))
+    if n <= chunk:
+        return kernel(tuple(f for f in flat)).reshape(shape)
+    nslabs = -(-n // chunk)
+    pad = nslabs * chunk - n
+    slabs = [jnp.pad(f, (0, pad), mode="edge").reshape(nslabs, chunk)
+             for f in flat]
+    out = jax.lax.map(kernel, tuple(slabs))
+    return out.reshape(-1)[:n].reshape(shape)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -134,10 +168,14 @@ class Interp1D:
         range queries to the edge values, Interp1D.cuh clamp/do_clamp).
 
         Small tables evaluate gather-free via the dense hat contraction
-        (see _hat_weights); large tables fall back to search + gather."""
+        (see _hat_weights_t); large tables fall back to search + gather."""
         xc = self.clamp(jnp.asarray(x, jnp.float64))
-        if self.xs.shape[0] <= _DENSE_MAX_1D:
-            return _hat_weights(self.xs, xc) @ self.zs
+        nk = self.xs.shape[0]
+        if nk <= _DENSE_MAX_1D:
+            def kern(args):
+                (xf,) = args
+                return self.zs @ _hat_weights_t(self.xs, xf)
+            return _chunked_flat_eval(kern, (xc,), nk)
         return self.eval(xc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
@@ -216,9 +254,13 @@ class Interp2D:
         xc, yc = self.clamp(x, y)
         nx, ny = self.xs.shape[0], self.ys.shape[0]
         if nx * ny <= _DENSE_MAX_2D:
-            wx = _hat_weights(self.xs, xc)            # (..., nx)
-            wy = _hat_weights(self.ys, yc)            # (..., ny)
-            return jnp.sum((wx @ self.zs.T) * wy, axis=-1)
+            def kern(args):
+                xf, yf = args
+                wx = _hat_weights_t(self.xs, xf)      # (nx, N)
+                wy = _hat_weights_t(self.ys, yf)      # (ny, N)
+                t = self.zs @ wx                      # (ny, N)
+                return jnp.sum(t * wy, axis=0)        # (N,)
+            return _chunked_flat_eval(kern, (xc, yc), nx + 2 * ny)
         return self.eval(xc, yc)
 
     def tree_flatten(self):
@@ -261,12 +303,18 @@ class Interp3D:
         z = jnp.clip(jnp.asarray(z, jnp.float64), self.zs[0], self.zs[-1])
         nx, ny, nz = (self.xs.shape[0], self.ys.shape[0], self.zs.shape[0])
         if nx * ny * nz <= _DENSE_MAX_3D:
-            wx = _hat_weights(self.xs, x)             # (..., nx)
-            wy = _hat_weights(self.ys, y)             # (..., ny)
-            wz = _hat_weights(self.zs, z)             # (..., nz)
-            t = jnp.einsum("...i,kji->...kj", wx, self.vals)
-            t = jnp.sum(t * wy[..., None, :], axis=-1)   # (..., nz)
-            return jnp.sum(t * wz, axis=-1)
+            def kern(args):
+                xf, yf, zf = args
+                wx = _hat_weights_t(self.xs, xf)      # (nx, N)
+                wy = _hat_weights_t(self.ys, yf)      # (ny, N)
+                wz = _hat_weights_t(self.zs, zf)      # (nz, N)
+                # (nz*ny, nx) @ (nx, N): one MXU matmul over the x axis
+                t = (self.vals.reshape(nz * ny, nx) @ wx).reshape(
+                    nz, ny, -1)
+                t = jnp.sum(t * wy[None, :, :], axis=1)   # (nz, N)
+                return jnp.sum(t * wz, axis=0)            # (N,)
+            return _chunked_flat_eval(
+                kern, (x, y, z), nx + ny + nz + 2 * nz * ny)
         return self.eval(x, y, z)
 
     def eval(self, x, y, z):

@@ -165,6 +165,27 @@ class TestDenseGatherEquivalence:
         gather = np.asarray(it.eval(*clamped))
         np.testing.assert_allclose(dense, gather, rtol=0, atol=1e-13)
 
+    def test_multi_slab_chunked_path(self, monkeypatch):
+        """Big batches run the dense contraction slab-by-slab under
+        lax.map (bounding HBM temps); forcing a tiny slab budget must not
+        change values vs the gather path, including the edge-padded tail
+        slab and broadcast inputs."""
+        from gpuintegration_tpu.ops import interp as I
+        monkeypatch.setattr(I, "_DENSE_CHUNK_ELEMS", 64)   # chunk=512
+        rng = np.random.default_rng(3)
+        xs = np.sort(rng.uniform(0, 1, 17))
+        ys = np.sort(rng.uniform(-2, 2, 9))
+        zs = rng.normal(size=(9, 17))
+        it = Interp2D(xs, ys, zs)
+        qx = rng.uniform(-0.2, 1.2, 1300)   # 3 slabs of 512, padded tail
+        qy = rng.uniform(-2.5, 2.5, 1300)
+        dense = np.asarray(it(jnp.asarray(qx), jnp.asarray(qy)))
+        xc, yc = it.clamp(jnp.asarray(qx), jnp.asarray(qy))
+        gather = np.asarray(it.eval(xc, yc))
+        np.testing.assert_allclose(dense, gather, rtol=0, atol=1e-13)
+        # scalar query still returns a scalar through the chunked helper
+        assert np.asarray(it(0.5, 0.0)).shape == ()
+
     def test_large_table_uses_gather_path(self):
         from gpuintegration_tpu.ops import interp as I
         xs = np.linspace(0, 1, I._DENSE_MAX_1D + 2)
