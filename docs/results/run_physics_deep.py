@@ -28,10 +28,18 @@ def main(out_path=None):
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "physics_deep.csv")
     model = ClusterLikelihood()
-    ws = Workspace(6)
+    # Pool capped below the proven interp-integrand scale (the 1e-4
+    # validation run peaked at 2.21M live regions and was stable; two
+    # uncapped 1e-6 attempts crashed the TPU worker within ~4 min, i.e.
+    # while racing past that size -- at 1e-6 nothing retires early so the
+    # pool doubles every iteration straight into 4-16M with interp temps
+    # on top).  The partitioned continuation carries the depth instead:
+    # bounded hottest-first slices of cap/16 = 128k regions.
+    ws = Workspace(6, max_pool_regions=2 * 1024 * 1024)
     t0 = time.time()
-    res = ws.integrate_to_convergence(model, epsrel=1e-6, epsabs=1e-40,
-                                      max_wall_s=1200.0)
+    res = ws.integrate_to_convergence(
+        model, epsrel=1e-6, epsabs=1e-40, max_wall_s=2400.0,
+        finish_epsrel_scale=0.4)
     wall = time.time() - t0
     t1 = time.time()
     rv = V.integrate(model, epsrel=1e-4, ncall=5e7, total_iters=15,
