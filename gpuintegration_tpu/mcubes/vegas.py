@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Callable
 
 import jax
@@ -55,6 +56,23 @@ def get_status(estimate, errorest, iteration, epsrel, epsabs) -> int:
     else:
         ok = (abs(errorest / estimate) <= epsrel) or (errorest <= epsabs)
     return 0 if (ok and iteration >= 5) else 1
+
+
+def _iters_per_dispatch(calls: float) -> int:
+    """Fused-phase iterations allowed in ONE device dispatch.
+
+    The remote TPU worker has crashed (worker-process restart, observed
+    twice, reproducibly) on single fused-phase dispatches of ~2e10 f64
+    integrand evals (~300 s device time in one XLA execution), while
+    ~5e9-eval dispatches survive.  The fused while_loop carry (it, si,
+    swgt, schi) round-trips through exact f64 host scalars and the PRNG
+    folds on the absolute iteration index, so re-entering the loop in
+    slices is bit-identical to one long dispatch; each extra slice costs
+    one dispatch + one scalar sync (~30 ms) -- noise against a multi-
+    second slice.  Override with GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH."""
+    budget = float(os.environ.get(
+        "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
+    return max(1, int(budget / max(calls, 1.0)))
 
 
 def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
@@ -557,16 +575,16 @@ def _mesh_iteration(
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
-                     "nbins", "dtype_name", "importance", "total_iters",
+                     "nbins", "dtype_name", "importance",
                      "skip_iters", "eval_dtype_name", "mesh", "ncomp",
                      "sampler", "f_axes", "tile_a"))
 def _frozen_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
-    nbins: int, dtype_name: str, importance: str, total_iters: int,
+    nbins: int, dtype_name: str, importance: str,
     skip_iters: int,
     base_key, map_a, map_b,   # grid: (xi, unused); poly: (p_coeffs, q_coeffs)
     regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
-    start_it, si0, swgt0, schi0,
+    start_it, end_it, si0, swgt0, schi0,
     *,
     eval_dtype_name: str | None = None,
     mesh=None,
@@ -575,15 +593,17 @@ def _frozen_phase(
     f_axes=None,
     tile_a: int = 0,
 ):
-    """ALL remaining frozen-grid iterations in ONE dispatch.
+    """Frozen-grid iterations ``start_it..end_it`` in ONE dispatch.
 
     The reference's frozen loop relaunches vegas_kernelF and round-trips
     the result every iteration (vegasT.cuh:939-1001); here the
     iteration-weighted combination (si/swgt/schi) and the convergence test
-    run on device inside a lax.while_loop, so an entire frozen phase costs
-    one dispatch + one scalar sync regardless of iteration count --
+    run on device inside a lax.while_loop, so a whole frozen phase costs
+    one dispatch + one scalar sync per ``_iters_per_dispatch`` slice --
     per-iteration dispatch+sync overhead (~0.1-0.4 s on the remote
-    runtime) would otherwise dominate at production ncall.
+    runtime) would otherwise dominate at production ncall.  ``end_it`` is
+    a TRACED scalar (not a static) so the caller can slice the phase into
+    dispatch-bounded blocks without recompiling.
 
     ``mesh``: run the WHOLE phase SPMD over the mesh -- each device owns
     ``num_chunks`` (per-device) global chunks, ti/tsi are psum'd inside
@@ -600,10 +620,11 @@ def _frozen_phase(
     tiny = jnp.asarray(1e-300, f64)
 
     def phase(chunk_offset, base_key, map_a, map_b, regn_lo, dx, xjac,
-              ncubes, dv2g, epsrel, epsabs, start_it, si0, swgt0, schi0):
+              ncubes, dv2g, epsrel, epsabs, start_it, end_it, si0, swgt0,
+              schi0):
         def cond(carry):
             it, si, swgt, schi, done = carry
-            return (it <= total_iters) & jnp.logical_not(done)
+            return (it <= end_it) & jnp.logical_not(done)
 
         def body(carry):
             it, si, swgt, schi, done = carry
@@ -647,7 +668,7 @@ def _frozen_phase(
              schi0.astype(f64), jnp.asarray(False)))
 
     args = (base_key, map_a, map_b, regn_lo, dx, xjac, ncubes, dv2g,
-            epsrel, epsabs, start_it, si0, swgt0, schi0)
+            epsrel, epsabs, start_it, end_it, si0, swgt0, schi0)
     if mesh is None:
         return phase(jnp.asarray(0, jnp.int32), *args)
 
@@ -669,22 +690,27 @@ def _frozen_phase(
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "ng", "npg", "chunk_cubes", "num_chunks",
-                     "nbins", "dtype_name", "adjust_iters", "skip_iters",
+                     "nbins", "dtype_name", "skip_iters",
                      "eval_dtype_name", "mesh", "ncomp"))
 def _adjust_phase(
     f, ndim: int, ng: int, npg: int, chunk_cubes: int, num_chunks: int,
-    nbins: int, dtype_name: str, adjust_iters: int, skip_iters: int,
+    nbins: int, dtype_name: str, skip_iters: int,
     base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
+    start_it, end_it, si0, swgt0, schi0,
     *,
     eval_dtype_name: str | None = None,
     mesh=None,
     ncomp: int = 1,
 ):
-    """ALL grid-adjustment iterations in ONE dispatch (refine='device'),
-    with the iteration-weighted combination and the convergence test on
-    device -- the adjustment-phase twin of ``_frozen_phase``, stopping as
-    soon as convergence is reached (no over-refined grid, no wasted
-    sampling, exact neval accounting).
+    """Grid-adjustment iterations ``start_it..end_it`` in ONE dispatch
+    (refine='device'), with the iteration-weighted combination and the
+    convergence test on device -- the adjustment-phase twin of
+    ``_frozen_phase``, stopping as soon as convergence is reached (no
+    over-refined grid, no wasted sampling, exact neval accounting).
+    Like the frozen phase, ``end_it`` is traced so the caller slices
+    long phases into dispatch-bounded blocks (see _iters_per_dispatch)
+    without recompiling; si0/swgt0/schi0 seed the accumulators so both
+    resumed state and later slices carry exactly.
 
     Per iteration: sample with histogram accumulation, then refine the
     grid ON DEVICE with the f32 scatter/gather/sort-free rebin shared
@@ -707,10 +733,10 @@ def _adjust_phase(
     tiny = jnp.asarray(1e-300, f64)
 
     def phase(chunk_offset, base_key, xi0, regn_lo, dx, xjac, ncubes,
-              dv2g, epsrel, epsabs):
+              dv2g, epsrel, epsabs, start_it, end_it, si0, swgt0, schi0):
         def cond(carry):
             it, _, _, _, _, done = carry
-            return (it <= adjust_iters) & jnp.logical_not(done)
+            return (it <= end_it) & jnp.logical_not(done)
 
         def body(carry):
             it, xi, si, swgt, schi, done = carry
@@ -741,14 +767,15 @@ def _adjust_phase(
             done = acc & jnp.all(ok) & (it >= 5)
             return it + 1, xi, si, swgt, schi, done
 
-        z = jnp.zeros(() if ncomp == 1 else (ncomp,), f64)
         it_f, xi_f, si_f, swgt_f, schi_f, done_f = jax.lax.while_loop(
             cond, body,
-            (jnp.asarray(1, jnp.int32), xi0.astype(jnp.float32),
-             z, z, z, jnp.asarray(False)))
+            (start_it, xi0.astype(jnp.float32),
+             si0.astype(f64), swgt0.astype(f64), schi0.astype(f64),
+             jnp.asarray(False)))
         return xi_f, (it_f, si_f, swgt_f, schi_f, done_f)
 
-    args = (base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs)
+    args = (base_key, xi0, regn_lo, dx, xjac, ncubes, dv2g, epsrel, epsabs,
+            start_it, end_it, si0, swgt0, schi0)
     if mesh is None:
         return phase(jnp.asarray(0, jnp.int32), *args)
 
@@ -984,33 +1011,42 @@ def vegas(
                              "per-iteration capture needs refine='host'")
         eff_adjust = min(adjust_iters, total_iters)
         if eff_adjust > 0:
-            xi32, sc_d = _adjust_phase(
-                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
-                dtype.name, eff_adjust, skip_iters, base_key,
-                jnp.asarray(xi, jnp.float32), regn_lo, dx, xjac_d,
-                ncubes_d, jnp.asarray(dv2g, jnp.float64),
-                jnp.asarray(epsrel, jnp.float64),
-                jnp.asarray(epsabs, jnp.float64),
-                eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
             f64 = jnp.float64
-            out = np.asarray(jnp.concatenate(
-                [sc_d[0][None].astype(f64),
-                 jnp.atleast_1d(sc_d[1]), jnp.atleast_1d(sc_d[2]),
-                 jnp.atleast_1d(sc_d[3]),
-                 sc_d[4][None].astype(f64)]))    # ONE sync for the phase
-            xi = xi32.astype(dtype)              # stays on device
-            it_next = int(out[0])
-            if ncomp == 1:
-                si, swgt, schi = float(out[1]), float(out[2]), float(out[3])
-            else:
-                si = out[1:1 + ncomp].copy()
-                swgt = out[1 + ncomp:1 + 2 * ncomp].copy()
-                schi = out[1 + 2 * ncomp:1 + 3 * ncomp].copy()
-            converged = bool(out[-1])
-            iters_run = it_next - it
-            res.neval += int(calls) * iters_run
-            res.iters += iters_run
-            it = it_next
+            block = _iters_per_dispatch(calls)
+            converged = False
+            while it <= eff_adjust and not converged:
+                end_it = min(eff_adjust, it + block - 1)
+                xi32, sc_d = _adjust_phase(
+                    f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
+                    dtype.name, skip_iters, base_key,
+                    jnp.asarray(xi, jnp.float32), regn_lo, dx, xjac_d,
+                    ncubes_d, jnp.asarray(dv2g, f64),
+                    jnp.asarray(epsrel, f64),
+                    jnp.asarray(epsabs, f64),
+                    jnp.asarray(it, jnp.int32),
+                    jnp.asarray(end_it, jnp.int32),
+                    jnp.asarray(si, f64), jnp.asarray(swgt, f64),
+                    jnp.asarray(schi, f64),
+                    eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp)
+                out = np.asarray(jnp.concatenate(
+                    [sc_d[0][None].astype(f64),
+                     jnp.atleast_1d(sc_d[1]), jnp.atleast_1d(sc_d[2]),
+                     jnp.atleast_1d(sc_d[3]),
+                     sc_d[4][None].astype(f64)]))  # ONE sync per slice
+                xi = xi32.astype(dtype)            # stays on device
+                it_next = int(out[0])
+                if ncomp == 1:
+                    si, swgt, schi = (float(out[1]), float(out[2]),
+                                      float(out[3]))
+                else:
+                    si = out[1:1 + ncomp].copy()
+                    swgt = out[1 + ncomp:1 + 2 * ncomp].copy()
+                    schi = out[1 + 2 * ncomp:1 + 3 * ncomp].copy()
+                converged = bool(out[-1])
+                iters_run = it_next - it
+                res.neval += int(calls) * iters_run
+                res.iters += iters_run
+                it = it_next
             if np.all(np.asarray(swgt) > 0.0):
                 tgral = si / swgt
                 sd = np.sqrt(1.0 / swgt)
@@ -1028,10 +1064,14 @@ def vegas(
         adjusting = it <= adjust_iters
 
         if not adjusting and debug_logger is None:
-            # ---- fused frozen phase: every remaining iteration in ONE
-            # dispatch + ONE sync (see _frozen_phase).  Sampling streams,
-            # accumulation order and the convergence test are identical to
-            # the per-iteration path (same fold_in(base_key, it) keys).
+            # ---- fused frozen phase: the remaining iterations in
+            # dispatch-bounded slices (one dispatch + one sync per
+            # _iters_per_dispatch block; single-slice for all but
+            # production ncall).  Sampling streams, accumulation order
+            # and the convergence test are identical to the per-
+            # iteration path (same fold_in(base_key, it) keys), and
+            # slicing is bit-identical to one long dispatch (the carry
+            # round-trips through exact f64 scalars).
             if importance == "poly":
                 from gpuintegration_tpu.mcubes.poly_importance import (
                     fit_importance_poly)
@@ -1042,13 +1082,15 @@ def vegas(
                 map_a = xi
                 map_b = xi  # unused
             f64 = jnp.float64
+            end_it = min(total_iters, it + _iters_per_dispatch(calls) - 1)
             it_d, si_d, swgt_d, schi_d, done_d = _frozen_phase(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
-                dtype.name, importance, total_iters, skip_iters,
+                dtype.name, importance, skip_iters,
                 base_key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
                 jnp.asarray(dv2g, f64), jnp.asarray(epsrel, f64),
                 jnp.asarray(epsabs, f64),
-                jnp.asarray(it, jnp.int32), jnp.asarray(si, f64),
+                jnp.asarray(it, jnp.int32), jnp.asarray(end_it, jnp.int32),
+                jnp.asarray(si, f64),
                 jnp.asarray(swgt, f64), jnp.asarray(schi, f64),
                 eval_dtype_name=ed_name, mesh=mesh, ncomp=ncomp, **s_kw)
             out = np.asarray(jnp.concatenate([
@@ -1077,7 +1119,9 @@ def vegas(
                     / max(acc_prior + it - 1 - skip_iters - 0.9999,
                           1e-4), 0.0)
             res.status = 0 if converged else 1
-            break
+            if converged:
+                break
+            continue  # next dispatch-bounded slice (or exit on it)
 
         key = jax.random.fold_in(base_key, it)
         if importance == "poly":

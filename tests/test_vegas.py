@@ -212,6 +212,41 @@ class TestVegasIntegration:
         assert fused.status == logged.status
         assert fused.iters == logged.iters
 
+    def test_frozen_phase_slicing_bit_identical(self, monkeypatch):
+        """Dispatch-bounded slicing of the fused frozen phase must be
+        BIT-identical to one long dispatch: the carry round-trips
+        through exact f64 scalars and the PRNG folds on the absolute
+        iteration index (vegas._iters_per_dispatch -- the remote TPU
+        worker crashes on single ~2e10-eval dispatches, so production
+        ncall re-enters the while_loop in bounded slices)."""
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=1e-9, epsabs=1e-300, ncall=2e4, total_iters=9,
+                  adjust_iters=3, skip_iters=3, seed=13)
+        one = V.integrate(g, **kw)
+        monkeypatch.setenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "1")
+        sliced = V.integrate(g, **kw)   # block=1: one iteration per slice
+        assert sliced.estimate == one.estimate
+        assert sliced.errorest == one.errorest
+        assert sliced.chi_sq == one.chi_sq
+        assert sliced.iters == one.iters and sliced.neval == one.neval
+        assert sliced.status == one.status
+
+    def test_adjust_phase_slicing_bit_identical(self, monkeypatch):
+        """Same dispatch-bounding discipline for the fused
+        refine='device' adjustment phase (xi round-trips f32-exactly
+        between slices)."""
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=1e-9, epsabs=1e-300, ncall=2e4, total_iters=8,
+                  adjust_iters=6, skip_iters=2, seed=7,
+                  refine="device", importance="grid")
+        one = V.integrate(g, **kw)
+        monkeypatch.setenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "1")
+        sliced = V.integrate(g, **kw)
+        assert sliced.estimate == one.estimate
+        assert sliced.errorest == one.errorest
+        assert sliced.chi_sq == one.chi_sq
+        assert sliced.iters == one.iters and sliced.neval == one.neval
+
     def test_volume_transform(self):
         from gpuintegration_tpu.types import Volume
         s = misc.sin_sum(2, lows=[0.0, 0.0], highs=[2.0, 2.0])
@@ -391,6 +426,25 @@ class TestStateResume:
         expect = max((schi - si * (si / swgt)) / (8 - 0.9999), 0.0)
         assert r2.chi_sq == pytest.approx(expect, rel=1e-10), (
             r2.chi_sq, expect)
+
+    def test_resume_with_device_refine_carries_accumulators(self):
+        """A resumed refine='device' run must seed the fused adjustment
+        phase with the state's accumulators (regression: they were
+        zero-initialised inside the dispatch, silently discarding the
+        prior segment's si/swgt/schi)."""
+        from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
+        from gpuintegration_tpu.mcubes import grid as vgrid
+        g = genz.f4_gaussian(3, a=3.0)
+        kw = dict(epsrel=0.0, epsabs=0.0, ncall=2e4, seed=9,
+                  adjust_iters=4, skip_iters=0, total_iters=4, nbins=64,
+                  refine="device", importance="grid")
+        st = VegasState(xi=vgrid.uniform_grid(3, 64))
+        vegas(g, state=st, **kw)
+        si1 = float(np.asarray(st.si))
+        vegas(g, state=st, **kw)
+        # both segments' positive contributions present (~2x one segment)
+        assert float(np.asarray(st.si)) > 1.5 * si1
+        assert st.n_acc == 8
 
     def test_resume_deterministic(self):
         from gpuintegration_tpu.mcubes.vegas import VegasState, vegas
