@@ -67,6 +67,11 @@ def fused_adaptive_phase(
     max_iters,                # int32: total iteration budget
     abs_per_vol=None,         # pool-dtype scalar: volume-apportioned
                               # retirement budget (two_level.refine_error)
+    neval_cap=None,           # f64 scalar: exit the burst (status -1) once
+                              # neval reaches this -- the single-dispatch
+                              # device-time ceiling (DESIGN.md 3b: the
+                              # remote worker crashes past ~2e10 evals in
+                              # one dispatch); None = unbounded
     *,
     mesh=None,
     rule_backend: str = "xla",
@@ -91,8 +96,10 @@ def fused_adaptive_phase(
          (n = their count; ``sdim`` their bisection dims; ``parent_est``
          their estimates) -- the host splits them straight into the 2*cap
          bucket, so no sweep is ever evaluated twice;
-     -1  stopped by the cond (2*n > classification gate, or the
-         iteration budget ran out).
+     -1  stopped by the cond (2*n > classification gate, the iteration
+         budget ran out, or ``neval_cap`` -- the per-dispatch eval
+         ceiling -- was reached; the host resumes identically in every
+         case: the pool is post-split and unevaluated).
     prev_* is the ledger EXCLUDING the last applied sweep (the checkpoint
     semantics of workspace._ledger_excl_pool); last_inflight_* is that
     sweep's still-active contribution (the host's max-iterations exit).
@@ -144,7 +151,7 @@ def fused_adaptive_phase(
     def run(lows, lengths, n_loc0, n_glob0, parent_est,
             global_lo, global_range, epsrel_pool, epsrel, epsabs,
             cum_est, cum_err, result_nregions, iters_done, neval,
-            est_hist, max_iters, abs_per_vol):
+            est_hist, max_iters, abs_per_vol, neval_cap):
         cap = lows.shape[1]           # per-shard capacity in mesh mode
         # parent slot is carried at FULL capacity (a grow exit returns up
         # to cap compacted parents); refine_error only reads [:cap//2]
@@ -152,11 +159,12 @@ def fused_adaptive_phase(
             parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
 
         def cond(carry):
-            (_, _, _n_loc, n_g, _, _, _, _, iters_c, _, _, status_c,
+            (_, _, _n_loc, n_g, _, _, _, _, iters_c, nev_c, _, status_c,
              _, _, _, _, _, _, _, _) = carry
             return ((status_c == -1)
                     & (2 * n_g <= gate)
-                    & (iters_c < max_iters))
+                    & (iters_c < max_iters)
+                    & (nev_c < neval_cap))
 
         def body(carry):
             (lo_c, ln_c, n_loc, n_glob, par_c, cum_e, cum_r, res_nreg,
@@ -273,9 +281,11 @@ def fused_adaptive_phase(
             hist_f[0], hist_f[1], hist_f[2], pv_f])
         return lo_f, ln_f, par_f, sd_f, nl_f, packed
 
+    cap_nev = (jnp.asarray(jnp.inf, f64) if neval_cap is None
+               else jnp.asarray(neval_cap, f64))
     scalars = (global_lo, global_range, epsrel_pool, epsrel, epsabs,
                cum_est, cum_err, result_nregions, iters_done, neval,
-               est_hist, max_iters, abs_per_vol)
+               est_hist, max_iters, abs_per_vol, cap_nev)
     if mesh is None:
         lo_f, ln_f, par_f, sd_f, _nl, packed = run(
             lows, lengths, n, n, parent_est, *scalars)

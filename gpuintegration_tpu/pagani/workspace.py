@@ -23,6 +23,7 @@ Sub_region_filter.cuh:68-77).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -36,6 +37,17 @@ from gpuintegration_tpu.pagani.classifier import HeuristicClassifier
 from gpuintegration_tpu.types import IntegrationResult, Volume
 
 MAX_ITERATIONS = 700  # (Workspace.cuh:182)
+
+
+def _burst_evals() -> float:
+    """Integrand evals allowed in ONE fused-burst dispatch.  The remote
+    TPU worker crashes on single dispatches past ~2e10 evals (~300 s of
+    device time; DESIGN.md 3b), so fused bursts exit at this ceiling and
+    the host re-enters -- exactly the gate-crossing resume path, so the
+    trajectory is unchanged.  Read per burst so tests can override via
+    GPUINT_TPU_FUSED_EVALS_PER_DISPATCH."""
+    return float(os.environ.get(
+        "GPUINT_TPU_FUSED_EVALS_PER_DISPATCH", "5e9"))
 
 
 def default_partitions_per_axis(ndim: int) -> int:
@@ -520,6 +532,8 @@ class Workspace:
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
                         apv_dev,
+                        jnp.asarray(float(cum.neval) + _burst_evals(),
+                                    jnp.float64),
                         rule_backend=self.rule_backend,
                         f_axes=self._f_axes,
                         interpret=jax.default_backend() != "tpu")
@@ -1057,6 +1071,8 @@ class Workspace:
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
                         apv_dev,
+                        jnp.asarray(float(cum.neval) + _burst_evals(),
+                                    jnp.float64),
                         mesh=mesh)
                 packed = np.asarray(packed_d)     # ONE sync for the burst
                 n = int(packed[0])

@@ -257,6 +257,15 @@ class TestFusedAdaptivePhase:
     def test_equivalence_with_bucket_growth(self):
         self._compare(genz.f2_product_peak(4), 4, 1e-6)
 
+    def test_equivalence_under_dispatch_eval_cap(self, monkeypatch):
+        """Bursts capped at the per-dispatch eval ceiling (the remote
+        worker crashes past ~2e10 evals in one dispatch, DESIGN.md 3b)
+        exit with the gate-crossing status and the host resumes; the
+        trajectory must stay identical to the host loop even when the
+        cap forces an exit after every single burst iteration."""
+        monkeypatch.setenv("GPUINT_TPU_FUSED_EVALS_PER_DISPATCH", "1")
+        self._compare(genz.f4_gaussian(3, a=5.0), 3, 1e-6)
+
     def test_maxiter_exit_and_checkpoint(self):
         """Fused and host max-iteration exits agree on the result; both
         checkpoints resume to the truth.  (The snapshots themselves differ
