@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from gpuintegration_tpu import Workspace                 # noqa: E402
 from gpuintegration_tpu.mcubes import vegas as V         # noqa: E402
 from gpuintegration_tpu.models.physics import ClusterLikelihood  # noqa: E402
+from gpuintegration_tpu.pagani.workspace import measure_eval_cost  # noqa: E402
 from gpuintegration_tpu.utils import timing              # noqa: E402
 
 
@@ -28,6 +29,14 @@ def main(out_path=None):
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "physics_deep.csv")
     model = ClusterLikelihood()
+    # The interp-table likelihood costs many Genz-equivalents per eval;
+    # probe the multiplier on the live backend (small probe pool -- safe
+    # dispatch at any cost) and bound every rule sweep / fused burst with
+    # it (DESIGN.md 3b: an unbounded 2M-region sweep of this integrand in
+    # ONE dispatch crashed the TPU worker).  1.5x safety margin.
+    cost = 1.5 * measure_eval_cost(model, 6, probe_regions=1 << 16)
+    print(f"eval_cost probe: {cost:.1f} Genz-equivalents/eval "
+          f"(1.5x margin applied)", flush=True)
     # Pool capped below the proven interp-integrand scale (the 1e-4
     # validation run peaked at 2.21M live regions and was stable; two
     # uncapped 1e-6 attempts crashed the TPU worker within ~4 min, i.e.
@@ -35,7 +44,7 @@ def main(out_path=None):
     # pool doubles every iteration straight into 4-16M with interp temps
     # on top).  The partitioned continuation carries the depth instead:
     # bounded hottest-first slices of cap/16 = 128k regions.
-    ws = Workspace(6, max_pool_regions=2 * 1024 * 1024)
+    ws = Workspace(6, max_pool_regions=2 * 1024 * 1024, eval_cost=cost)
     t0 = time.time()
     res = ws.integrate_to_convergence(
         model, epsrel=1e-6, epsabs=1e-40, max_wall_s=2400.0,
@@ -43,7 +52,8 @@ def main(out_path=None):
     wall = time.time() - t0
     t1 = time.time()
     rv = V.integrate(model, epsrel=1e-4, ncall=5e7, total_iters=15,
-                     adjust_iters=10, skip_iters=5, seed=7)
+                     adjust_iters=10, skip_iters=5, seed=7,
+                     eval_cost=cost)
     wall_v = time.time() - t1
     agree = abs(res.estimate - rv.estimate) <= 3 * (res.errorest
                                                     + rv.errorest)

@@ -58,7 +58,7 @@ def get_status(estimate, errorest, iteration, epsrel, epsabs) -> int:
     return 0 if (ok and iteration >= 5) else 1
 
 
-def _iters_per_dispatch(calls: float) -> int:
+def _iters_per_dispatch(calls: float, eval_cost: float = 1.0) -> int:
     """Fused-phase iterations allowed in ONE device dispatch.
 
     The remote TPU worker has crashed (worker-process restart, observed
@@ -72,7 +72,10 @@ def _iters_per_dispatch(calls: float) -> int:
     second slice.  Override with GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH."""
     budget = float(os.environ.get(
         "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
-    return max(1, int(budget / max(calls, 1.0)))
+    # the budget is denominated in Genz-equivalent (cost-1) evals; an
+    # expensive integrand (table interp, special functions) shrinks the
+    # per-dispatch slice proportionally via vegas(eval_cost=...)
+    return max(1, int(budget / max(calls * max(eval_cost, 1.0), 1.0)))
 
 
 def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
@@ -838,6 +841,7 @@ def vegas(
     refine: str = "host",
     mesh=None,
     sampler: str | None = None,
+    eval_cost: float = 1.0,
 ) -> IntegrationResult:
     """Full m-CUBES run: ``adjust_iters`` grid-adjustment iterations followed
     by frozen-grid iterations up to ``total_iters`` (vegasT.cuh:789-1001),
@@ -891,6 +895,13 @@ def vegas(
     given scalar-per-axis (cubacpp convention, jnp ops only).  Default
     (None) is AUTO: 'pallas' on TPU when eval_dtype=float32 and the
     constraints hold, else 'xla'.
+
+    ``eval_cost``: relative device cost of one integrand evaluation vs a
+    plain elementwise integrand (~1).  Shrinks the fused-phase
+    per-dispatch iteration blocks proportionally so expensive integrands
+    (table interpolation) stay under the remote worker's single-dispatch
+    device-time wall (DESIGN.md 3b); probe it with
+    ``pagani.workspace.measure_eval_cost``.
     """
     from gpuintegration_tpu.integrand import deduce_ncomp
     f, ndim = make_integrand(integrand, ndim)
@@ -1012,7 +1023,7 @@ def vegas(
         eff_adjust = min(adjust_iters, total_iters)
         if eff_adjust > 0:
             f64 = jnp.float64
-            block = _iters_per_dispatch(calls)
+            block = _iters_per_dispatch(calls, eval_cost)
             converged = False
             while it <= eff_adjust and not converged:
                 end_it = min(eff_adjust, it + block - 1)
@@ -1082,7 +1093,8 @@ def vegas(
                 map_a = xi
                 map_b = xi  # unused
             f64 = jnp.float64
-            end_it = min(total_iters, it + _iters_per_dispatch(calls) - 1)
+            end_it = min(total_iters,
+                         it + _iters_per_dispatch(calls, eval_cost) - 1)
             it_d, si_d, swgt_d, schi_d, done_d = _frozen_phase(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins,
                 dtype.name, importance, skip_iters,

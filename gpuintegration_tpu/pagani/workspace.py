@@ -23,6 +23,7 @@ Sub_region_filter.cuh:68-77).
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import Callable
 
@@ -48,6 +49,62 @@ def _burst_evals() -> float:
     GPUINT_TPU_FUSED_EVALS_PER_DISPATCH."""
     return float(os.environ.get(
         "GPUINT_TPU_FUSED_EVALS_PER_DISPATCH", "5e9"))
+
+
+def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
+                      probe_regions: int = 1 << 18) -> float:
+    """Probe ``Workspace(eval_cost=...)`` for an integrand on the LIVE
+    backend: wall time of one chunked probe-pool rule sweep relative to a
+    sum-of-coordinates baseline, with the fixed per-dispatch sync floor
+    (~28 ms on the remote runtime) subtracted from both.
+
+    Each timing warms the compile first and times a dispatch with
+    perturbed inputs (the remote runtime elides repeated identical
+    dispatches).  Returns max(1.0, ratio).  Deep runs of expensive
+    integrands (table interpolation, special functions) should pass this
+    -- ideally with a safety margin -- as ``eval_cost``; a cost-50
+    integrand swept over a full bucket in ONE dispatch is 50x past the
+    ceiling the Genz calibration proved safe (DESIGN.md 3b).
+    """
+    import time as _time
+
+    f, ndim = make_integrand(integrand, ndim)
+    ws = Workspace(ndim, dtype=dtype)
+    cap = max(region_pool.next_pow2(probe_regions), ws.chunk_size)
+    rng = np.random.default_rng(0)
+    lows_np = rng.uniform(0.0, 0.5, (ndim, cap))
+    global_lo = jnp.zeros((ndim,), ws.dtype)
+    global_range = jnp.ones((ndim,), ws.dtype)
+    lows = jnp.asarray(lows_np, ws.dtype)
+
+    def timed(fn) -> float:
+        lengths = jnp.asarray(np.full((ndim, cap), 0.25), ws.dtype)
+        out = ws._eval_pool(fn, lows, lengths, global_lo, global_range)
+        jax.block_until_ready(out)            # compile + executable load
+        best = float("inf")
+        for trial in range(2):                # perturbed: never elided
+            lengths = jnp.asarray(
+                np.full((ndim, cap), 0.25 * (1.0 + 1e-7 * (trial + 1))),
+                ws.dtype)
+            t0 = _time.perf_counter()
+            out = ws._eval_pool(fn, lows, lengths, global_lo, global_range)
+            jax.block_until_ready(out)
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    def baseline(x):
+        return jnp.sum(x, axis=-1)
+
+    # sync floor: tiny dispatch, timed the same way
+    tiny = jnp.zeros((8,), ws.dtype)
+    _ = jax.block_until_ready(jnp.sin(tiny))
+    t0 = _time.perf_counter()
+    _ = jax.block_until_ready(jnp.sin(tiny + 1.0))
+    floor = _time.perf_counter() - t0
+
+    t_base = max(timed(baseline) - floor, 1e-4)
+    t_f = max(timed(f) - floor, 1e-4)
+    return max(1.0, t_f / t_base)
 
 
 def default_partitions_per_axis(ndim: int) -> int:
@@ -229,6 +286,18 @@ class Workspace:
     chunk_size:      regions per rule-evaluation dispatch; pools are padded
                      to multiples of this so the hot kernel compiles once.
     chunk_budget_bytes: activation budget used to derive the default chunk.
+    eval_cost:       relative device cost of ONE integrand evaluation vs a
+                     plain elementwise integrand (Genz-class ~= 1).  The
+                     per-dispatch eval ceiling (``_burst_evals``, DESIGN.md
+                     3b) is denominated in Genz-equivalent evals; expensive
+                     integrands (table interpolation, special functions)
+                     must declare their multiplier or a single full-bucket
+                     rule sweep can exceed the remote worker's device-time
+                     wall (observed: the 6D interp-table likelihood at a 2M
+                     pool crashed the worker; ``measure_eval_cost`` probes
+                     the multiplier on the live backend).  Values < 1 are
+                     clamped to 1 for ceiling purposes -- the default
+                     ceiling is already calibrated on cost-1 integrands.
     """
 
     def __init__(self, ndim: int, *, dtype=jnp.float64,
@@ -237,7 +306,8 @@ class Workspace:
                  chunk_size: int | None = None,
                  chunk_budget_bytes: int = 256 * 1024 * 1024,
                  mesh=None,
-                 rule_backend: str = "xla"):
+                 rule_backend: str = "xla",
+                 eval_cost: float = 1.0):
         """``mesh``: optional jax.sharding.Mesh -- the region pool is
         sharded over its axis and every stage runs SPMD (rule evaluation
         is communication-free; reductions/compaction lower to
@@ -263,6 +333,8 @@ class Workspace:
                              "(Mosaic has no f64 on TPU); pass "
                              "dtype=jnp.float32")
         self.rule_backend = rule_backend
+        self.eval_cost = float(eval_cost)
+        self._feval = int(rule_eval.rule_tables(ndim, self.dtype.name).feval)
         self._f_axes = None  # original scalar-per-axis callable (pallas)
         if chunk_size is None:
             feval_p = rule_eval.rule_tables(ndim, self.dtype.name).feval_padded
@@ -277,8 +349,10 @@ class Workspace:
         self.chunk_size = region_pool.next_pow2(chunk_size)
 
     def _eval_one(self, f, lows, lengths, global_lo, global_range,
-                  chunk_size=None, n=None, blocked=False):
+                  chunk_size=None, n=None, blocked=False, ncomp=1):
         if self.rule_backend == "pallas":
+            if ncomp != 1:
+                raise ValueError("the Pallas rule backend is scalar-only")
             from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
             return pallas_apply_rule(
                 self._f_axes, self.ndim, lows, lengths,
@@ -286,21 +360,91 @@ class Workspace:
                 interpret=jax.default_backend() != "tpu")
         return _eval_stage(f, self.ndim, self.dtype.name, lows, lengths,
                            global_lo, global_range, chunk_size=chunk_size,
-                           n=n, blocked=blocked)
+                           n=n, blocked=blocked, ncomp=ncomp)
+
+    def _cost_slabs(self, cap: int) -> int:
+        """Number of separate device dispatches one full-bucket rule sweep
+        must be split into so that each stays under the per-dispatch eval
+        ceiling (``_burst_evals``) at this integrand's ``eval_cost``.
+        Power of two, at most cap/chunk_size (the in-dispatch chunk is the
+        finest dispatch grain), 1 for cost-1 pools of any proven size."""
+        total = float(cap) * self._feval * max(self.eval_cost, 1.0)
+        ceiling = _burst_evals()
+        if total <= ceiling:
+            return 1
+        k = region_pool.next_pow2(int(math.ceil(total / ceiling)))
+        return max(1, min(k, cap // self.chunk_size))
+
+    def _eval_slabs(self, f, lows, lengths, global_lo, global_range,
+                    n_host: int, blocked: bool, k: int, ncomp: int = 1):
+        """Cost-bounded bucket sweep: k contiguous region slabs, one
+        device dispatch each, so no single dispatch exceeds the remote
+        worker's device-time wall on expensive integrands (DESIGN.md 3b;
+        a 2M-region interp-table sweep in ONE dispatch crashed the TPU
+        worker).  Occupancy is host-known (``n_host`` is the Python-int
+        region count), so empty slabs are skipped outright and boundary
+        slabs keep the dynamic-trip path: within either static pool half
+        the real slots are a prefix, so a slab's occupied slots are a
+        prefix too and each slab evaluates with blocked=False semantics.
+        Static power-of-two slab widths never straddle the half boundary
+        and reuse one compiled kernel per bucket size."""
+        cap = lows.shape[1]
+        w = cap // k
+        chunk = self.chunk_size if w > self.chunk_size else None
+        half = cap // 2
+        ests, errs, sdims = [], [], []
+        for s in range(k):
+            start = s * w
+            if blocked:
+                base = start if start < half else start - half
+                ln = min(max(n_host // 2 - base, 0), w)
+            else:
+                ln = min(max(n_host - start, 0), w)
+            if ln == 0:
+                z = (jnp.zeros((w,), self.dtype) if ncomp == 1
+                     else jnp.zeros((ncomp, w), self.dtype))
+                ests.append(z)
+                errs.append(z)
+                sdims.append(jnp.zeros((w,), jnp.int32))
+                continue
+            e, r, sd = self._eval_one(
+                f, jax.lax.slice_in_dim(lows, start, start + w, axis=1),
+                jax.lax.slice_in_dim(lengths, start, start + w, axis=1),
+                global_lo, global_range, chunk_size=chunk,
+                n=jnp.asarray(ln, jnp.int32), blocked=False, ncomp=ncomp)
+            ests.append(e)
+            errs.append(r)
+            sdims.append(sd)
+        axis = 0 if ncomp == 1 else 1
+        return (jnp.concatenate(ests, axis=axis),
+                jnp.concatenate(errs, axis=axis),
+                jnp.concatenate(sdims, axis=0))
 
     def _eval_pool(self, f, lows, lengths, global_lo, global_range,
-                   n=None, blocked=False):
+                   n=None, blocked=False, n_host=None, ncomp=1):
         """One device dispatch for the whole bucket; the (chunk, feval)
         intermediate is bounded by in-jit chunking, and with a traced
         region count ``n`` only the occupied chunks of the padded bucket
         are evaluated (dynamic trip count) -- eval work tracks the real
-        population instead of the power-of-two capacity."""
+        population instead of the power-of-two capacity.  When the
+        integrand's ``eval_cost`` puts a full-bucket sweep over the
+        per-dispatch ceiling and the caller supplies the host-side region
+        count ``n_host``, the sweep splits into cost-bounded slab
+        dispatches instead (``_eval_slabs``)."""
         cap = lows.shape[1]
         chunk = self.chunk_size
         if cap <= chunk:
-            return self._eval_one(f, lows, lengths, global_lo, global_range)
+            return self._eval_one(f, lows, lengths, global_lo, global_range,
+                                  ncomp=ncomp)
+        if n_host is not None:
+            k = self._cost_slabs(cap)
+            if k > 1:
+                return self._eval_slabs(f, lows, lengths, global_lo,
+                                        global_range, int(n_host), blocked,
+                                        k, ncomp=ncomp)
         return self._eval_one(f, lows, lengths, global_lo, global_range,
-                              chunk_size=chunk, n=n, blocked=blocked)
+                              chunk_size=chunk, n=n, blocked=blocked,
+                              ncomp=ncomp)
 
     def integrate(
         self,
@@ -532,7 +676,8 @@ class Workspace:
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
                         apv_dev,
-                        jnp.asarray(float(cum.neval) + _burst_evals(),
+                        jnp.asarray(float(cum.neval) + _burst_evals()
+                                    / max(self.eval_cost, 1.0),
                                     jnp.float64),
                         rule_backend=self.rule_backend,
                         f_axes=self._f_axes,
@@ -610,7 +755,7 @@ class Workspace:
                 effective_relerr = False  # (Workspace.cuh:206-211)
             est_raw, err_raw, sdim = self._eval_pool(
                 f, lows, lengths, global_lo, global_range,
-                n=n_dev, blocked=blocked)
+                n=n_dev, blocked=blocked, n_host=n)
             if vegas_assisted:
                 # hybrid mode: keep the rule's bisection dimension but
                 # overwrite estimates/errors with per-region adaptive MC
@@ -846,10 +991,9 @@ class Workspace:
             if n <= 0:
                 break
             t_iter = _time.perf_counter()
-            est_raw, err_raw, sdim = _eval_stage(
-                f, ndim, dtype_name, lows, lengths, global_lo, global_range,
-                chunk_size=self.chunk_size if cap > self.chunk_size else None,
-                n=n_dev, blocked=blocked, ncomp=ncomp)
+            est_raw, err_raw, sdim = self._eval_pool(
+                f, lows, lengths, global_lo, global_range,
+                n=n_dev, blocked=blocked, n_host=n, ncomp=ncomp)
             est, refined, active, scalars_d = _post_stage_vector(
                 relerr_classification, blocked, ncomp, est_raw, err_raw,
                 n_dev, parent_est, use_refine, eps_dev,
@@ -1071,7 +1215,8 @@ class Workspace:
                         jnp.asarray(classifier._estimates, jnp.float64),
                         jnp.asarray(max_iterations, jnp.int32),
                         apv_dev,
-                        jnp.asarray(float(cum.neval) + _burst_evals(),
+                        jnp.asarray(float(cum.neval) + _burst_evals()
+                                    / max(self.eval_cost, 1.0),
                                     jnp.float64),
                         mesh=mesh)
                 packed = np.asarray(packed_d)     # ONE sync for the burst
