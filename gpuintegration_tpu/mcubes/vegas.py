@@ -32,6 +32,7 @@ import numpy as np
 from gpuintegration_tpu.integrand import make_integrand
 from gpuintegration_tpu.mcubes import grid as vgrid
 from gpuintegration_tpu.types import IntegrationResult, Volume
+from gpuintegration_tpu.utils.stats import chi2_prob
 
 
 def compute_ncubes(ncall: float, ndim: int) -> tuple[int, int]:
@@ -1196,19 +1197,29 @@ def vegas(
         res.iters += 1
         it += 1
 
+    st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
+    st.it0 = it_offset + res.iters
+    st.n_acc = acc_prior + max(res.iters - skip_iters, 0)
+    # chi-squared probability (cubacpp integration_result::prob): the
+    # stored chi2a is per-dof with the reference's (it - 0.9999) divisor
+    # (vegasT.cuh:859), so total chi^2 = chi2a * dof with dof = number of
+    # accumulated iterations - 1.
+    dof = float(st.n_acc - 1)
     if ncomp == 1:
         res.estimate = float(tgral)
         res.errorest = float(sd)
         res.chi_sq = float(chi2a)
+        res.prob = chi2_prob(res.chi_sq * dof, dof)
     else:
         res.estimates = np.asarray(tgral, float).copy()
         res.errorests = np.asarray(sd, float).copy()
+        res.probs = np.asarray(
+            [chi2_prob(float(c) * dof, dof) for c in np.atleast_1d(chi2a)],
+            float)
         res.estimate = float(res.estimates[0])
         res.errorest = float(res.errorests[0])
         res.chi_sq = float(np.max(chi2a))
-    st.xi, st.si, st.swgt, st.schi = xi, si, swgt, schi
-    st.it0 = it_offset + res.iters
-    st.n_acc = acc_prior + max(res.iters - skip_iters, 0)
+        res.prob = float(np.max(res.probs))
     res.lastPhase = 1 if it > adjust_iters else 0
     return res
 

@@ -30,12 +30,20 @@ class IntegrationResult:
     lastPhase: int = -1
     chi_sq: float = 0.0
     iters: int = 0
+    # chi-squared probability (cubacpp integration_result::prob,
+    # cubacpp/integration_result.hh:88 — CUBA convention: the CDF of the
+    # inter-iteration chi-squared, values near 1 flag an UNRELIABLE
+    # errorest).  Filled by the Monte-Carlo drivers (vegas, suave,
+    # CPU oracles); 0.0 where no chi-squared exists (PAGANI mirrors
+    # numint::integration_result, which has no prob member).
+    prob: float = 0.0
     # vector-valued integrands (cubacpp integration_results<N>,
     # cubacpp/integration_result.hh:66-124): per-component estimates and
     # errors; ``estimate``/``errorest`` then hold component 0.  None for
     # scalar integrands.
     estimates: np.ndarray | None = None
     errorests: np.ndarray | None = None
+    probs: np.ndarray | None = None  # per-component prob (MC drivers)
 
     def __str__(self) -> str:
         # CSV layout parity with operator<< (integration_result.hh:26-32).

@@ -20,6 +20,7 @@ from typing import Callable, Sequence
 import numpy as np
 
 from gpuintegration_tpu.types import IntegrationResult
+from gpuintegration_tpu.utils.stats import chi2_prob
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -144,6 +145,16 @@ def vegas_cpu(f: Callable, ndim: int, lows=None, highs=None,
     res = IntegrationResult(estimate=est.value, errorest=err.value,
                             chi_sq=chi2.value, status=status.value)
     res.neval = int(neval.value)
+    # iterations run = neval / calls-per-iteration (the oracle's sizing
+    # formula is deterministic, cpu_quad.cpp:445-448); dof = accumulated
+    # (post-skip) iterations - 1, matching the chi2 divisor at :529.
+    ng = max(1, int((float(ncall) / 2.0 + 0.25) ** (1.0 / ndim)))
+    ncubes = float(ng) ** ndim
+    npg = max(int(float(ncall) / ncubes), 2)
+    iters_run = int(round(res.neval / (npg * ncubes)))
+    res.iters = iters_run
+    dof = max(iters_run - skip_iters, 0) - 1
+    res.prob = chi2_prob(res.chi_sq * dof, dof)
     return res
 
 

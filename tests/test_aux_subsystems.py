@@ -138,3 +138,50 @@ class TestIterationRecorder:
         out = buf.getvalue().splitlines()
         assert out[0].startswith("it,estimate")
         assert out[1].startswith("0,1.0,0.1")
+
+
+class TestChi2Prob:
+    """prob field parity: cubacpp integration_result::prob (CUBA chi2
+    CDF convention — near 1 means the per-iteration results disagree
+    beyond their error bars)."""
+
+    def test_gammainc_closed_forms(self):
+        from gpuintegration_tpu.utils.stats import chi2_prob, gammainc_lower
+        # chi2 CDF(x; k=2m) = 1 - exp(-x/2) * sum_{j<m} (x/2)^j / j!
+        import math
+        for x, k in [(2.0, 2), (10.0, 4), (0.5, 10), (25.0, 8), (3.0, 2)]:
+            m = k // 2
+            h = x / 2.0
+            exact = 1.0 - math.exp(-h) * sum(h ** j / math.factorial(j)
+                                             for j in range(m))
+            assert abs(chi2_prob(x, k) - exact) < 1e-12, (x, k)
+        # k=1: CDF(x) = erf(sqrt(x/2))
+        assert abs(chi2_prob(1.0, 1) - math.erf(math.sqrt(0.5))) < 1e-12
+        # edges
+        assert chi2_prob(0.0, 5) == 0.0
+        assert chi2_prob(5.0, 0) == 0.0
+        assert chi2_prob(float("nan"), 5) == 0.0
+        assert gammainc_lower(2.5, 1e3) == pytest.approx(1.0)
+
+    def test_vegas_prob_consistent_with_chi2(self):
+        from gpuintegration_tpu.utils.stats import chi2_prob
+        g = genz.f4_gaussian(2, a=3.0)
+        r = V.integrate(g, epsrel=1e-4, ncall=2e4, total_iters=8,
+                        adjust_iters=5, skip_iters=3, seed=7)
+        assert 0.0 <= r.prob < 1.0
+        dof = r.iters - 3 - 1  # accumulated (post-skip) iterations - 1
+        assert r.prob == pytest.approx(chi2_prob(r.chi_sq * dof, dof))
+
+    def test_constant_integrand_prob_near_zero(self):
+        # zero inter-iteration scatter -> chi2 ~ 0 -> prob ~ 0
+        r = V.integrate(lambda x, y: 1.0 + 0.0 * x, epsrel=1e-3,
+                        ncall=1e4, total_iters=8, adjust_iters=4, seed=3)
+        assert r.prob < 0.05
+
+    def test_cpu_oracle_prob(self):
+        from gpuintegration_tpu.utils.cpu_oracle import vegas_cpu
+        r = vegas_cpu(lambda x: float(np.prod(np.exp(-9.0 * (x - 0.5) ** 2))),
+                      ndim=2, ncall=2e4, total_iters=8, adjust_iters=5,
+                      skip_iters=3, seed=5)
+        assert 0.0 <= r.prob < 1.0
+        assert r.iters == 8 or r.status == 0

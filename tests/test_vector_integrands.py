@@ -93,6 +93,10 @@ def test_vegas_vector_statistically_correct():
     for i in range(len(MEMBERS)):
         err = abs(r.estimates[i] - TRUTHS[i])
         assert err <= max(5 * r.errorests[i], 1e-3 * abs(TRUTHS[i])), i
+    # per-component chi2 probability (cubacpp integration_results<N>::prob)
+    assert r.probs.shape == (len(MEMBERS),)
+    assert np.all((r.probs >= 0.0) & (r.probs < 1.0))
+    assert r.prob == float(np.max(r.probs))
 
 
 def test_vegas_vector_similar_components_converge():
