@@ -52,6 +52,7 @@ import numpy as np
 from gpuintegration_tpu.integrand import make_integrand
 from gpuintegration_tpu.pagani.vegas_assisted import _sample_regions_pass
 from gpuintegration_tpu.types import IntegrationResult, Volume
+from gpuintegration_tpu.utils.stats import chi2_prob
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -191,6 +192,12 @@ def suave(
 
     res = IntegrationResult(status=1)
     base_key = jax.random.PRNGKey(seed)
+    # inter-cycle consistency ledger: each cycle's fresh-sample total is
+    # an independent unbiased estimate of the full integral, so the same
+    # weighted chi-squared the VEGAS driver keeps across iterations
+    # applies across cycles (feeds result.chi_sq / result.prob — the
+    # cubacpp/CUBA ``prob`` surface).
+    c_si = c_swgt = c_schi = 0.0
 
     for cycle in range(max_cycles):
         key = jax.random.fold_in(base_key, cycle)
@@ -213,6 +220,11 @@ def suave(
         wgt = 1.0 / var
         wi[:n] += wgt * I
         w[:n] += wgt
+        t_c = float(np.sum(I))               # this cycle's fresh estimate
+        w_c = 1.0 / max(float(np.sum(var)), 1e-300)
+        c_si += w_c * t_c
+        c_swgt += w_c
+        c_schi += w_c * t_c * t_c
 
         est_r = wi[:n] / w[:n]
         var_r = 1.0 / w[:n]
@@ -280,4 +292,8 @@ def suave(
     res.estimate = float(np.sum(est_r))
     res.errorest = float(np.sqrt(np.sum(1.0 / np.maximum(w[:n], 1e-300))))
     res.nregions = n
+    if res.iters >= 2 and c_swgt > 0.0:
+        chi2_total = max(c_schi - c_si * c_si / c_swgt, 0.0)
+        res.chi_sq = chi2_total / (res.iters - 0.9999)
+        res.prob = chi2_prob(chi2_total, res.iters - 1)
     return res

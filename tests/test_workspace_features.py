@@ -206,6 +206,14 @@ class TestSuave:
         assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-5)
         assert r.nregions > 1          # it actually subdivided
         assert r.neval > 0 and r.iters > 0
+        # inter-cycle chi2 probability (cubacpp/CUBA prob surface): the
+        # cycle estimates of a smooth Gaussian must be self-consistent
+        assert 0.0 <= r.prob < 0.999
+        if r.iters >= 2:
+            from gpuintegration_tpu.utils.stats import chi2_prob
+            dof = r.iters - 1
+            assert r.prob == pytest.approx(
+                chi2_prob(r.chi_sq * (r.iters - 0.9999), dof), abs=1e-6)
 
     def test_suave_subdivision_beats_single_region(self):
         """A peaked 3D integrand: the subdivision + per-region grids must
