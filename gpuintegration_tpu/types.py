@@ -52,6 +52,21 @@ class IntegrationResult:
             f"{self.chi_sq},{self.status}"
         )
 
+    def pretty(self) -> str:
+        # cubacpp's human-readable operator<< layout
+        # (cubacpp/integration_result.hh:103-124): header line, then one
+        # "Value: v +/- e prob: p" line per component.
+        head = (f"neval: {self.neval} nregions: {self.nregions} "
+                f"status: {self.status}")
+        if self.estimates is None:
+            return f"{head}\nValue: {self.estimate} +/- {self.errorest} " \
+                   f"prob: {self.prob}"
+        probs = (self.probs if self.probs is not None
+                 else [0.0] * len(self.estimates))
+        lines = [f"Value: {v} +/- {e} prob: {p}"
+                 for v, e, p in zip(self.estimates, self.errorests, probs)]
+        return "\n".join([head, *lines])
+
     @property
     def converged(self) -> bool:
         return self.status == 0

@@ -258,3 +258,24 @@ def test_cli_scan_matches_truth_and_grad(capsys):
         assert abs(float(est_s) - truth(a)) < 1e-6 * truth(a)
         d = (truth(a + h) - truth(a - h)) / (2 * h)
         assert abs(float(g_s) - d) < 1e-4 * abs(d)
+
+
+class TestResultFormatting:
+    def test_str_and_pretty_layouts(self):
+        import numpy as np
+        from gpuintegration_tpu.types import IntegrationResult
+        r = IntegrationResult(estimate=2.5, errorest=0.01, neval=100,
+                              nregions=7, status=0, chi_sq=1.25, prob=0.4)
+        # CSV parity (integration_result.hh:26-32)
+        assert str(r) == "2.5,0.01,7,1.25,0"
+        # cubacpp operator<< parity (cubacpp/integration_result.hh:116-124)
+        assert r.pretty() == ("neval: 100 nregions: 7 status: 0\n"
+                              "Value: 2.5 +/- 0.01 prob: 0.4")
+        rv = IntegrationResult(estimate=1.0, errorest=0.1, neval=5,
+                               nregions=1, status=1,
+                               estimates=np.array([1.0, 2.0]),
+                               errorests=np.array([0.1, 0.2]),
+                               probs=np.array([0.3, 0.7]))
+        out = rv.pretty().splitlines()
+        assert out[0] == "neval: 5 nregions: 1 status: 1"
+        assert len(out) == 3 and "prob: 0.7" in out[2]
