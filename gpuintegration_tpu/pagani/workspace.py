@@ -1033,8 +1033,12 @@ class Workspace:
 
             # rollback when ANY component's finished error would overflow
             # its budget (worst-component generalisation of
-            # Workspace.cuh:121-146)
-            if any(ce + fe > abs(le) * epsrel
+            # Workspace.cuh:121-146).  The budget is
+            # max(epsrel*|est|, epsabs), same as the scalar host loop and
+            # the mesh loop: an epsrel-only budget would fire on ANY
+            # banked error under an epsabs-driven run (epsrel=0),
+            # un-retiring every region each iteration (commit b27074e).
+            if any(ce + fe > max(abs(le) * epsrel, epsabs)
                    for ce, fe, le in zip(cum_err, finished_err,
                                          cum_est + iter_est)):
                 active = _all_active(active, n_dev, blocked)

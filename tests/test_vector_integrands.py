@@ -131,6 +131,27 @@ def test_vegas_vector_poly_and_device_refine():
             assert rel < 3e-2, (i, rel)
 
 
+def test_pagani_vector_epsabs_driven_retires_regions():
+    """Regression: the vector loop's error-budget rollback must use
+    max(epsrel*|est|, epsabs) like the scalar/mesh loops (commit
+    b27074e).  With the old epsrel-only budget, an epsabs-driven run
+    (epsrel=0) rolled back EVERY iteration (any banked error > 0), so
+    no region could ever retire: nFinishedRegions stayed 0."""
+    members = [genz.f4_gaussian(ND, a=5.0), genz.f4_gaussian(ND, a=8.0)]
+
+    def g2(x):
+        return jnp.stack([m(x) for m in members], axis=-1)
+    g2.ndim = ND
+    epsabs = 2e-8
+    r = Workspace(ND, chunk_size=1024).integrate(
+        g2, epsrel=0.0, epsabs=epsabs,
+        finish_abs_per_vol=0.3 * epsabs)
+    assert r.status == 0
+    assert r.nFinishedRegions > 0
+    for i, m in enumerate(members):
+        assert abs(r.estimates[i] - m.true_value) <= epsabs, i
+
+
 def test_vector_rejects_unsupported_modes():
     with pytest.raises(ValueError):
         Workspace(ND, chunk_size=1024).integrate(
