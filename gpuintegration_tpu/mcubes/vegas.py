@@ -1202,19 +1202,24 @@ def vegas(
     st.n_acc = acc_prior + max(res.iters - skip_iters, 0)
     # chi-squared probability (cubacpp integration_result::prob): the
     # stored chi2a is per-dof with the reference's (it - 0.9999) divisor
-    # (vegasT.cuh:859), so total chi^2 = chi2a * dof with dof = number of
-    # accumulated iterations - 1.
+    # (vegasT.cuh:859), so the total is recovered with the SAME
+    # (n_acc - 0.9999) factor — multiplying by (n_acc - 1) instead would
+    # be systematically low by (n_acc-1)/(n_acc-0.9999) and inconsistent
+    # with suave's exact factor.  dof = n_acc - 1 is only the CDF's
+    # degrees of freedom.
     dof = float(st.n_acc - 1)
+    chi2_factor = max(float(st.n_acc) - 0.9999, 0.0)
     if ncomp == 1:
         res.estimate = float(tgral)
         res.errorest = float(sd)
         res.chi_sq = float(chi2a)
-        res.prob = chi2_prob(res.chi_sq * dof, dof)
+        res.prob = chi2_prob(res.chi_sq * chi2_factor, dof)
     else:
         res.estimates = np.asarray(tgral, float).copy()
         res.errorests = np.asarray(sd, float).copy()
         res.probs = np.asarray(
-            [chi2_prob(float(c) * dof, dof) for c in np.atleast_1d(chi2a)],
+            [chi2_prob(float(c) * chi2_factor, dof)
+             for c in np.atleast_1d(chi2a)],
             float)
         res.estimate = float(res.estimates[0])
         res.errorest = float(res.errorests[0])

@@ -52,22 +52,31 @@ def _burst_evals() -> float:
 
 
 def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
-                      probe_regions: int = 1 << 18) -> float:
+                      probe_regions: int = 1 << 18,
+                      margin: float = 2.0, trials: int = 3) -> float:
     """Probe ``Workspace(eval_cost=...)`` for an integrand on the LIVE
     backend: wall time of one chunked probe-pool rule sweep relative to a
     sum-of-coordinates baseline, with the fixed per-dispatch sync floor
     (~28 ms on the remote runtime) subtracted from both.
 
-    Each timing warms the compile first and times a dispatch with
-    perturbed inputs (the remote runtime elides repeated identical
-    dispatches).  Returns max(1.0, ratio).  Deep runs of expensive
-    integrands (table interpolation, special functions) should pass this
-    -- ideally with a safety margin -- as ``eval_cost``; a cost-50
-    integrand swept over a full bucket in ONE dispatch is 50x past the
-    ceiling the Genz calibration proved safe (DESIGN.md 3b).
+    Each timing warms the compile first and times ``trials`` dispatches
+    with perturbed inputs (the remote runtime elides repeated identical
+    dispatches) and keeps the best.  Returns ``max(1.0, margin * ratio)``
+    -- the x2 default safety margin is applied IN the probe because the
+    consumer is the worker-crash dispatch ceiling (DESIGN.md 3b): an
+    underestimated cost from probe noise (the ~28 ms sync floor is close
+    to the baseline signal on the remote runtime) walks a deep run
+    straight into the crash regime, while an overestimate only splits
+    slabs finer (bit-identical results, mildly more dispatches).  Deep
+    runs of expensive integrands (table interpolation, special
+    functions) should pass this as ``eval_cost``; a cost-50 integrand
+    swept over a full bucket in ONE dispatch is 50x past the ceiling the
+    Genz calibration proved safe.
     """
     import time as _time
 
+    if margin < 1.0:
+        raise ValueError("margin must be >= 1")
     f, ndim = make_integrand(integrand, ndim)
     ws = Workspace(ndim, dtype=dtype)
     cap = max(region_pool.next_pow2(probe_regions), ws.chunk_size)
@@ -82,7 +91,7 @@ def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
         out = ws._eval_pool(fn, lows, lengths, global_lo, global_range)
         jax.block_until_ready(out)            # compile + executable load
         best = float("inf")
-        for trial in range(2):                # perturbed: never elided
+        for trial in range(max(trials, 1)):   # perturbed: never elided
             lengths = jnp.asarray(
                 np.full((ndim, cap), 0.25 * (1.0 + 1e-7 * (trial + 1))),
                 ws.dtype)
@@ -104,7 +113,7 @@ def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
 
     t_base = max(timed(baseline) - floor, 1e-4)
     t_f = max(timed(f) - floor, 1e-4)
-    return max(1.0, t_f / t_base)
+    return max(1.0, margin * (t_f / t_base))
 
 
 def default_partitions_per_axis(ndim: int) -> int:

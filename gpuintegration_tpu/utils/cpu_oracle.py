@@ -63,6 +63,7 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong,
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_longlong),
         ctypes.POINTER(ctypes.c_longlong)]
     lib.quad_suave.restype = ctypes.c_int
     lib.quad_suave.argtypes = [
@@ -134,27 +135,26 @@ def vegas_cpu(f: Callable, ndim: int, lows=None, highs=None,
     chi2 = ctypes.c_double()
     status = ctypes.c_int()
     neval = ctypes.c_longlong()
+    iters = ctypes.c_longlong()
     cb = _wrap(f)
     rc = lib.quad_vegas(cb, None, ndim, lo_p, hi_p, epsrel, epsabs, ncall,
                         total_iters, adjust_iters, skip_iters, seed,
                         ctypes.byref(est), ctypes.byref(err),
                         ctypes.byref(chi2), ctypes.byref(status),
-                        ctypes.byref(neval))
+                        ctypes.byref(neval), ctypes.byref(iters))
     if rc != 0:
         raise RuntimeError(f"quad_vegas failed with rc={rc}")
     res = IntegrationResult(estimate=est.value, errorest=err.value,
                             chi_sq=chi2.value, status=status.value)
     res.neval = int(neval.value)
-    # iterations run = neval / calls-per-iteration (the oracle's sizing
-    # formula is deterministic, cpu_quad.cpp:445-448); dof = accumulated
-    # (post-skip) iterations - 1, matching the chi2 divisor at :529.
-    ng = max(1, int((float(ncall) / 2.0 + 0.25) ** (1.0 / ndim)))
-    ncubes = float(ng) ** ndim
-    npg = max(int(float(ncall) / ncubes), 2)
-    iters_run = int(round(res.neval / (npg * ncubes)))
-    res.iters = iters_run
-    dof = max(iters_run - skip_iters, 0) - 1
-    res.prob = chi2_prob(res.chi_sq * dof, dof)
+    # iteration count is exported by quad_vegas itself (out_iters) so
+    # the Python layer never re-derives the native ng/npg sizing.  The
+    # stored chi2 is per-dof with the (acc - 0.9999) divisor
+    # (cpu_quad.cpp:529), so the total is recovered with the same
+    # factor; dof = acc - 1 is only the CDF's degrees of freedom.
+    res.iters = int(iters.value)
+    acc = max(res.iters - skip_iters, 0)
+    res.prob = chi2_prob(res.chi_sq * max(acc - 0.9999, 0.0), acc - 1)
     return res
 
 

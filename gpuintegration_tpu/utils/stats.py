@@ -14,6 +14,7 @@ there is nothing to fuse or jit.
 from __future__ import annotations
 
 import math
+import warnings
 
 __all__ = ["chi2_prob", "gammainc_lower"]
 
@@ -43,6 +44,13 @@ def gammainc_lower(a: float, x: float) -> float:
             total += term
             if abs(term) < abs(total) * 1e-16:
                 break
+        else:
+            # NR's gser raises here; a silent partial sum would be an
+            # unflagged wrong answer for huge ``a``
+            warnings.warn(
+                f"gammainc_lower series did not converge in 500 "
+                f"iterations (a={a!r}, x={x!r}); result is a partial sum",
+                RuntimeWarning, stacklevel=2)
         return total * math.exp(-x + a * math.log(x) - lg)
     # continued fraction for Q(a,x) (modified Lentz)
     tiny = 1e-300
@@ -64,6 +72,11 @@ def gammainc_lower(a: float, x: float) -> float:
         h *= delta
         if abs(delta - 1.0) < 1e-16:
             break
+    else:
+        warnings.warn(
+            f"gammainc_lower continued fraction did not converge in 500 "
+            f"iterations (a={a!r}, x={x!r}); result is approximate",
+            RuntimeWarning, stacklevel=2)
     q = math.exp(-x + a * math.log(x) - lg) * h
     return 1.0 - q
 

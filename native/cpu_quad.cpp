@@ -436,7 +436,7 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
                double epsabs, double ncall, int total_iters, int adjust_iters,
                int skip_iters, unsigned long long seed, double* out_estimate,
                double* out_errorest, double* out_chi2, int* out_status,
-               long long* out_neval) {
+               long long* out_neval, long long* out_iters) {
   if (ndim < 1 || ndim > 32) return -1;
   constexpr int kBins = 500;
   constexpr double kAlph = 1.5;
@@ -471,12 +471,14 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
   double tgral = 0.0, sd = 0.0, chi2a = 0.0;
   int status = 1;
   long long neval = 0;
+  long long iters_run = 0;
 
   std::vector<double> x(ndim);
   std::vector<int> kg(ndim, 1), ia(ndim);
   std::vector<std::vector<double>> dh(ndim, std::vector<double>(kBins));
 
   for (int it = 1; it <= total_iters && status == 1; ++it) {
+    ++iters_run;
     const bool adjusting = it <= adjust_iters;
     for (auto& row : dh) std::fill(row.begin(), row.end(), 0.0);
     std::fill(kg.begin(), kg.end(), 1);
@@ -542,6 +544,7 @@ int quad_vegas(quad_integrand f, void* userdata, int ndim,
   *out_chi2 = chi2a;
   *out_status = status;
   *out_neval = neval;
+  if (out_iters) *out_iters = iters_run;
   return 0;
 }
 

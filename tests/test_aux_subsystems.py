@@ -169,8 +169,11 @@ class TestChi2Prob:
         r = V.integrate(g, epsrel=1e-4, ncall=2e4, total_iters=8,
                         adjust_iters=5, skip_iters=3, seed=7)
         assert 0.0 <= r.prob < 1.0
-        dof = r.iters - 3 - 1  # accumulated (post-skip) iterations - 1
-        assert r.prob == pytest.approx(chi2_prob(r.chi_sq * dof, dof))
+        acc = r.iters - 3      # accumulated (post-skip) iterations
+        # total chi2 is recovered with the exact (acc - 0.9999) factor
+        # the accumulator divided by; dof = acc - 1 only sets the CDF
+        assert r.prob == pytest.approx(
+            chi2_prob(r.chi_sq * (acc - 0.9999), acc - 1))
 
     def test_constant_integrand_prob_near_zero(self):
         # zero inter-iteration scatter -> chi2 ~ 0 -> prob ~ 0

@@ -140,4 +140,20 @@ class TestMeasureEvalCost:
         whatever backend is live (CPU under pytest)."""
         cost = wsmod.measure_eval_cost(
             lambda x, y, z: x + y + z, 3, probe_regions=4096)
-        assert 1.0 <= cost < 20.0   # CPU timing noise tolerance
+        assert 1.0 <= cost < 40.0   # CPU timing noise tolerance (x2 margin)
+
+    def test_probe_applies_safety_margin(self):
+        """The x2 (default) safety margin is applied IN the probe: the
+        dispatch-ceiling consumer must get a conservative cost without
+        relying on caller discipline.  Pinned by comparing margins on
+        identical timings -- margin scales the returned ratio."""
+        kw = dict(probe_regions=4096, trials=3)
+        c1 = wsmod.measure_eval_cost(
+            lambda x, y, z: x + y + z, 3, margin=1.0, **kw)
+        c8 = wsmod.measure_eval_cost(
+            lambda x, y, z: x + y + z, 3, margin=800.0, **kw)
+        # a huge margin must dominate timing noise: ratio >= 40x even if
+        # the unmargined probe wobbles by 20x run-to-run on a loaded box
+        assert c8 >= 40.0 * c1
+        with pytest.raises(ValueError):
+            wsmod.measure_eval_cost(lambda x, y, z: x, 3, margin=0.5)

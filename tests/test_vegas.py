@@ -176,6 +176,20 @@ class TestVegasIntegration:
         assert abs(r.estimate - g.true_value) / g.true_value < 2e-2
         assert r.chi_sq < 10.0
 
+    def test_prob_uses_exact_chi2_divisor(self):
+        """prob must invert chi2a with the SAME (n_acc - 0.9999) factor
+        the accumulator divided by (vegasT.cuh:859) — reconstructing
+        with (n_acc - 1) was systematically low and inconsistent with
+        suave's exact factor."""
+        from gpuintegration_tpu.utils.stats import chi2_prob
+        g = genz.f4_gaussian(3, a=3.0)
+        r = V.integrate(g, epsrel=0.0, epsabs=0.0, ncall=2e4, seed=5,
+                        total_iters=6, adjust_iters=3, skip_iters=0)
+        n_acc = r.iters          # skip_iters=0: every iteration counts
+        assert n_acc >= 2
+        assert r.prob == pytest.approx(
+            chi2_prob(r.chi_sq * (n_acc - 0.9999), n_acc - 1), abs=1e-12)
+
     def test_reported_error_is_calibrated(self):
         """Pull distribution: |est - truth| should rarely exceed 3 sigma."""
         g = genz.f4_gaussian(2, a=3.0)
