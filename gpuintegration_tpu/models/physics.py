@@ -50,9 +50,13 @@ class ClusterLikelihood:
 
     ndim = 6
 
-    def __init__(self, omega_m: float = 0.3):
+    def __init__(self, omega_m: float = 0.3, hmf: Interp2D | None = None):
+        """``hmf``: optionally supply the table, e.g. one deserialised
+        from a reference-format hexfloat dump (Interp2D.from_text) --
+        the reference's own pipeline loads data/HMF_t.dump this way
+        (test/cuda/pagani/test_cpu_vs_gpu.cu)."""
         self.omega_m = omega_m
-        self.hmf = make_hmf_table()
+        self.hmf = make_hmf_table() if hmf is None else hmf
 
     def __call__(self, x):
         z = 2.0 * x[..., 0]                    # z in [0, 2]

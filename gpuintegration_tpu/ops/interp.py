@@ -40,6 +40,18 @@ def _format_doubles(vals: np.ndarray) -> str:
     return " ".join(float(v).hex() for v in np.asarray(vals).ravel())
 
 
+def _parse_lines(text: str, n_lines: int, what: str) -> list:
+    """Split a reference-format dump into exactly ``n_lines`` non-empty
+    lines of hexfloat doubles (the reference reads one std::getline per
+    array: Interp1D.cuh:226-233, Interp2D.cuh:172-182)."""
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    if len(lines) != n_lines:
+        raise ValueError(
+            f"{what} dump needs {n_lines} non-empty lines "
+            f"(got {len(lines)})")
+    return [_parse_doubles(ln) for ln in lines]
+
+
 def _ascending(knots, payloads, axis=0):
     """Normalise a knot axis to ascending order at construction time
     (searchsorted assumes ascending; a descending grid silently
@@ -181,21 +193,29 @@ class Interp1D:
     # -- hexfloat (de)serialisation parity ---------------------------------
     @classmethod
     def from_text(cls, text: str) -> "Interp1D":
-        """Reference stream format: count, xs..., count, zs...
-        (Interp1D.cuh operator>>)."""
-        vals = _parse_doubles(text)
-        n = int(vals[0])
-        xs = vals[1:1 + n]
-        m = int(vals[1 + n])
-        zs = vals[2 + n:2 + n + m]
-        if m != n:
+        """Reference stream format: one line of hexfloat xs, one line of
+        zs (Interp1D.cuh:226-233 reads one std::getline per array through
+        str_to_doubles).  A single-line dump is read as this package's
+        legacy round-1 format (count, xs..., count, zs...)."""
+        lines = [ln for ln in text.splitlines() if ln.strip()]
+        if len(lines) == 1:
+            vals = _parse_doubles(text)
+            n = int(vals[0])
+            xs = vals[1:1 + n]
+            m = int(vals[1 + n])
+            zs = vals[2 + n:2 + n + m]
+            if m != n:
+                raise ValueError("xs/zs length mismatch in Interp1D dump")
+            return cls(xs, zs)
+        xs, zs = _parse_lines(text, 2, "Interp1D")
+        if xs.shape != zs.shape:
             raise ValueError("xs/zs length mismatch in Interp1D dump")
         return cls(xs, zs)
 
     def to_text(self) -> str:
-        n = self.xs.shape[0]
-        return (f"{n} {_format_doubles(np.asarray(self.xs))} "
-                f"{n} {_format_doubles(np.asarray(self.zs))}")
+        """Reference dump format: xs line, zs line (hexfloats)."""
+        return (f"{_format_doubles(np.asarray(self.xs))}\n"
+                f"{_format_doubles(np.asarray(self.zs))}\n")
 
     def tree_flatten(self):
         return (self.xs, self.zs), None
@@ -262,6 +282,27 @@ class Interp2D:
                 return jnp.sum(t * wy, axis=0)        # (N,)
             return _chunked_flat_eval(kern, (xc, yc), nx + 2 * ny)
         return self.eval(xc, yc)
+
+    # -- hexfloat (de)serialisation parity ---------------------------------
+    @classmethod
+    def from_text(cls, text: str) -> "Interp2D":
+        """Reference stream format: xs line (cols), ys line (rows), table
+        line of rows*cols values, x-fastest (Interp2D.cuh:172-190 reads
+        three std::getline's; interpT is indexed row*cols + col).  This
+        is the format of the reference's data/HMF_t.dump."""
+        xs, ys, zs = _parse_lines(text, 3, "Interp2D")
+        nx, ny = xs.shape[0], ys.shape[0]
+        if zs.shape[0] != nx * ny:
+            raise ValueError(
+                f"Interp2D table length {zs.shape[0]} != "
+                f"len(xs)*len(ys) = {nx * ny}")
+        return cls(xs, ys, zs.reshape(ny, nx))
+
+    def to_text(self) -> str:
+        """Reference dump format: xs line, ys line, table line."""
+        return (f"{_format_doubles(np.asarray(self.xs))}\n"
+                f"{_format_doubles(np.asarray(self.ys))}\n"
+                f"{_format_doubles(np.asarray(self.zs))}\n")
 
     def tree_flatten(self):
         return (self.xs, self.ys, self.zs), None
@@ -336,6 +377,28 @@ class Interp3D:
         c0 = lerp(c00, c01, ty)
         c1 = lerp(c10, c11, ty)
         return lerp(c0, c1, tz)
+
+    # -- hexfloat (de)serialisation parity ---------------------------------
+    @classmethod
+    def from_text(cls, text: str) -> "Interp3D":
+        """Four hexfloat lines: xs, ys, zs, vals (x-fastest ordering,
+        matching the reference's interpT index x + nx*y + nx*ny*z,
+        Interp3D.cuh:199-204 -- the natural extension of the 2D stream
+        format; the reference's Interp3D has the same str_to_doubles
+        machinery but no committed operator>>)."""
+        xs, ys, zs, vals = _parse_lines(text, 4, "Interp3D")
+        nx, ny, nz = xs.shape[0], ys.shape[0], zs.shape[0]
+        if vals.shape[0] != nx * ny * nz:
+            raise ValueError(
+                f"Interp3D table length {vals.shape[0]} != "
+                f"len(xs)*len(ys)*len(zs) = {nx * ny * nz}")
+        return cls(xs, ys, zs, vals.reshape(nz, ny, nx))
+
+    def to_text(self) -> str:
+        return (f"{_format_doubles(np.asarray(self.xs))}\n"
+                f"{_format_doubles(np.asarray(self.ys))}\n"
+                f"{_format_doubles(np.asarray(self.zs))}\n"
+                f"{_format_doubles(np.asarray(self.vals))}\n")
 
     def tree_flatten(self):
         return (self.xs, self.ys, self.zs, self.vals), None

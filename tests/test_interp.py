@@ -44,7 +44,17 @@ class TestInterp1D:
         np.testing.assert_array_equal(np.asarray(it.zs), np.asarray(it2.zs))
 
     def test_matches_reference_dump_format(self):
-        # the format the reference writes: count, hexfloats..., count, ...
+        # the reference's line format: one getline per array of hexfloats
+        # (Interp1D.cuh:226-233 + str_to_doubles.hh)
+        text = "0x0p+0 0x1p+0 0x1p+1\n0x1p+0 0x1p+1 0x1p+2\n"
+        it = Interp1D.from_text(text)
+        np.testing.assert_array_equal(np.asarray(it.xs), [0.0, 1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(it.zs), [1.0, 2.0, 4.0])
+        # to_text emits the same two-line layout
+        assert len([ln for ln in it.to_text().splitlines() if ln]) == 2
+
+    def test_legacy_single_line_format_still_reads(self):
+        # round-1 dumps: count-prefixed, single line
         text = "3 0x0p+0 0x1p+0 0x1p+1 3 0x1p+0 0x1p+1 0x1p+2"
         it = Interp1D.from_text(text)
         np.testing.assert_array_equal(np.asarray(it.xs), [0.0, 1.0, 2.0])
@@ -71,6 +81,34 @@ class TestInterp2D:
         assert float(self.it(-1.0, -1.0)) == pytest.approx(0.0)
         assert float(self.it(10.0, 10.0)) == pytest.approx(3 * 2 + 5 * 2)
 
+    def test_hexfloat_roundtrip(self):
+        it2 = Interp2D.from_text(self.it.to_text())
+        np.testing.assert_array_equal(np.asarray(self.it.xs),
+                                      np.asarray(it2.xs))
+        np.testing.assert_array_equal(np.asarray(self.it.ys),
+                                      np.asarray(it2.ys))
+        np.testing.assert_array_equal(np.asarray(self.it.zs),
+                                      np.asarray(it2.zs))
+        # reloaded table clamps identically (Interpolation2D.cu battery)
+        assert float(it2(10.0, 10.0)) == pytest.approx(3 * 2 + 5 * 2)
+        assert float(it2(0.7, 1.3)) == pytest.approx(float(self.it(0.7, 1.3)))
+
+    def test_matches_reference_dump_format(self):
+        # HMF_t.dump layout: xs line (cols), ys line (rows), table line
+        # of rows*cols hexfloats, x-fastest (Interp2D.cuh:172-190)
+        text = ("0x0p+0 0x1p+0\n"            # xs (2 cols)
+                "0x0p+0 0x1p+1 0x1p+2\n"     # ys (3 rows)
+                "0x1p+0 0x1p+1 0x1p+2 0x1.8p+1 0x1p+3 0x1.4p+2\n")
+        it = Interp2D.from_text(text)
+        np.testing.assert_array_equal(np.asarray(it.xs), [0.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(it.ys), [0.0, 2.0, 4.0])
+        np.testing.assert_array_equal(np.asarray(it.zs),
+                                      [[1.0, 2.0], [4.0, 3.0], [8.0, 5.0]])
+
+    def test_bad_table_length_rejected(self):
+        with pytest.raises(ValueError, match="table length"):
+            Interp2D.from_text("0x0p+0 0x1p+0\n0x0p+0\n0x1p+0\n")
+
 
 class TestInterp3D:
     def test_trilinear_exact_for_linear_function(self):
@@ -89,6 +127,41 @@ class TestInterp3D:
         vals[1, 1, 1] = 8.0
         it = Interp3D(xs, ys, zs, vals)
         assert float(it(5.0, 5.0, 5.0)) == pytest.approx(8.0)
+
+    def test_hexfloat_roundtrip(self):
+        xs = np.linspace(0, 1, 4)
+        ys = np.linspace(0, 2, 3)
+        zs = np.linspace(0, 3, 5)
+        vals = (2.0 * xs[None, None, :] - ys[None, :, None]
+                + 0.5 * zs[:, None, None])
+        it = Interp3D(xs, ys, zs, vals)
+        it2 = Interp3D.from_text(it.to_text())
+        np.testing.assert_array_equal(np.asarray(it.vals),
+                                      np.asarray(it2.vals))
+        x, y, z = 0.3, 1.1, 2.2
+        assert float(it2(x, y, z)) == pytest.approx(2 * x - y + 0.5 * z)
+        with pytest.raises(ValueError, match="table length"):
+            Interp3D.from_text("0x0p+0 0x1p+0\n0x0p+0\n0x0p+0\n0x1p+0\n")
+
+
+class TestPhysicsTableFromText:
+    """The reference's flagship stateful pipeline: a physics model whose
+    Interp2D table is loaded from a hexfloat text dump
+    (test/cuda/pagani/test_cpu_vs_gpu.cu + data/HMF_t.dump)."""
+
+    def test_cluster_likelihood_from_dumped_table(self):
+        import jax.numpy as jnp
+        from gpuintegration_tpu.models.physics import (
+            ClusterLikelihood, make_hmf_table)
+        from gpuintegration_tpu.ops.interp import Interp2D
+        table = make_hmf_table(n_mass=16, n_z=8)
+        reloaded = Interp2D.from_text(table.to_text())
+        model = ClusterLikelihood(hmf=reloaded)
+        ref = ClusterLikelihood()
+        ref.hmf = table
+        pts = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (64, 6)))
+        np.testing.assert_array_equal(np.asarray(model(pts)),
+                                      np.asarray(ref(pts)))
 
 
 class TestStatefulIntegrand:
