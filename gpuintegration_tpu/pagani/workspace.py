@@ -223,13 +223,9 @@ def _post_stage(
     return est, refined, active, scalars
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("relerr_classification", "blocked",
-                                    "ncomp"))
-def _post_stage_vector(
+def iteration_math_vector(
     relerr_classification: bool,
     blocked: bool,
-    ncomp: int,
     est, err, n,            # est/err: (ncomp, cap) component-major
     parent_estimates,       # (ncomp, cap_parent)
     use_refine,
@@ -237,11 +233,15 @@ def _post_stage_vector(
     lengths=None,
     abs_per_vol=None,
 ):
-    """Vector twin of ``_post_stage``: per-component masking, two-level
-    refinement (all-components finished semantics) and the iteration/
-    finished reductions, concatenated into ONE scalar vector
-    [iter_est(ncomp), iter_err(ncomp), fin_est(ncomp), fin_err(ncomp),
-    n_active] for a single D2H sync."""
+    """Vector twin of ``iteration_math``: per-component masking,
+    two-level refinement (all-components finished semantics) and the
+    iteration/finished reductions.  Shared by the host vector loop
+    (_post_stage_vector) and the fused vector phase
+    (fused_loop.fused_adaptive_phase_vector) so their arithmetic is
+    STRUCTURALLY identical (same discipline as the scalar pair).
+
+    Returns (est, refined, active, iter_est, iter_err, finished_est,
+    finished_err, n_active); the per-iteration sums are (ncomp,)."""
     cap = est.shape[1]
     mask = region_pool.block_mask(cap, n, blocked)
     est = jnp.where(mask[None], est, 0.0)
@@ -260,6 +260,33 @@ def _post_stage_vector(
     fin_est = iter_est - jnp.sum(active[None] * est, axis=1)
     fin_err = iter_err - jnp.sum(active[None] * refined, axis=1)
     n_active = jnp.sum(active.astype(jnp.float64))  # see iteration_math
+    return (est, refined, active, iter_est, iter_err, fin_est, fin_err,
+            n_active)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relerr_classification", "blocked",
+                                    "ncomp"))
+def _post_stage_vector(
+    relerr_classification: bool,
+    blocked: bool,
+    ncomp: int,
+    est, err, n,            # est/err: (ncomp, cap) component-major
+    parent_estimates,       # (ncomp, cap_parent)
+    use_refine,
+    epsrel,
+    lengths=None,
+    abs_per_vol=None,
+):
+    """jit wrapper of iteration_math_vector for the host loop, with the
+    per-iteration sums concatenated into ONE scalar vector
+    [iter_est(ncomp), iter_err(ncomp), fin_est(ncomp), fin_err(ncomp),
+    n_active] for a single D2H sync."""
+    (est, refined, active, iter_est, iter_err, fin_est, fin_err,
+     n_active) = iteration_math_vector(
+        relerr_classification, blocked, est, err, n,
+        parent_estimates, use_refine, epsrel,
+        lengths=lengths, abs_per_vol=abs_per_vol)
     scalars = jnp.concatenate(
         [iter_est, iter_err, fin_est, fin_err, n_active[None]])
     return est, refined, active, scalars
@@ -563,22 +590,34 @@ class Workspace:
         if ncomp > 1:
             if (self.mesh is not None or vegas_assisted or predict_split
                     or self.rule_backend != "xla"):
+                # Documented exclusions (not yet-unwritten code paths):
+                # mesh -- the shard-local sub-pool protocol replicates
+                # only SCALAR f64 ledger entries through psum; a vector
+                # ledger needs (ncomp,) replicated carries in the shard
+                # map, untested at pool scale.  pallas -- the VMEM rule
+                # kernel is f32 scalar-per-axis by construction (Mosaic
+                # 2-D column math, ops/pallas_rule.py).  vegas_assisted /
+                # predict_split -- scalar per-region MC overwrite and
+                # scalar snapshot heuristics (Phases.cuh:479-518,
+                # Workspace.cuh:206-211).  Vector runs get the host loop,
+                # the fused vector phase and checkpoint/ledger resume.
                 raise ValueError(
                     "vector-valued integrands run on the single-chip XLA "
-                    "host loop (no mesh/vegas_assisted/predict_split/"
-                    "pallas yet)")
+                    "host/fused loops (mesh, pallas, vegas_assisted and "
+                    "predict_split are scalar-only; see the docstring "
+                    "note in Workspace.integrate)")
             if ledger is not None:
-                # silently dropping the seed would lose the accumulated
-                # estimate/error/neval of a resumed run
-                raise ValueError(
-                    "ledger resume is scalar-only; vector-valued runs "
-                    "cannot seed a (est, err, ...) scalar ledger")
+                if np.ndim(ledger[0]) != 1:
+                    raise ValueError(
+                        "vector runs need a vector ledger: ((ncomp,) est, "
+                        "(ncomp,) err, nregions, iters, neval)")
             return self._integrate_vector(
                 f, ncomp, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
                 max_iterations, initial_regions, recorder,
                 finish_scale=finish_epsrel_scale,
-                abs_per_vol=finish_abs_per_vol)
+                abs_per_vol=finish_abs_per_vol,
+                fused=fused, ledger=ledger)
 
         if self.mesh is not None:
             if vegas_assisted or predict_split:
@@ -935,6 +974,7 @@ class Workspace:
         self, f, ncomp, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, finish_scale=1.0, abs_per_vol=0.0,
+        fused=True, ledger=None,
     ) -> IntegrationResult:
         """Adaptive loop for vector-valued integrands: f maps (..., ndim)
         -> (..., ncomp).  All components share one point set and one
@@ -943,7 +983,15 @@ class Workspace:
         difference over components, and the run converges when every
         component's cumulative error passes (cubacpp all-components
         semantics, integrand_traits.hh:81-93).  The classifier and the
-        error-budget rollback key on the WORST component."""
+        error-budget rollback key on the WORST component.
+
+        ``ledger``: optional ((ncomp,) est, (ncomp,) err, nregions,
+        iters, neval) seed -- the vector resume semantics (the scalar
+        ledger docs on integrate() apply per component).  ``fused``: run
+        sub-gate bursts on device via
+        fused_loop.fused_adaptive_phase_vector (same exit protocol as
+        the scalar fused phase, iteration-equivalent by construction:
+        both paths trace iteration_math_vector)."""
         import time as _time
         ndim, dtype, dtype_name = self.ndim, self.dtype, self.dtype.name
         eps_dev = jnp.asarray(epsrel * finish_scale, dtype)
@@ -983,6 +1031,17 @@ class Workspace:
         cum_est = np.zeros(ncomp)
         cum_err = np.zeros(ncomp)
         result_nregions = 0
+        if ledger is not None:
+            est_seed, err_seed, result_nregions, it_seed, nev_seed = ledger
+            cum_est = np.asarray(est_seed, np.float64).copy()
+            cum_err = np.asarray(err_seed, np.float64).copy()
+            if cum_est.shape != (ncomp,) or cum_err.shape != (ncomp,):
+                raise ValueError(
+                    f"vector ledger est/err must have shape ({ncomp},)")
+            cum.iters = int(it_seed)
+            cum.neval = int(nev_seed)
+            cum.nFinishedRegions = result_nregions
+            max_iterations = max_iterations + cum.iters
         blocked = False
         inflight_est = np.zeros(ncomp)
         inflight_err = np.zeros(ncomp)
@@ -992,13 +1051,101 @@ class Workspace:
             return all(accuracy_reached(epsrel, epsabs, abs(e), r)
                        for e, r in zip(ests, errs))
 
-        it = 0
+        fused_gate = int(0.1 * self.max_pool_regions)
+        fused_ok = fused and recorder is None
+
+        it = cum.iters
         while True:
             if it >= max_iterations:
                 exhausted = True
                 break
             if n <= 0:
                 break
+
+            if fused_ok and blocked and 2 * n <= fused_gate:
+                from gpuintegration_tpu.pagani import fused_loop
+                chunk = self.chunk_size if cap > self.chunk_size else None
+                lows, lengths, parent_est, sdim_f, packed_d = \
+                    fused_loop.fused_adaptive_phase_vector(
+                        f, ndim, ncomp, dtype_name, chunk,
+                        relerr_classification, fused_gate, feval,
+                        lows, lengths, n_dev, parent_est,
+                        global_lo, global_range,
+                        eps_dev,
+                        jnp.asarray(epsrel, jnp.float64),
+                        jnp.asarray(epsabs, jnp.float64),
+                        jnp.asarray(cum_est, jnp.float64),
+                        jnp.asarray(cum_err, jnp.float64),
+                        jnp.asarray(float(result_nregions), jnp.float64),
+                        jnp.asarray(cum.iters, jnp.int32),
+                        jnp.asarray(float(cum.neval), jnp.float64),
+                        jnp.asarray(classifier._estimates, jnp.float64),
+                        jnp.asarray(max_iterations, jnp.int32),
+                        apv_dev,
+                        jnp.asarray(float(cum.neval) + _burst_evals()
+                                    / max(self.eval_cost, 1.0),
+                                    jnp.float64))
+                packed = np.asarray(packed_d)   # ONE sync for the burst
+                n = int(packed[0])
+                n_dev = jnp.asarray(n, jnp.int32)
+                fused_iters = int(packed[2]) - cum.iters
+                result_nregions = int(packed[1])
+                cum.nFinishedRegions = result_nregions
+                cum.iters = int(packed[2])
+                cum.neval = int(packed[3])
+                status = int(packed[4])
+                prev_nreg = int(packed[5])
+                prev_iters = int(packed[6])
+                prev_neval = int(packed[7])
+                classifier._estimates = [float(packed[8]), float(packed[9]),
+                                         float(packed[10])]
+                classifier._iters_collected += fused_iters
+                o = 11
+                cum_est = packed[o:o + ncomp].copy(); o += ncomp
+                cum_err = packed[o:o + ncomp].copy(); o += ncomp
+                inflight_est = packed[o:o + ncomp].copy(); o += ncomp
+                inflight_err = packed[o:o + ncomp].copy(); o += ncomp
+                prev_est = packed[o:o + ncomp].copy(); o += ncomp
+                prev_err = packed[o:o + ncomp].copy()
+                it = cum.iters
+                if status == 1:
+                    # bucket overflow: split the compacted survivors into
+                    # the doubled bucket (before the budget check, like
+                    # the scalar fused path)
+                    lows, lengths, _ = region_pool.split(
+                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
+                    cap = 2 * cap
+                    n = 2 * n
+                    n_dev = jnp.asarray(n, jnp.int32)
+                    use_refine = jnp.asarray(True)
+                    blocked = True
+                self.final_pool_errors = None   # fused exits carry no
+                # per-region stash (see the scalar fused path note)
+                self.final_pool = (lows, lengths, n, True)
+                if status in (0, 2):
+                    self._ledger_excl_pool = (prev_est, prev_err,
+                                              prev_nreg, prev_iters,
+                                              prev_neval)
+                else:
+                    self._ledger_excl_pool = (cum_est.copy(),
+                                              cum_err.copy(),
+                                              result_nregions, cum.iters,
+                                              cum.neval)
+                if status == 0:          # all components converged
+                    cum.status = 0
+                    cum.nregions = result_nregions + n
+                    break
+                if status == 2:          # every region finished
+                    cum.nregions = result_nregions
+                    break
+                if it >= max_iterations:
+                    exhausted = True
+                    break
+                if status == 1:
+                    continue
+                # gate crossing (status -1): one host iteration handles
+                # the classifier, then the loop may re-enter fused
+
             t_iter = _time.perf_counter()
             est_raw, err_raw, sdim = self._eval_pool(
                 f, lows, lengths, global_lo, global_range,
@@ -1008,6 +1155,14 @@ class Workspace:
                 n_dev, parent_est, use_refine, eps_dev,
                 lengths=None if apv_dev is None else lengths,
                 abs_per_vol=apv_dev)
+            # live pool reference + this sweep's per-region component
+            # arrays for checkpointing; the resumable ledger EXCLUDES
+            # this sweep (same semantics as the scalar host loop)
+            self.final_pool = (lows, lengths, n, blocked)
+            self.final_pool_errors = (est, refined)
+            self._ledger_excl_pool = (cum_est.copy(), cum_err.copy(),
+                                      result_nregions, cum.iters,
+                                      cum.neval)
             scalars = np.asarray(scalars_d)       # ONE sync per iteration
             iter_est = scalars[0:ncomp].astype(np.float64)
             iter_err = scalars[ncomp:2 * ncomp].astype(np.float64)
@@ -1463,17 +1618,30 @@ class Workspace:
             self.final_pool = None
             self.final_pool_errors = None
             if 4 * ckpt.lows.shape[0] > self.max_pool_regions:
+                if np.ndim(ckpt.estimate) == 1:
+                    # the partitioned continuation's slice budgeting
+                    # (finish_abs_per_vol shares, dynamic slice targets)
+                    # is scalar; a split-starved VECTOR pool returns the
+                    # honest status-1 result instead of slicing wrong
+                    break
                 return self._partitioned_continuation(
                     integrand, epsrel, epsabs, vol, ckpt, res,
                     max_rounds - rounds, deadline,
                     min_err_reduction=min_err_reduction, **kw)
-            prev_err = res.errorest
+
+            def worst_err(r):
+                # progress guard on the WORST component for vector runs
+                return (float(np.max(r.errorests))
+                        if getattr(r, "errorests", None) is not None
+                        else r.errorest)
+
+            prev_err = worst_err(res)
             res = self.integrate(
                 integrand, epsrel, epsabs, vol,
                 initial_regions=(ckpt.lows, ckpt.lengths),
                 ledger=ckpt.ledger, **kw)
             rounds += 1
-            if res.status == 1 and res.errorest > min_err_reduction * prev_err:
+            if res.status == 1 and worst_err(res) > min_err_reduction * prev_err:
                 break   # no meaningful progress; stop burning evals
         return res
 
@@ -1678,8 +1846,7 @@ class Workspace:
         from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
         if getattr(self, "final_pool", None) is None:
             raise ValueError(
-                "no resumable pool: run integrate() first (vector-valued "
-                "runs do not checkpoint)")
+                "no resumable pool: run integrate() first")
         est, err, nregions, iters, neval = self._ledger_excl_pool
         if isinstance(self.final_pool[0], str):  # ("mesh", ...) layout
             # per-shard blocked layout: shard k's real regions fill the
@@ -1715,10 +1882,15 @@ class Workspace:
         if getattr(self, "final_pool_errors", None) is not None:
             # the saved pool's own sweep: per-region estimates + refined
             # errors in pool order (same keep indexing as lows/lengths).
-            # Continuation slicing sorts on these.
+            # Continuation slicing sorts on these.  Vector sweeps store
+            # (n, ncomp) -- component-minor on HOST only (the device pool
+            # stays dims/component-major per the lane-padding invariant).
             e_d, r_d = self.final_pool_errors
-            reg_est = np.asarray(e_d)[keep]
-            reg_err = np.asarray(r_d)[keep]
+            e_np, r_np = np.asarray(e_d), np.asarray(r_d)
+            if e_np.ndim == 2:          # vector: (ncomp, cap) -> (n, ncomp)
+                reg_est, reg_err = e_np[:, keep].T, r_np[:, keep].T
+            else:
+                reg_est, reg_err = e_np[keep], r_np[keep]
         return PaganiCheckpoint(
             lows=lo_np.T, lengths=ln_np.T,
             estimate=est, errorest=err, nregions=nregions, iters=iters,

@@ -26,13 +26,18 @@ from gpuintegration_tpu.mcubes.vegas import VegasState
 
 @dataclasses.dataclass
 class PaganiCheckpoint:
-    """Resumable PAGANI state: active region pool + cumulative ledger."""
+    """Resumable PAGANI state: active region pool + cumulative ledger.
+
+    Vector-valued runs store ``estimate``/``errorest`` as (ncomp,)
+    arrays (and ``region_*`` as (n, ncomp)); everything round-trips
+    through the same savez fields."""
 
     lows: np.ndarray          # (n, ndim) active regions, unit space
     lengths: np.ndarray       # (n, ndim)
-    estimate: float           # cumulative ledger EXCLUDING the saved
-    errorest: float           #   pool's own sweep (resume re-evaluates it:
-                              #   total = ckpt.estimate + resumed.estimate)
+    estimate: float | np.ndarray  # cumulative ledger EXCLUDING the saved
+    errorest: float | np.ndarray  # pool's own sweep (resume re-evaluates
+                              #   it: total = ckpt.estimate +
+                              #   resumed.estimate)
     nregions: int
     iters: int
     neval: int = 0
@@ -70,9 +75,14 @@ class PaganiCheckpoint:
     @classmethod
     def load(cls, path: str) -> "PaganiCheckpoint":
         z = np.load(cls._norm(path))
+
+        def scal(v):
+            a = np.asarray(v)
+            return a if a.ndim else float(a)   # vector ledgers: (ncomp,)
+
         return cls(lows=z["lows"], lengths=z["lengths"],
-                   estimate=float(z["estimate"]),
-                   errorest=float(z["errorest"]),
+                   estimate=scal(z["estimate"]),
+                   errorest=scal(z["errorest"]),
                    nregions=int(z["nregions"]), iters=int(z["iters"]),
                    neval=int(z["neval"]) if "neval" in z else 0,
                    region_estimates=(z["region_estimates"]

@@ -156,3 +156,60 @@ def test_vector_rejects_unsupported_modes():
     with pytest.raises(ValueError):
         Workspace(ND, chunk_size=1024).integrate(
             fvec, epsrel=1e-3, vegas_assisted=True)
+    with pytest.raises(ValueError, match="vector ledger"):
+        Workspace(ND, chunk_size=1024).integrate(
+            fvec, epsrel=1e-3, ledger=(0.0, 0.0, 0, 0, 0))
+
+
+def test_vector_fused_matches_host():
+    """The fused vector phase must agree with the host vector loop
+    iteration-for-iteration (same discipline as the scalar pair: both
+    trace workspace.iteration_math_vector)."""
+    rh = Workspace(ND, chunk_size=1024).integrate(
+        fvec, epsrel=1e-6, epsabs=1e-40, fused=False)
+    rf = Workspace(ND, chunk_size=1024).integrate(
+        fvec, epsrel=1e-6, epsabs=1e-40, fused=True)
+    assert (rh.status, rh.iters, rh.neval, rh.nregions) == \
+           (rf.status, rf.iters, rf.neval, rf.nregions)
+    np.testing.assert_allclose(rh.estimates, rf.estimates, rtol=1e-12)
+    np.testing.assert_allclose(rh.errorests, rf.errorests, rtol=1e-9)
+
+
+def test_vector_checkpoint_resume_reaches_deeper_tolerance(tmp_path):
+    """A budget-limited vector round checkpoints and resumes through the
+    (ncomp,) ledger to a tolerance the single round could not certify
+    (cubacpp vector semantics carried through the continuation story)."""
+    ws = Workspace(ND, chunk_size=1024)
+    r1 = ws.integrate(fvec, epsrel=1e-7, epsabs=1e-40,
+                      max_iterations=4, fused=False)
+    assert r1.status == 1
+    ck = ws.make_checkpoint()
+    assert np.ndim(ck.estimate) == 1 and ck.estimate.shape == (len(MEMBERS),)
+    assert ck.region_errorests is not None
+    assert ck.region_errorests.shape == (ck.lows.shape[0], len(MEMBERS))
+    # vector checkpoints round-trip through savez like scalar ones
+    ck.save(str(tmp_path / "vec_ck"))
+    from gpuintegration_tpu.utils.checkpoint import PaganiCheckpoint
+    ck2 = PaganiCheckpoint.load(str(tmp_path / "vec_ck"))
+    np.testing.assert_array_equal(ck.estimate, ck2.estimate)
+    np.testing.assert_array_equal(ck.lows, ck2.lows)
+    r2 = ws.integrate(fvec, epsrel=1e-7, epsabs=1e-40,
+                      initial_regions=(ck2.lows, ck2.lengths),
+                      ledger=ck2.ledger)
+    assert r2.status == 0
+    assert r2.iters > r1.iters          # ledger seeded the iteration count
+    for i in range(len(MEMBERS)):
+        rel = abs(r2.estimates[i] - TRUTHS[i]) / abs(TRUTHS[i])
+        assert rel < 1e-6, (i, rel)
+
+
+def test_vector_convergence_driver():
+    """integrate_to_convergence chains budget-limited vector rounds via
+    the vector checkpoint/ledger to full convergence."""
+    ws = Workspace(ND, chunk_size=1024)
+    r = ws.integrate_to_convergence(fvec, epsrel=1e-7, epsabs=1e-40,
+                                    max_iterations=4, fused=False)
+    assert r.status == 0
+    for i in range(len(MEMBERS)):
+        rel = abs(r.estimates[i] - TRUTHS[i]) / abs(TRUTHS[i])
+        assert rel < 1e-6, (i, rel)
