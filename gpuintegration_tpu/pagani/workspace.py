@@ -1291,10 +1291,14 @@ class Workspace:
         at all, SURVEY.md section 2.7), and only the f64 iteration
         scalars are psum'd.  The fused adaptive phase, dynamic-trip
         chunking and the memory-pressure classifier all run exactly as
-        in the single-chip loop; shards do not rebalance, so a skewed
-        refinement grows every shard's bucket when the hottest shard
-        overflows (documented trade: zero region traffic vs possible
-        idle lanes).
+        in the single-chip loop; WITHIN a round shards do not rebalance,
+        so a skewed refinement grows every shard's bucket when the
+        hottest shard overflows (documented trade: zero region traffic
+        vs possible idle lanes).  At CONTINUATION boundaries
+        (integrate_to_convergence) the checkpointed survivors are
+        re-dealt error-evenly across shards
+        (_rebalance_checkpoint_for_mesh), so the skew resets every
+        resume round.
         """
         import time as _time
         from gpuintegration_tpu.parallel import sharded as S
@@ -1413,6 +1417,8 @@ class Workspace:
                     blocked = True
                 self.final_pool = ("mesh", lows, lengths,
                                    np.asarray(ns), cap_s, True)
+                self.final_pool_errors = None   # fused exits carry no
+                # per-region stash (status-1 pools are post-split)
                 if status in (0, 2):
                     self._ledger_excl_pool = (float(packed[9]),
                                               float(packed[10]),
@@ -1450,6 +1456,10 @@ class Workspace:
                     abs_per_vol=apv_dev)
             self.final_pool = ("mesh", lows, lengths, np.asarray(ns),
                                cap_s, blocked)
+            # this sweep's per-region (est, refined) on the global layout
+            # (same keep indexing as the pool): the continuation-boundary
+            # shard rebalance sorts survivors on these
+            self.final_pool_errors = (est, refined)
             self._ledger_excl_pool = (cum.estimate, cum.errorest,
                                       result_nregions, cum.iters, cum.neval)
             scalars = np.asarray(scalars_d)       # ONE sync per iteration
@@ -1545,6 +1555,44 @@ class Workspace:
         cum.nregions = result_nregions + n
         return cum
 
+    def _rebalance_checkpoint_for_mesh(self, ckpt):
+        """Reorder a checkpoint's survivors so the mesh resume's
+        contiguous per-shard slicing deals every shard an even hot/cold
+        mix (SURVEY 2.7's optional cross-chip rebalance, realised at the
+        continuation boundary -- the only point where regions may cross
+        shards; inside a round compaction/split stay shard-local with
+        zero region traffic).
+
+        Survivors are sorted by stored refined error (hottest first; pool
+        order when a fused exit left no stash) and dealt round-robin:
+        resume block k receives sorted regions k, k+D, k+2D, ...  Block
+        sizes exactly match _integrate_mesh's contiguous slicing
+        (len(order[k::D]) == n//D + (1 if k < n%D else 0)), so shard k's
+        bucket holds a stride-D sample of the error distribution instead
+        of a spatial cluster -- a one-corner-hot pool no longer lands its
+        whole hot set on one shard, which previously grew EVERY shard's
+        bucket once that shard overflowed (the documented skew trade)."""
+        if self.mesh is None or ckpt.lows.shape[0] == 0:
+            return ckpt
+        import dataclasses as _dc
+        D = int(self.mesh.devices.size)
+        n = ckpt.lows.shape[0]
+        if ckpt.region_errorests is not None:
+            err = np.asarray(ckpt.region_errorests)
+            if err.ndim == 2:          # vector stash: worst component
+                err = err.max(axis=1)
+            order = np.argsort(-err)   # hottest first
+        else:
+            order = np.arange(n)
+        dealt = np.concatenate([order[k::D] for k in range(D)])
+        return _dc.replace(
+            ckpt,
+            lows=ckpt.lows[dealt], lengths=ckpt.lengths[dealt],
+            region_estimates=(None if ckpt.region_estimates is None
+                              else np.asarray(ckpt.region_estimates)[dealt]),
+            region_errorests=(None if ckpt.region_errorests is None
+                              else np.asarray(ckpt.region_errorests)[dealt]))
+
     def integrate_to_convergence(
         self,
         integrand: Callable,
@@ -1612,6 +1660,10 @@ class Workspace:
             ckpt = self.make_checkpoint()
             if ckpt.lows.shape[0] == 0:
                 break
+            if self.mesh is not None:
+                # continuation boundary: deal survivors hot/cold-evenly
+                # across shards (see _rebalance_checkpoint_for_mesh)
+                ckpt = self._rebalance_checkpoint_for_mesh(ckpt)
             # the checkpoint is host NumPy; drop the final pool's device
             # buffers (2 x cap x ndim f64 -- 2 GB at the 16M 8D wall) so
             # the resumed round's bucket doesn't stack on top of them
@@ -1863,10 +1915,16 @@ class Workspace:
                 else:
                     keep.append(base + np.arange(nk))
             keep = np.concatenate(keep) if keep else np.zeros(0, np.int64)
+            reg_est = reg_err = None
+            if getattr(self, "final_pool_errors", None) is not None:
+                e_d, r_d = self.final_pool_errors
+                reg_est = np.asarray(e_d)[keep]
+                reg_err = np.asarray(r_d)[keep]
             return PaganiCheckpoint(
                 lows=lo_np[:, keep].T, lengths=ln_np[:, keep].T,
                 estimate=est, errorest=err, nregions=nregions, iters=iters,
-                neval=neval)
+                neval=neval, region_estimates=reg_est,
+                region_errorests=reg_err)
         lows, lengths, n, blocked = self.final_pool
         lo_np, ln_np = np.asarray(lows), np.asarray(lengths)
         if blocked:

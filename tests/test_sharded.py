@@ -140,6 +140,61 @@ def test_mesh_classifier_and_checkpoint(mesh):
     assert (ck.lows + ck.lengths <= 1 + 1e-12).all()
 
 
+def test_mesh_continuation_rebalances_shards(mesh):
+    """A one-corner-hot integrand refines into a spatial cluster; the
+    contiguous resume slicing would land the whole hot set on one shard.
+    At the continuation boundary the survivors must be re-dealt so every
+    shard's slice carries a near-even error share (SURVEY 2.7's optional
+    cross-chip rebalance)."""
+    from gpuintegration_tpu import Workspace
+    g = genz.f3_corner_peak(3)      # hot at the origin corner
+    ws = Workspace(3, chunk_size=256, mesh=mesh)
+    r1 = ws.integrate(g, epsrel=1e-10, epsabs=1e-40, max_iterations=7,
+                      fused=False)
+    assert r1.status == 1
+    ck = ws.make_checkpoint()
+    assert ck.region_errorests is not None      # mesh host loop stashes
+    n = ck.lows.shape[0]
+    D = int(mesh.devices.size)
+    assert n >= 2 * D
+    counts = [n // D + (1 if k < n % D else 0) for k in range(D)]
+
+    def shard_error_shares(ckpt):
+        err = np.asarray(ckpt.region_errorests)
+        shares, start = [], 0
+        for c in counts:                 # _integrate_mesh's contiguous deal
+            shares.append(float(err[start:start + c].sum()))
+            start += c
+        return np.asarray(shares)
+
+    before = shard_error_shares(ck)
+    ck_bal = ws._rebalance_checkpoint_for_mesh(ck)
+    after = shard_error_shares(ck_bal)
+    # same survivors, same total error -- only the deal changed
+    assert ck_bal.lows.shape == ck.lows.shape
+    np.testing.assert_allclose(after.sum(), before.sum(), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(ck_bal.lows), axis=0).sum(),
+        np.sort(np.asarray(ck.lows), axis=0).sum(), rtol=1e-12)
+    # round-robin deal of error-sorted survivors: every shard's share is
+    # bounded by mean + hottest-single-region error (indivisible regions
+    # make that the best achievable), and the hottest shard never gets
+    # worse than the raw spatial deal
+    err_all = np.asarray(ck.region_errorests)
+    assert after.max() <= after.mean() + float(err_all.max()) * (1 + 1e-9), (
+        after, before)
+    assert after.max() <= before.max() * (1 + 1e-9)
+    assert after.max() / max(after.min(), 1e-300) <= \
+        before.max() / max(before.min(), 1e-300)
+    # end-to-end: the continuation driver (which applies the rebalance)
+    # converges from here
+    r2 = ws.integrate_to_convergence(g, epsrel=1e-7, epsabs=1e-40,
+                                     max_iterations=12)
+    assert r2.status == 0
+    assert abs(r2.estimate - g.true_value) <= max(
+        5 * r2.errorest, 1e-6 * abs(g.true_value))
+
+
 def test_mesh_nan_never_reports_success(mesh):
     from gpuintegration_tpu import Workspace
     import jax.numpy as jnp
