@@ -1603,9 +1603,17 @@ class Workspace:
         max_rounds: int = 16,
         min_err_reduction: float = 0.99,
         max_wall_s: float | None = None,
+        stage_timer=None,
         **kw,
     ) -> IntegrationResult:
         """``integrate`` + checkpoint-resume continuation.
+
+        ``stage_timer``: optional utils.profiling.StageTimer; records
+        wall time per continuation stage ("round1", "resume_roundN",
+        "slices" aggregated) -- the per-stage breakdown the reference
+        writes to cuda_pagani_time_breakdown.csv (Workspace.cuh:171-241),
+        at round granularity.  bench.py uses it to separate adaptive
+        work from tunnel noise in the flagship measurement.
 
         A single ``integrate`` round ends with status 1 when the pool hits
         the memory wall (classifier failure) or the iteration budget.
@@ -1641,10 +1649,17 @@ class Workspace:
         error below ``min_err_reduction`` times the previous round's
         (no-progress guard).
         """
+        import contextlib
         import time as _time
         deadline = (_time.monotonic() + max_wall_s
                     if max_wall_s is not None else None)
-        res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
+
+        def _stage(name):
+            return (stage_timer.stage(name) if stage_timer is not None
+                    else contextlib.nullcontext())
+
+        with _stage("round1"):
+            res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
         # round 1 consumed any user initial_regions/ledger seed; later
         # rounds (and continuation slices) supply their own -- leaving the
         # user's in kw would TypeError on resume, and a leftover ledger=
@@ -1679,7 +1694,8 @@ class Workspace:
                 return self._partitioned_continuation(
                     integrand, epsrel, epsabs, vol, ckpt, res,
                     max_rounds - rounds, deadline,
-                    min_err_reduction=min_err_reduction, **kw)
+                    min_err_reduction=min_err_reduction,
+                    stage_timer=stage_timer, **kw)
 
             def worst_err(r):
                 # progress guard on the WORST component for vector runs
@@ -1688,10 +1704,11 @@ class Workspace:
                         else r.errorest)
 
             prev_err = worst_err(res)
-            res = self.integrate(
-                integrand, epsrel, epsabs, vol,
-                initial_regions=(ckpt.lows, ckpt.lengths),
-                ledger=ckpt.ledger, **kw)
+            with _stage(f"resume_round{rounds + 1}"):
+                res = self.integrate(
+                    integrand, epsrel, epsabs, vol,
+                    initial_regions=(ckpt.lows, ckpt.lengths),
+                    ledger=ckpt.ledger, **kw)
             rounds += 1
             if res.status == 1 and worst_err(res) > min_err_reduction * prev_err:
                 break   # no meaningful progress; stop burning evals
@@ -1729,7 +1746,8 @@ class Workspace:
 
     def _partitioned_continuation(
         self, integrand, epsrel, epsabs, vol, ckpt, last_res,
-        rounds_left, deadline=None, min_err_reduction=0.99, **kw,
+        rounds_left, deadline=None, min_err_reduction=0.99,
+        stage_timer=None, **kw,
     ) -> IntegrationResult:
         """Divide-and-conquer continuation for split-starved pools.
 
@@ -1750,10 +1768,15 @@ class Workspace:
         certifiable moment -- cold tail slices are typically never
         evaluated.  The returned status is that honest global test.
         """
+        import contextlib
         import os as _os
         import sys as _sys
         import time as _time
         _log = _os.environ.get("GPUINT_TPU_CONTINUATION_LOG")
+
+        def _stage(name):
+            return (stage_timer.stage(name) if stage_timer is not None
+                    else contextlib.nullcontext())
         slice_cap = max(self.max_pool_regions // 16, 2 * self.chunk_size)
         max_depth = 12
         fin_est, fin_err = ckpt.estimate, ckpt.errorest
@@ -1825,9 +1848,10 @@ class Workspace:
                 kw_i = dict(kw)
                 if vol_i > 0.0:
                     kw_i["finish_abs_per_vol"] = 0.5 * share / vol_i
-            r_i = self.integrate(
-                integrand, eps_rel_i, eps_abs_i, vol,
-                initial_regions=(lows_i, lengths_i), **kw_i)
+            with _stage("slices"):
+                r_i = self.integrate(
+                    integrand, eps_rel_i, eps_abs_i, vol,
+                    initial_regions=(lows_i, lengths_i), **kw_i)
             runs += 1
             iters += r_i.iters
             neval += r_i.neval

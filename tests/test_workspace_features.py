@@ -496,6 +496,23 @@ class TestContinuation:
         assert abs(r.estimate - g.true_value) <= max(
             r.errorest, 1e-6 * abs(g.true_value))
 
+    def test_convergence_driver_stage_timer(self):
+        """stage_timer= records the per-round breakdown (round1 +
+        resume rounds / slices) the flagship bench reports so tunnel
+        noise is separable from regression (VERDICT r02 item 8)."""
+        from gpuintegration_tpu.utils.profiling import StageTimer
+        g = genz.f4_gaussian(3, a=8.0)
+        ws = Workspace(3, chunk_size=1024)
+        st = StageTimer()
+        r = ws.integrate_to_convergence(
+            g, epsrel=1e-7, epsabs=1e-40, max_iterations=3,
+            stage_timer=st)
+        assert r.status == 0
+        assert "round1" in st.times and st.times["round1"] > 0
+        # the 3-iteration budget forces at least one continuation stage
+        assert any(k.startswith("resume_round") or k == "slices"
+                   for k in st.times), st.times
+
     def test_finish_scale_validation(self):
         g = genz.f4_gaussian(2)
         ws = Workspace(2, chunk_size=256)
