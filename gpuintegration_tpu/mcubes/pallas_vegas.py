@@ -79,7 +79,8 @@ def _cheb_joint(p_flat_ref, q_flat_ref, d: int, kp: int, kq: int, t):
 
 
 def _make_kernel(f_axes, ndim: int, ng: int, npg: int, kp: int, kq: int,
-                 A: int, nbins: int, with_hist: bool, device_rng: bool):
+                 A: int, nbins: int, with_hist: bool, device_rng: bool,
+                 emit_points: bool = False):
     f32 = jnp.float32
     inv_ng = 1.0 / ng
     tile_c = A * 128
@@ -89,7 +90,15 @@ def _make_kernel(f_axes, ndim: int, ng: int, npg: int, kp: int, kq: int,
             ins, outs = (), rest
         else:
             ins, outs = rest[:1], rest[1:]
-        acc_ref = outs[0]
+        if emit_points:
+            # hybrid mode (f64 VEGAS): no integrand in-kernel; outputs
+            # are the dims-major coordinates + importance weight the XLA
+            # side evaluates/accumulates in the accumulator dtype
+            xs_ref, wt_ref = outs[0], outs[1]
+            hist_outs = outs[2:]
+        else:
+            acc_ref = outs[0]
+            hist_outs = outs[1:]
         pid = pl.program_id(0)
         if device_rng:
             # the hardware PRNG seeds from <= 2 words on this toolchain:
@@ -142,17 +151,28 @@ def _make_kernel(f_axes, ndim: int, ng: int, npg: int, kp: int, kq: int,
                 if with_hist:
                     ias.append(jnp.clip((s * nbins).astype(jnp.int32),
                                         0, nbins - 1))
+            if emit_points:
+                for d in range(ndim):
+                    xs_ref[d, ps * A:(ps + 1) * A, :] = xs[d]
+                wt_ref[ps * A:(ps + 1) * A, :] = wgt
+                if with_hist:
+                    ia_ref = hist_outs[0]
+                    for d in range(ndim):
+                        ia_ref[d, ps * A:(ps + 1) * A, :] = ias[d]
+                continue
             fx = f_axes(*xs) * (wgt * xjac)
             fx = jnp.where(valid, fx, 0.0)
             fb = fb + fx
             f2 = fx * fx
             f2s = f2s + f2
             if with_hist:
-                ia_ref, f2_ref = outs[1], outs[2]
+                ia_ref, f2_ref = hist_outs[0], hist_outs[1]
                 for d in range(ndim):
                     ia_ref[d, ps * A:(ps + 1) * A, :] = ias[d]
                 f2_ref[ps * A:(ps + 1) * A, :] = f2
 
+        if emit_points:
+            return
         # per-cube variance proxy (vegasT.cuh:382-387): npg*sum(f^2)-fb^2
         # in the cancellation-safe (s-fb)(s+fb) form, TINY-floored
         sq = jnp.sqrt(f2s * float(npg))
@@ -168,7 +188,7 @@ def _make_kernel(f_axes, ndim: int, ng: int, npg: int, kp: int, kq: int,
 @functools.partial(
     jax.jit,
     static_argnames=("f_axes", "ndim", "ng", "npg", "chunk_cubes", "nbins",
-                     "with_hist", "tile_a", "interpret"))
+                     "with_hist", "tile_a", "interpret", "emit_points"))
 def poly_sample_chunk(
     f_axes,
     ndim: int,
@@ -189,6 +209,7 @@ def poly_sample_chunk(
     *,
     tile_a: int = DEFAULT_A,
     interpret: bool = False,
+    emit_points: bool = False,
 ):
     """One chunk's worth of VEGAS poly sampling, fused.
 
@@ -196,6 +217,16 @@ def poly_sample_chunk(
     caller combines in f64 and, for adaptation iterations, feeds the
     dims-major (ia, f2) pair to the histogram.  ``f_axes`` is the
     scalar-per-axis integrand (cubacpp convention; jnp ops only, f32).
+
+    ``emit_points``: the hybrid f64 mode -- the kernel runs only the
+    sampling machinery (hardware PRNG, stratified point-gen, Chebyshev
+    importance map) and EMITS dims-major coordinates plus the f32
+    importance weight for an XLA-side integrand evaluation in the
+    accumulator dtype; returns (xs (ndim, n_tiles*npg*A, 128) f32,
+    wt (n_tiles*npg*A, 128) f32[, ia]).  ``f_axes`` is unused (may be
+    None) and the integrand may be any traceable callable downstream.
+    Sample order matches the fused outputs: tile-major, then sample
+    slot, then (A, 128) cube rows/lanes.
     """
     f32 = jnp.float32
     kp = p_coeffs.shape[1]
@@ -229,7 +260,7 @@ def poly_sample_chunk(
         jnp.asarray(chunk_cubes, jnp.int32)[None]])    # (5,) i32
 
     kernel = _make_kernel(f_axes, ndim, ng, npg, kp, kq, A, nbins,
-                          with_hist, device_rng)
+                          with_hist, device_rng, emit_points=emit_points)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [smem, smem, smem, smem]
     operands = [scalars, fbounds, p_flat, q_flat]
@@ -239,18 +270,31 @@ def poly_sample_chunk(
                                      memory_space=pltpu.VMEM))
         operands.append(bits)
 
-    out_shapes = [jax.ShapeDtypeStruct((n_tiles, 2, 128), f32)]
-    out_specs = [pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    if with_hist:
-        out_shapes += [
-            jax.ShapeDtypeStruct((ndim, n_tiles * npg * A, 128), jnp.int32),
+    if emit_points:
+        out_shapes = [
+            jax.ShapeDtypeStruct((ndim, n_tiles * npg * A, 128), f32),
             jax.ShapeDtypeStruct((n_tiles * npg * A, 128), f32)]
-        out_specs += [
+        out_specs = [
             pl.BlockSpec((ndim, npg * A, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((npg * A, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((n_tiles, 2, 128), f32)]
+        out_specs = [pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+    if with_hist:
+        out_shapes += [
+            jax.ShapeDtypeStruct((ndim, n_tiles * npg * A, 128), jnp.int32)]
+        out_specs += [
+            pl.BlockSpec((ndim, npg * A, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)]
+        if not emit_points:
+            out_shapes += [
+                jax.ShapeDtypeStruct((n_tiles * npg * A, 128), f32)]
+            out_specs += [
+                pl.BlockSpec((npg * A, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
 
     # x64 mode breaks Mosaic lowering (pallas_rule.py precedent)
     with jax.enable_x64(False):
@@ -263,6 +307,12 @@ def poly_sample_chunk(
                        else out_shapes[0]),
             interpret=interpret,
         )(*operands)
+    if emit_points:
+        if with_hist:
+            xs3, wt2, ia3 = outs
+            return xs3, wt2, ia3.reshape(ndim, -1)
+        xs3, wt2 = outs
+        return xs3, wt2
     if with_hist:
         acc, ia3, f23 = outs
         return acc, ia3.reshape(ndim, -1), f23.reshape(-1)

@@ -435,7 +435,18 @@ def _vegas_iteration_poly(
     f32 and the RNG is the core hardware PRNG (a different uniform
     stream family than Threefry; unbiased either way).  Requires the
     scalar-per-axis ``f_axes``; adaptation iterations route the kernel's
-    (ia, f2) pair through the shared _hist gate."""
+    (ia, f2) pair through the shared _hist gate.
+
+    ``sampler='hybrid'``: the Pallas kernel runs ONLY the sampling
+    machinery (hardware PRNG, stratified point-gen, Chebyshev map) and
+    emits dims-major f32 coordinates + importance weights; the integrand
+    is evaluated HERE in the accumulator dtype with f64 per-cube
+    accumulation -- the fast path for default-precision (f64) runs: the
+    XLA Threefry keystream and the HBM-round-tripping (C, npg, ndim)
+    intermediates (the measured bottleneck, not f64 emulation) are gone,
+    while estimates keep full f64 integrand precision.  Sample
+    coordinates were f32-granular on every path already.  Same stream
+    family and determinism contract as 'pallas'."""
     from gpuintegration_tpu.mcubes.poly_importance import (
         eval_map_and_weight)
     dtype = jnp.dtype(dtype_name)
@@ -468,6 +479,68 @@ def _vegas_iteration_poly(
         tsi = tsi + jnp.sum(acc[:, 1, :].astype(dtype))
         if accumulate_hist:
             d = d + _hist(outs[1], outs[2], nbins)
+        return ti, tsi, d
+
+    def chunk_body_hybrid(c, carry):
+        from gpuintegration_tpu.mcubes.pallas_vegas import (
+            DEFAULT_A, poly_sample_chunk)
+        ti, tsi, d = carry
+        gc = chunk_offset + c
+        ck = jax.random.fold_in(key, gc)
+        a_rows = tile_a or DEFAULT_A
+        on_tpu = jax.default_backend() == "tpu"
+        n_tiles = -(-chunk_cubes // (a_rows * 128))
+        bits = None
+        if not on_tpu:
+            bits = jax.random.bits(
+                ck, (npg * ndim, n_tiles * a_rows, 128), jnp.uint32)
+        outs = poly_sample_chunk(
+            None, ndim, ng, npg, chunk_cubes, nbins, accumulate_hist,
+            p_coeffs.astype(f32), q_coeffs.astype(f32),
+            regn_lo, dx, xjac, (gc * chunk_cubes).astype(jnp.int32),
+            ncubes.astype(jnp.int32), ck, bits,
+            tile_a=a_rows, interpret=not on_tpu, emit_points=True)
+        xs, wt = outs[0], outs[1]       # (ndim, R, 128), (R, 128) f32
+        # integrand evaluation in the accumulator dtype; dims-major
+        # coordinate planes feed the scalar-per-axis form directly, or
+        # stack for a batched vector-form integrand (XLA fuses the
+        # stack+slice chain; nothing ndim-minor is materialized)
+        if f_axes is not None:
+            raw = f_axes(*[xs[dd].astype(ed) for dd in range(ndim)])
+        else:
+            raw = f(jnp.stack(
+                [xs[dd].astype(ed) for dd in range(ndim)], axis=-1))
+        raw = jnp.broadcast_to(raw, xs.shape[1:])   # rank-0 constants
+        fx = raw.astype(dtype) * (wt.astype(dtype) * xjac)
+        # validity on the kernel's (tile, sample-slot, A, 128) layout:
+        # local cube id = tile*A*128 + a*128 + lane
+        rows = jnp.arange(n_tiles * a_rows, dtype=jnp.int64)
+        tiles_i = rows // a_rows
+        a_i = rows % a_rows
+        local = (tiles_i * (a_rows * 128))[:, None] \
+            + (a_i * 128)[:, None] + jnp.arange(128, dtype=jnp.int64)[None]
+        cube0 = jnp.asarray(gc, jnp.int64) * chunk_cubes
+        valid_cube = (local < chunk_cubes) & (cube0 + local < ncubes)
+        # (n_tiles, A, 128) -> broadcast over the npg sample-slot axis
+        vc4 = valid_cube.reshape(n_tiles, 1, a_rows, 128)
+        fx4 = fx.reshape(n_tiles, npg, a_rows, 128)
+        fx4 = jnp.where(vc4, fx4, 0.0)
+        f2_4 = fx4 * fx4
+        fb = jnp.sum(fx4, axis=1)                 # per-cube (tiles, A, 128)
+        f2b_sum = jnp.sum(f2_4, axis=1)
+        sq = jnp.sqrt(f2b_sum * npg)
+        f2b = (sq - fb) * (sq + fb)
+        f2b = jnp.where(f2b <= 0.0, vgrid.TINY, f2b)
+        f2b = jnp.where(valid_cube.reshape(n_tiles, a_rows, 128),
+                        f2b, 0.0)
+        ti = ti + jnp.sum(fb)
+        tsi = tsi + jnp.sum(f2b)
+        if accumulate_hist:
+            # kernel-emitted dims-major bin ids + XLA-side f2 (downcast:
+            # the histogram only steers adaptation) in the same flat
+            # sample order as the fused kernel's outputs
+            d = d + _hist(outs[2],
+                          f2_4.astype(f32).reshape(-1), nbins)
         return ti, tsi, d
 
     def chunk_body(c, carry):
@@ -517,7 +590,8 @@ def _vegas_iteration_poly(
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
     ti0 = jnp.zeros(() if ncomp == 1 else (ncomp,), dtype)
-    body = chunk_body_pallas if sampler == "pallas" else chunk_body
+    body = {"pallas": chunk_body_pallas,
+            "hybrid": chunk_body_hybrid}.get(sampler, chunk_body)
     ti, tsi, d = jax.lax.fori_loop(
         0, num_chunks, body, (ti0, ti0, d0))
     return ti, tsi, d
@@ -893,9 +967,17 @@ def vegas(
     is f32 and the uniform stream is the core PRNG rather than Threefry
     (unbiased either way; deterministic per (seed, chunk/tile
     decomposition)).  Requires importance='poly', a scalar integrand
-    given scalar-per-axis (cubacpp convention, jnp ops only).  Default
-    (None) is AUTO: 'pallas' on TPU when eval_dtype=float32 and the
-    constraints hold, else 'xla'.
+    given scalar-per-axis (cubacpp convention, jnp ops only).
+    'hybrid' runs ONLY the sampling machinery in the Pallas kernel and
+    evaluates the integrand XLA-side in the accumulator dtype (f64 by
+    default) -- full f64 estimate precision at Pallas point-gen cost
+    (docs/DESIGN.md 4a); any traceable integrand form works.  Default
+    (None) is AUTO on TPU: 'pallas' when eval_dtype=float32 and the
+    per-axis constraints hold, 'hybrid' for f64 poly runs (NOTE: the
+    hybrid stream family is the hardware PRNG -- estimates for a given
+    seed differ from the 'xla' Threefry path; set sampler='xla' or
+    GPUINT_TPU_NO_PALLAS_SAMPLER=1 to keep the Threefry streams), else
+    'xla'.  Off-TPU is always 'xla' unless forced.
 
     ``eval_cost``: relative device cost of one integrand evaluation vs a
     plain elementwise integrand (~1).  Shrinks the fused-phase
@@ -991,15 +1073,28 @@ def vegas(
     # cube ids live in i32 inside the kernel; bound the COVERED range
     # (padded tiles included), not just ncubes
     covered = n_dev * num_chunks * chunk_cubes
-    pallas_ok = (importance == "poly" and ncomp == 1
-                 and f_axes is not None and npg <= 8
-                 and covered < 2 ** 31)
+    hybrid_ok = (importance == "poly" and ncomp == 1
+                 and npg <= 8 and covered < 2 ** 31)
+    pallas_ok = hybrid_ok and f_axes is not None
     if sampler is None:
         on_tpu = jax.default_backend() == "tpu"
-        want = ((on_tpu and ed_name == "float32"
+        force = bool(os.environ.get("GPUINT_TPU_FORCE_PALLAS_SAMPLER"))
+        allow = (on_tpu
                  and not os.environ.get("GPUINT_TPU_NO_PALLAS_SAMPLER"))
-                or bool(os.environ.get("GPUINT_TPU_FORCE_PALLAS_SAMPLER")))
-        sampler = "pallas" if (want and pallas_ok) else "xla"
+        if (allow or force) and pallas_ok and ed_name == "float32":
+            sampler = "pallas"
+        elif (allow or force) and hybrid_ok and jnp.dtype(
+                ed_name or dtype) == jnp.float64:
+            # default-precision runs take the hybrid path on TPU: Pallas
+            # point-gen (hardware PRNG stream family, deterministic per
+            # (seed, chunk/tile decomposition)) + f64 integrand eval and
+            # accumulation.  Estimates keep full f64 integrand precision;
+            # only the uniform stream family differs from the XLA
+            # Threefry path (docs/DESIGN.md 4a).  Opt out with
+            # sampler='xla' or GPUINT_TPU_NO_PALLAS_SAMPLER=1.
+            sampler = "hybrid"
+        else:
+            sampler = "xla"
     elif sampler == "pallas":
         if not pallas_ok:
             raise ValueError(
@@ -1009,11 +1104,19 @@ def vegas(
                 f"(got importance={importance!r}, ncomp={ncomp}, "
                 f"per-axis={f_axes is not None}, npg={npg}, "
                 f"covered={covered})")
+    elif sampler == "hybrid":
+        if not hybrid_ok:
+            raise ValueError(
+                "sampler='hybrid' needs importance='poly', a scalar "
+                "integrand, npg <= 8 and < 2^31 sub-cubes "
+                f"(got importance={importance!r}, ncomp={ncomp}, "
+                f"npg={npg}, covered={covered})")
     elif sampler != "xla":
-        raise ValueError(f"sampler {sampler!r}: 'xla' or 'pallas'")
+        raise ValueError(
+            f"sampler {sampler!r}: 'xla', 'pallas' or 'hybrid'")
     tile_a = int(os.environ.get("GPUINT_TPU_VEGAS_TILE_A", "0"))
-    s_kw = (dict(sampler="pallas", f_axes=f_axes, tile_a=tile_a)
-            if sampler == "pallas" else {})
+    s_kw = (dict(sampler=sampler, f_axes=f_axes, tile_a=tile_a)
+            if sampler in ("pallas", "hybrid") else {})
     if refine == "device":
         if importance != "grid":
             raise ValueError("refine='device' requires importance='grid' "
