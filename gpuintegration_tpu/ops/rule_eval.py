@@ -80,11 +80,14 @@ def _eval_chunk(
     lengths: jax.Array,    # (ndim, C) region lengths, unit space
     global_lo: jax.Array,  # (ndim,)
     global_range: jax.Array,  # (ndim,)
+    with_split_frac: bool = False,
 ):
     """Apply the rule to a chunk of C regions (dims-major pools -- see
     region_pool.py for the TPU layout rationale).
 
-    Returns (estimate (C,), errorest (C,), split_dim (C,) int32).
+    Returns (estimate (C,), errorest (C,), split_dim (C,) int32); with
+    ``with_split_frac`` also the crease-aware split fraction (C,)
+    (_split_fraction -- 0.5 wherever no kink is detected).
     ``f`` must be batched: maps (..., ndim) -> (...).
     """
     ndim = tables.ndim
@@ -172,7 +175,135 @@ def _eval_chunk(
     vol = jnp.prod(lengths, axis=0)                        # unit-space volume
     estimate = vol * sums[:, 0]
     errorest = vol * gated
+    if with_split_frac:
+        frac = _split_fraction(tables, vals, split_dim)
+        return estimate, errorest, split_dim, frac
     return estimate, errorest, split_dim
+
+
+def _split_fraction(tables: RuleTables, vals, split_dim):
+    """Crease-aware split fraction along the chosen dimension.
+
+    The degree-9 rule has no convergence order across a C0 crease
+    (|x - t| kink), so midpoint bisection drains crease regions at a
+    population-growth-limited rate (the f5 8D certificate wall,
+    docs/VALIDATION.md 2b).  The rule already samples 5 collinear
+    points along every axis (center f0, +-a per-dim orbit 1, +-b orbit
+    2, a < b); a kink between two sample points breaks the local
+    linearity, and intersecting the straight secant lines on either
+    side of the suspect gap locates the crease.  Splitting THERE
+    (instead of at the midpoint) makes BOTH children smooth, restoring
+    the rule's full order in one cut; a kink in the outer gaps
+    (|x| > a) is funneled into a child's inner gap by one ordinary
+    bisection, so every straddler is localizable within ~2 generations.
+
+    Two gap hypotheses cover the inner range: kink in (-a, 0) -- left
+    line through (-b, -a), right line through (0, +a); kink in (0, +a)
+    -- mirrored.  Confidence gates: the two lines must disagree
+    strongly (a kink bends the slope; smooth integrands agree to
+    O(h^2)) and the intersection must land inside its hypothesis gap.
+
+    Positions are in length units relative to the region center
+    (x = center - gen*length, so slot p sits at -gen[p, d]).  Per-dim
+    candidates are combined by a one-hot contraction over the (tiny)
+    dim axis -- no pool-sized dynamic gathers (docs/DESIGN.md layout
+    invariants).
+
+    Returns frac (C,) in [0.12, 0.88]; exactly 0.5 wherever no
+    confident kink is detected (region_pool.split with frac=0.5 is
+    bit-identical to the midpoint path)."""
+    ndim = tables.ndim
+    dtype = vals.dtype
+    f0 = vals[:, 0]
+
+    def _intersect(xl, vl, sl, xr, vr, sr):
+        # line L through (xl, vl) slope sl; line R through (xr, vr)
+        # slope sr; returns (x*, |sl - sr|, slope scale)
+        denom = sl - sr
+        xstar = (vr - vl + sl * xl - sr * xr) / jnp.where(
+            denom == 0.0, 1.0, denom)
+        return xstar, jnp.abs(denom), jnp.abs(sl) + jnp.abs(sr)
+
+    fr_d = []
+    for d in range(ndim):
+        p1, p2 = 1 + 2 * d, 2 + 2 * d
+        q1, q2 = 1 + 2 * ndim + 2 * d, 2 + 2 * ndim + 2 * d
+        pts = []
+        for slot in (p1, p2, q1, q2):
+            pts.append((-float(tables.gen[slot, d]), slot))
+        pts.sort()                       # positions ascending
+        (xbm, sbm), (xam, sam), (xap, sap), (xbp, sbp) = pts
+        vbm, vam = vals[:, sbm], vals[:, sam]
+        vap, vbp = vals[:, sap], vals[:, sbp]
+        g1 = (vam - vbm) / (xam - xbm)          # (-b, -a) secant
+        g2 = (f0 - vam) / (0.0 - xam)           # (-a, 0) secant
+        g3 = (vap - f0) / xap                   # (0, +a) secant
+        g4 = (vbp - vap) / (xbp - xap)          # (+a, +b) secant
+
+        # H1: kink in (-a, 0): left line = outer-left secant anchored
+        # at (-a, vam); right line = (0, +a) secant anchored at (0, f0)
+        x1, dn1, sc1 = _intersect(xam, vam, g1, 0.0, f0, g3)
+        # straightness gate: a KINK leaves the far side linear
+        # (g3 ~ g4); smooth curvature (e.g. a parabola's vertex) breaks
+        # the center slope just as hard but bends the far side too
+        straight1 = jnp.abs(g4 - g3) < 0.5 * dn1
+        # decay gate: away from a crease the slope magnitude does not
+        # GROW (|x-t| with convex decay flanks); a smooth extremum has
+        # slope ~0 at the apex growing outward, which is the false
+        # positive this rejects (measured: a centered Gaussian bump
+        # passed the first two gates)
+        decay1 = jnp.abs(g3) >= 0.9 * jnp.abs(g4)
+        # ridge gate: the crease is a local extremum along the axis, so
+        # the flanking slopes have OPPOSITE signs; a steep monotone
+        # exponential varies its slope fast enough to pass the break
+        # gate but never flips sign (measured false positive)
+        flip1 = g1 * g3 < 0.0
+        ok1 = ((dn1 > 0.5 * sc1) & (sc1 > 0.0) & straight1 & decay1
+               & flip1 & (x1 > xam) & (x1 < 0.0))
+        # H2: kink in (0, +a)
+        x2, dn2, sc2 = _intersect(0.0, f0, g2, xap, vap, g4)
+        straight2 = jnp.abs(g2 - g1) < 0.5 * dn2
+        decay2 = jnp.abs(g2) >= 0.9 * jnp.abs(g1)
+        flip2 = g2 * g4 < 0.0
+        ok2 = ((dn2 > 0.5 * sc2) & (sc2 > 0.0) & straight2 & decay2
+               & flip2 & (x2 > 0.0) & (x2 < xap))
+        # prefer the hypothesis with the stronger (relative) slope break
+        rel1 = jnp.where(ok1, dn1 / jnp.where(sc1 == 0.0, 1.0, sc1), -1.0)
+        rel2 = jnp.where(ok2, dn2 / jnp.where(sc2 == 0.0, 1.0, sc2), -1.0)
+        xstar = jnp.where(rel1 >= rel2, x1, x2)
+        ok = ok1 | ok2
+        # Guillotine with a safety margin: cutting exactly AT the
+        # estimated crease parks the true kink within the estimator
+        # error delta of a child BOUNDARY -- inside the rule's blind
+        # zone (no samples beyond +-b ~ 0.47 length units), where its
+        # residual bias is invisible and the child retires with a
+        # frozen systematic error (measured: 2.2e-7 plateau on the 3D
+        # off-grid kink regardless of epsrel).  Offsetting the cut by
+        # MARGIN toward the region center shaves off a provably-smooth
+        # slab instead: the kink stays MARGIN-delta > blind-zone-width
+        # inside the other child, fully visible to its samples, and the
+        # next generation re-localizes it with a geometrically better
+        # estimate.  MARGIN = 0.08 length units > delta_max (~0.05
+        # measured) + blind zone (0.03).
+        #
+        # An "exact" cut AT the estimated crease was tried and is
+        # fundamentally unsound for a CERTIFYING integrator: any
+        # position error delta (measured 0.005-0.04, shrinking with
+        # flank curvature but never zero) parks the kink in the blind
+        # zone, and the frozen bias plateaus the true error (measured:
+        # 2.2e-7 on the 3D off-grid kink REGARDLESS of epsrel, with the
+        # certificate claiming 1.6e-10) -- the error estimator cannot
+        # see what the samples cannot reach, ever.  The margin cut is
+        # the strongest sound form.
+        margin = 0.08
+        xcut = xstar - jnp.where(xstar >= 0.0, margin, -margin)
+        fr_d.append(jnp.where(ok,
+                              jnp.clip(0.5 + xcut, 0.12, 0.88),
+                              jnp.asarray(0.5, dtype)))
+    fr_all = jnp.stack(fr_d, axis=1)                       # (C, ndim)
+    onehot = (jnp.arange(ndim, dtype=jnp.int32)[None, :]
+              == split_dim[:, None]).astype(dtype)
+    return jnp.sum(fr_all * onehot, axis=1)
 
 
 def _eval_chunk_vector(
@@ -267,6 +398,7 @@ def apply_rule(
     n: jax.Array | None = None,
     blocked: bool = False,
     ncomp: int = 1,
+    with_split_frac: bool = False,
 ):
     """Apply the rule to the whole (possibly padded) region pool.
 
@@ -286,13 +418,19 @@ def apply_rule(
 
     Returns (estimate (R,), errorest (R,), split_dim (R,)); with
     ``ncomp`` > 1 the estimate/error outputs are component-major
-    (ncomp, R) from the vector twin ``_eval_chunk_vector``.
+    (ncomp, R) from the vector twin ``_eval_chunk_vector``.  With
+    ``with_split_frac`` (scalar path only) a fourth output: the
+    crease-aware split fraction (R,) (_split_fraction; padded/skipped
+    slots report 0.5).
     Padded (zero-length) regions yield zero estimate/error since their unit
     volume is zero.
     """
+    if with_split_frac and ncomp != 1:
+        raise ValueError("with_split_frac is scalar-only")
     if ncomp == 1:
         def eval1(lo, ln):
-            return _eval_chunk(f, tables, lo, ln, global_lo, global_range)
+            return _eval_chunk(f, tables, lo, ln, global_lo, global_range,
+                               with_split_frac=with_split_frac)
     else:
         def eval1(lo, ln):
             return _eval_chunk_vector(f, tables, ncomp, lo, ln,
@@ -332,26 +470,33 @@ def apply_rule(
                 needed = start < n
 
             def do(outs):
-                est, err, sd = outs
                 lo_c = jax.lax.dynamic_slice(
                     lows, (0, start), (ndim, chunk_size))
                 ln_c = jax.lax.dynamic_slice(
                     lengths, (0, start), (ndim, chunk_size))
-                e, r, s = eval1(lo_c, ln_c)
+                res = eval1(lo_c, ln_c)
+                est, err = outs[0], outs[1]
                 if ncomp == 1:
-                    est = jax.lax.dynamic_update_slice(est, e, (start,))
-                    err = jax.lax.dynamic_update_slice(err, r, (start,))
+                    est = jax.lax.dynamic_update_slice(est, res[0], (start,))
+                    err = jax.lax.dynamic_update_slice(err, res[1], (start,))
                 else:
-                    est = jax.lax.dynamic_update_slice(est, e, (0, start))
-                    err = jax.lax.dynamic_update_slice(err, r, (0, start))
-                return (est, err,
-                        jax.lax.dynamic_update_slice(sd, s, (start,)))
+                    est = jax.lax.dynamic_update_slice(est, res[0], (0, start))
+                    err = jax.lax.dynamic_update_slice(err, res[1], (0, start))
+                new = (est, err,
+                       jax.lax.dynamic_update_slice(outs[2], res[2],
+                                                    (start,)))
+                if with_split_frac:
+                    new = new + (jax.lax.dynamic_update_slice(
+                        outs[3], res[3], (start,)),)
+                return new
 
             return jax.lax.cond(needed, do, lambda o: o, outs)
 
         eshape = (cap,) if ncomp == 1 else (ncomp, cap)
         outs0 = (jnp.zeros(eshape, dtype), jnp.zeros(eshape, dtype),
                  jnp.zeros((cap,), jnp.int32))
+        if with_split_frac:
+            outs0 = outs0 + (jnp.full((cap,), 0.5, dtype),)
         return jax.lax.fori_loop(0, num_chunks, body, outs0)
 
     def body(args):
@@ -360,9 +505,11 @@ def apply_rule(
 
     lo_c = lows.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
     ln_c = lengths.reshape(ndim, num_chunks, chunk_size).transpose(1, 0, 2)
-    est, err, sd = jax.lax.map(body, (lo_c, ln_c))
+    res = jax.lax.map(body, (lo_c, ln_c))
     if ncomp == 1:
-        return est.reshape(cap), err.reshape(cap), sd.reshape(cap)
+        flat = tuple(r.reshape(cap) for r in res)
+        return flat
+    est, err, sd = res
     # (num_chunks, ncomp, chunk) -> (ncomp, cap)
     est = est.transpose(1, 0, 2).reshape(ncomp, cap)
     err = err.transpose(1, 0, 2).reshape(ncomp, cap)

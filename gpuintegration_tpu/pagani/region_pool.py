@@ -97,6 +97,8 @@ def compact(
     errorests: jax.Array,   # (cap,)
     *,
     out_capacity: int,
+    extra: jax.Array | None = None,  # optional (cap,) payload row
+                                     # (e.g. crease split fractions)
 ):
     """Stream-compact active regions to the front of a new pool.
 
@@ -144,7 +146,8 @@ def compact(
                + [lengths[d] for d in range(ndim)]
                + [split_dim]
                + [est_rows[c] for c in range(ncomp)]
-               + [err_rows[c] for c in range(ncomp)])
+               + [err_rows[c] for c in range(ncomp)]
+               + ([extra] if extra is not None else []))
 
     nbits = max(cap - 1, 1).bit_length()
     for b in range(nbits):
@@ -179,7 +182,11 @@ def compact(
         parent_est, parent_err = jnp.stack(pe), jnp.stack(pr)
     else:
         parent_est, parent_err = pe[0], pr[0]
-    return n_active, new_lows, new_lengths, new_split, parent_est, parent_err
+    base = (n_active, new_lows, new_lengths, new_split, parent_est,
+            parent_err)
+    if extra is not None:
+        return base + (fit(payload[2 * ndim + 1 + 2 * ncomp]),)
+    return base
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity",))
@@ -190,6 +197,7 @@ def split(
     n: jax.Array,          # traced number of real regions
     *,
     out_capacity: int,
+    frac: jax.Array | None = None,   # (cap,) split fraction, default 0.5
 ):
     """Bisect each region along its chosen dimension.
 
@@ -201,17 +209,29 @@ def split(
     Padding-slot children have finite real bounds so later evaluations
     stay finite; downstream masking is block_mask(2*cap, 2*n, True).
 
+    ``frac``: optional per-region cut point as a fraction of the chosen
+    dimension's length (crease-aware splitting,
+    rule_eval._split_fraction).  frac=0.5 is bit-identical to the
+    midpoint path (0.5*len and len-0.5*len are the same float), so
+    callers may pass a fraction vector that is mostly 0.5.
+
     Returns (child_lows, child_lengths, n_children).
     """
     ndim, cap = lows.shape
     dim_ids = jax.lax.broadcasted_iota(jnp.int32, (ndim, cap), 0)
     sel = dim_ids == split_dim[None, :]
-    half = lengths * 0.5
-    child_len = jnp.where(sel, half, lengths)
-    right_lows = jnp.where(sel, lows + half, lows)
+    if frac is None:
+        cut = lengths * 0.5
+        rest = cut
+    else:
+        cut = lengths * frac[None, :].astype(lengths.dtype)
+        rest = lengths - cut
+    left_len = jnp.where(sel, cut, lengths)
+    right_len = jnp.where(sel, rest, lengths)
+    right_lows = jnp.where(sel, lows + cut, lows)
 
     lo2 = jnp.concatenate([lows, right_lows], axis=1)
-    ln2 = jnp.concatenate([child_len, child_len], axis=1)
+    ln2 = jnp.concatenate([left_len, right_len], axis=1)
     if out_capacity != 2 * cap:
         raise ValueError(
             f"split: out_capacity {out_capacity} != 2*cap {2 * cap}; the "

@@ -134,10 +134,10 @@ def accuracy_reached(epsrel, epsabs, estimate, errorest) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("f", "ndim", "dtype_name", "chunk_size",
-                                    "blocked", "ncomp"))
+                                    "blocked", "ncomp", "with_split_frac"))
 def _eval_stage(f, ndim: int, dtype_name: str,
                 lows, lengths, global_lo, global_range, chunk_size=None,
-                n=None, blocked=False, ncomp=1):
+                n=None, blocked=False, ncomp=1, with_split_frac=False):
     """Rule application over one pool bucket, chunked inside the jit.
 
     The (chunk, feval) intermediate is bounded by ``chunk_size`` via an
@@ -151,7 +151,8 @@ def _eval_stage(f, ndim: int, dtype_name: str,
     tables = rule_eval.rule_tables(ndim, dtype_name)
     return rule_eval.apply_rule(
         f, tables, lows, lengths, global_lo, global_range,
-        chunk_size=chunk_size, n=n, blocked=blocked, ncomp=ncomp)
+        chunk_size=chunk_size, n=n, blocked=blocked, ncomp=ncomp,
+        with_split_frac=with_split_frac)
 
 
 def iteration_math(
@@ -385,10 +386,13 @@ class Workspace:
         self.chunk_size = region_pool.next_pow2(chunk_size)
 
     def _eval_one(self, f, lows, lengths, global_lo, global_range,
-                  chunk_size=None, n=None, blocked=False, ncomp=1):
+                  chunk_size=None, n=None, blocked=False, ncomp=1,
+                  with_split_frac=False):
         if self.rule_backend == "pallas":
             if ncomp != 1:
                 raise ValueError("the Pallas rule backend is scalar-only")
+            if with_split_frac:
+                raise ValueError("crease_split needs rule_backend='xla'")
             from gpuintegration_tpu.ops.pallas_rule import pallas_apply_rule
             return pallas_apply_rule(
                 self._f_axes, self.ndim, lows, lengths,
@@ -396,7 +400,8 @@ class Workspace:
                 interpret=jax.default_backend() != "tpu")
         return _eval_stage(f, self.ndim, self.dtype.name, lows, lengths,
                            global_lo, global_range, chunk_size=chunk_size,
-                           n=n, blocked=blocked, ncomp=ncomp)
+                           n=n, blocked=blocked, ncomp=ncomp,
+                           with_split_frac=with_split_frac)
 
     def _cost_slabs(self, cap: int) -> int:
         """Number of separate device dispatches one full-bucket rule sweep
@@ -412,7 +417,8 @@ class Workspace:
         return max(1, min(k, cap // self.chunk_size))
 
     def _eval_slabs(self, f, lows, lengths, global_lo, global_range,
-                    n_host: int, blocked: bool, k: int, ncomp: int = 1):
+                    n_host: int, blocked: bool, k: int, ncomp: int = 1,
+                    with_split_frac: bool = False):
         """Cost-bounded bucket sweep: k contiguous region slabs, one
         device dispatch each, so no single dispatch exceeds the remote
         worker's device-time wall on expensive integrands (DESIGN.md 3b;
@@ -428,7 +434,7 @@ class Workspace:
         w = cap // k
         chunk = self.chunk_size if w > self.chunk_size else None
         half = cap // 2
-        ests, errs, sdims = [], [], []
+        ests, errs, sdims, fracs = [], [], [], []
         for s in range(k):
             start = s * w
             if blocked:
@@ -442,22 +448,30 @@ class Workspace:
                 ests.append(z)
                 errs.append(z)
                 sdims.append(jnp.zeros((w,), jnp.int32))
+                fracs.append(jnp.full((w,), 0.5, self.dtype))
                 continue
-            e, r, sd = self._eval_one(
+            res = self._eval_one(
                 f, jax.lax.slice_in_dim(lows, start, start + w, axis=1),
                 jax.lax.slice_in_dim(lengths, start, start + w, axis=1),
                 global_lo, global_range, chunk_size=chunk,
-                n=jnp.asarray(ln, jnp.int32), blocked=False, ncomp=ncomp)
-            ests.append(e)
-            errs.append(r)
-            sdims.append(sd)
+                n=jnp.asarray(ln, jnp.int32), blocked=False, ncomp=ncomp,
+                with_split_frac=with_split_frac)
+            ests.append(res[0])
+            errs.append(res[1])
+            sdims.append(res[2])
+            if with_split_frac:
+                fracs.append(res[3])
         axis = 0 if ncomp == 1 else 1
-        return (jnp.concatenate(ests, axis=axis),
-                jnp.concatenate(errs, axis=axis),
-                jnp.concatenate(sdims, axis=0))
+        out = (jnp.concatenate(ests, axis=axis),
+               jnp.concatenate(errs, axis=axis),
+               jnp.concatenate(sdims, axis=0))
+        if with_split_frac:
+            out = out + (jnp.concatenate(fracs, axis=0),)
+        return out
 
     def _eval_pool(self, f, lows, lengths, global_lo, global_range,
-                   n=None, blocked=False, n_host=None, ncomp=1):
+                   n=None, blocked=False, n_host=None, ncomp=1,
+                   with_split_frac=False):
         """One device dispatch for the whole bucket; the (chunk, feval)
         intermediate is bounded by in-jit chunking, and with a traced
         region count ``n`` only the occupied chunks of the padded bucket
@@ -471,16 +485,18 @@ class Workspace:
         chunk = self.chunk_size
         if cap <= chunk:
             return self._eval_one(f, lows, lengths, global_lo, global_range,
-                                  ncomp=ncomp)
+                                  ncomp=ncomp,
+                                  with_split_frac=with_split_frac)
         if n_host is not None:
             k = self._cost_slabs(cap)
             if k > 1:
                 return self._eval_slabs(f, lows, lengths, global_lo,
                                         global_range, int(n_host), blocked,
-                                        k, ncomp=ncomp)
+                                        k, ncomp=ncomp,
+                                        with_split_frac=with_split_frac)
         return self._eval_one(f, lows, lengths, global_lo, global_range,
                               chunk_size=chunk, n=n, blocked=blocked,
-                              ncomp=ncomp)
+                              ncomp=ncomp, with_split_frac=with_split_frac)
 
     def integrate(
         self,
@@ -503,6 +519,7 @@ class Workspace:
         ledger: tuple | None = None,
         finish_epsrel_scale: float = 1.0,
         finish_abs_per_vol: float = 0.0,
+        crease_split: bool = False,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
 
@@ -550,6 +567,20 @@ class Workspace:
         round's partial sums.  ``max_iterations`` buys a fresh budget on
         top of the seeded iteration count.
 
+        ``crease_split``: crease-aware splitting for C0 integrands
+        (|x - t| kinks -- the f5 certificate-wall mechanism,
+        docs/VALIDATION.md 2b).  When the rule's collinear samples along
+        the chosen bisection dimension show a confident kink between
+        the inner sample pair, the region is split AT the estimated
+        crease instead of the midpoint, making both children smooth and
+        restoring the rule's full convergence order in one cut
+        (rule_eval._split_fraction; regions with no confident kink
+        split at the midpoint bit-identically).  Scalar XLA host loop
+        only (disables the fused phase; incompatible with mesh, the
+        Pallas rule backend, vector integrands and vegas_assisted).
+        Beyond-reference: the reference splits at midpoints only
+        (Sub_region_splitter.cuh:56-87).
+
         ``predict_split``: the reference's split-prediction heuristic
         (Workspace.cuh:206-211, 244-248): suppress finished-region
         classification for the first 15 iterations (pool <= 15e6, nothing
@@ -587,6 +618,11 @@ class Workspace:
 
         from gpuintegration_tpu.integrand import deduce_ncomp
         ncomp = deduce_ncomp(f, ndim, dtype_name)
+        if crease_split and (self.mesh is not None or vegas_assisted
+                             or self.rule_backend != "xla" or ncomp > 1):
+            raise ValueError(
+                "crease_split runs on the single-chip scalar XLA host "
+                "loop (see the docstring note)")
         if ncomp > 1:
             if (self.mesh is not None or vegas_assisted or predict_split
                     or self.rule_backend != "xla"):
@@ -690,9 +726,11 @@ class Workspace:
         # arithmetic (pagani/fused_loop.py)
         fused_gate = int(0.1 * self.max_pool_regions)
         # the pallas backend fuses too: its f32 kernel replaces apply_rule
-        # inside the while_loop body (fused_loop.eval_pool)
+        # inside the while_loop body (fused_loop.eval_pool).  crease_split
+        # threads a per-region fraction the fused carry doesn't hold.
         fused_ok = (fused and self.mesh is None and recorder is None
-                    and not vegas_assisted and not predict_split)
+                    and not vegas_assisted and not predict_split
+                    and not crease_split)
         inflight_est = inflight_err = 0.0
         exhausted = False
 
@@ -801,9 +839,14 @@ class Workspace:
             if (predict_split and n <= 15_000_000 and it < 15
                     and result_nregions == 0):
                 effective_relerr = False  # (Workspace.cuh:206-211)
-            est_raw, err_raw, sdim = self._eval_pool(
+            eval_out = self._eval_pool(
                 f, lows, lengths, global_lo, global_range,
-                n=n_dev, blocked=blocked, n_host=n)
+                n=n_dev, blocked=blocked, n_host=n,
+                with_split_frac=crease_split)
+            if crease_split:
+                est_raw, err_raw, sdim, sfrac = eval_out
+            else:
+                (est_raw, err_raw, sdim), sfrac = eval_out, None
             if vegas_assisted:
                 # hybrid mode: keep the rule's bisection dimension but
                 # overwrite estimates/errors with per-region adaptive MC
@@ -944,13 +987,15 @@ class Workspace:
 
             child_cap = max(region_pool.next_pow2(2 * n_active),
                             self.chunk_size)
-            (n_active_d, c_lows, c_lengths, c_sdim, parent_est,
-             _parent_err) = region_pool.compact(
+            cres = region_pool.compact(
                 active, lows, lengths, sdim, est, refined,
-                out_capacity=child_cap // 2)
+                out_capacity=child_cap // 2, extra=sfrac)
+            (n_active_d, c_lows, c_lengths, c_sdim, parent_est,
+             _parent_err) = cres[:6]
+            c_frac = cres[6] if crease_split else None
             lows, lengths, n_children = region_pool.split(
                 c_lows, c_lengths, c_sdim, n_active_d,
-                out_capacity=child_cap)
+                out_capacity=child_cap, frac=c_frac)
             n = 2 * n_active
             n_dev = jnp.asarray(n, jnp.int32)
             cap = child_cap

@@ -1,0 +1,125 @@
+"""Crease-aware splitting (rule_eval._split_fraction + Workspace
+crease_split=True).
+
+Beyond-reference capability: the reference splits at midpoints only
+(Sub_region_splitter.cuh:56-87), so a C0 kink OFF the dyadic grid can
+never be isolated; the crease-aware path detects the kink from the
+rule's own collinear samples and guillotines a smooth slab next to it
+with a safety margin (the margin is load-bearing: an exact cut parks
+the kink in the rule's sampling blind zone and freezes an invisible
+bias -- measured and documented in rule_eval._split_fraction).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpuintegration_tpu import Workspace
+from gpuintegration_tpu.models import genz
+from gpuintegration_tpu.ops import rule_eval
+
+
+def _frac_for(f, ndim=2, lo=None, ln=None):
+    tables = rule_eval.rule_tables(ndim, "float64")
+    gl = jnp.zeros(ndim)
+    gr = jnp.ones(ndim)
+    lo = jnp.zeros((ndim, 1)) if lo is None else lo
+    ln = jnp.ones((ndim, 1)) if ln is None else ln
+    _, _, sd, fr = rule_eval.apply_rule(f, tables, lo, ln, gl, gr,
+                                        with_split_frac=True)
+    return int(sd[0]), float(fr[0])
+
+
+class TestSplitFractionEstimator:
+    def test_inner_gap_kink_detected_with_margin(self):
+        sd, fr = _frac_for(
+            lambda x: jnp.exp(-6.0 * jnp.abs(x[..., 0] - 0.37))
+            * (1.0 + 0.2 * x[..., 1]))
+        assert sd == 0
+        # cut = estimated kink (~0.34 for this flank curvature) offset
+        # 0.08 toward the center: smooth slab shaved, kink kept visible
+        assert fr != 0.5
+        assert 0.3 < fr < 0.48
+
+    def test_smooth_cases_stay_midpoint(self):
+        cases = [
+            lambda x: jnp.exp(-5.0 * jnp.sum((x - 0.5) ** 2, axis=-1)),
+            lambda x: jnp.exp(-3.0 * x[..., 0] - 2.0 * x[..., 1]),
+            lambda x: jnp.cos(3.0 * x[..., 0] + 2.0 * x[..., 1]),
+            lambda x: (1.0 + x[..., 0] + 2.0 * x[..., 1]) ** -3,
+        ]
+        for i, f in enumerate(cases):
+            _, fr = _frac_for(f)
+            assert fr == 0.5, (i, fr)
+
+    def test_outer_gap_kink_rejected(self):
+        # kink at 0.1 is outside the +-0.203 inner sample gap: one
+        # ordinary bisection funnels it inside; no cut yet
+        _, fr = _frac_for(
+            lambda x: jnp.exp(-6.0 * jnp.abs(x[..., 0] - 0.1))
+            * (1.0 + 0.2 * x[..., 1]))
+        assert fr == 0.5
+
+    def test_grid_aligned_kink_never_interior(self):
+        # the standard Genz f5 (b=0.5) keeps its crease on dyadic cell
+        # boundaries forever, so the estimator must stay silent on the
+        # top-level cell (nothing to cut; the run is bit-identical to
+        # midpoint splitting)
+        g = genz.f5_c0_continuous(2)
+        _, fr = _frac_for(lambda x: g(x))
+        assert fr == 0.5
+
+
+class TestCreaseSplitIntegration:
+    def test_off_grid_kink_honest_and_cheaper(self):
+        """3D C0 kink at b=0.37 (off-dyadic): the crease path must (a)
+        certify status 0, (b) stay HONEST (true error within the
+        certified tolerance band), and (c) beat midpoint bisection's
+        evaluation count at a deep tolerance."""
+        g = genz.f5_c0_continuous(3, a=10.0, b=0.37)
+        kw = dict(epsrel=1e-9, epsabs=1e-40, fused=False,
+                  max_iterations=80)
+        ws = Workspace(3, chunk_size=1024)
+        r_mid = ws.integrate(g, crease_split=False, **kw)
+        r_crease = ws.integrate(g, crease_split=True, **kw)
+        for r in (r_mid, r_crease):
+            assert r.status == 0
+            rel = abs(r.estimate - g.true_value) / g.true_value
+            # honest certificate: true error within ~3x the target
+            assert rel < 3e-9, rel
+        assert r_crease.neval < 0.8 * r_mid.neval, (
+            r_crease.neval, r_mid.neval)
+
+    def test_smooth_integrand_bit_identical(self):
+        """No confident kink -> every fraction is exactly 0.5 and
+        lengths*0.5 == lengths - lengths*0.5, so the trajectory is
+        bit-identical to the midpoint path."""
+        g = genz.f4_gaussian(3, a=5.0)
+        kw = dict(epsrel=1e-6, epsabs=1e-40, fused=False)
+        r_mid = Workspace(3, chunk_size=1024).integrate(
+            g, crease_split=False, **kw)
+        r_crease = Workspace(3, chunk_size=1024).integrate(
+            g, crease_split=True, **kw)
+        assert (r_mid.status, r_mid.iters, r_mid.neval, r_mid.nregions) \
+            == (r_crease.status, r_crease.iters, r_crease.neval,
+                r_crease.nregions)
+        assert r_mid.estimate == r_crease.estimate
+        assert r_mid.errorest == r_crease.errorest
+
+    def test_rejected_modes(self):
+        g = genz.f4_gaussian(2)
+        with pytest.raises(ValueError, match="crease_split"):
+            Workspace(2, chunk_size=256).integrate(
+                g, epsrel=1e-3, crease_split=True, vegas_assisted=True)
+
+    def test_continuation_inherits_crease_split(self):
+        """integrate_to_convergence forwards crease_split through
+        resume rounds (kw passthrough)."""
+        g = genz.f5_c0_continuous(2, a=10.0, b=0.37)
+        ws = Workspace(2, chunk_size=256)
+        r = ws.integrate_to_convergence(
+            g, epsrel=1e-8, epsabs=1e-40, max_iterations=6,
+            crease_split=True, fused=False)
+        assert r.status == 0
+        rel = abs(r.estimate - g.true_value) / g.true_value
+        assert rel < 3e-8
