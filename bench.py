@@ -319,6 +319,17 @@ def main():
     except Exception as e:
         _OUT["detail"]["vegas_xla_error"] = repr(e)
     try:
+        # production-scale row: the 1e7 config above is dispatch/adjust
+        # bound (docs/results/vegas_roofline.csv: the integrand-free
+        # machinery ceiling equals the achieved rate there); the
+        # reference's published m-CUBES rates are measured at
+        # production ncall, so this is the comparable number
+        rate_1e8, rel_1e8 = bench_vegas(ncall=1e8)
+        _OUT["detail"]["vegas_6d_poly_1e8_samples_per_sec"] = rate_1e8
+        _OUT["detail"]["vegas_6d_rel_err_1e8"] = rel_1e8
+    except Exception as e:
+        _OUT["detail"]["vegas_1e8_error"] = repr(e)
+    try:
         vegas_grid_rate, _ = bench_vegas(importance="grid")
         _OUT["detail"]["vegas_6d_grid_samples_per_sec"] = vegas_grid_rate
     except Exception as e:

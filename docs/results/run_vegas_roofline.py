@@ -67,6 +67,14 @@ def main():
         run("hybrid_unit", unit6, 1.0, sampler="hybrid"),
         run("pallas_f32", g6, TRUTH, sampler="pallas",
             eval_dtype=jnp.float32),
+        # scale rows: the 1e7 config above is dispatch/adjust-bound
+        # (hybrid_unit ~ hybrid_f64 proves the integrand is free);
+        # production ncall amortizes the fixed per-iteration costs
+        run("hybrid_f64_1e8", g6, TRUTH, sampler="hybrid", ncall=1e8),
+        run("hybrid_f64_1e9", g6, TRUTH, sampler="hybrid", ncall=1e9),
+        run("hybrid_frozen_1e8", g6, TRUTH, sampler="hybrid", ncall=1e8,
+            adjust_iters=0),
+        run("xla_f64_1e8", g6, TRUTH, sampler="xla", ncall=1e8),
     ]
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "vegas_roofline.csv")
