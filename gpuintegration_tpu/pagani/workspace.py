@@ -52,26 +52,32 @@ def _burst_evals() -> float:
 
 
 def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
-                      probe_regions: int = 1 << 18,
-                      margin: float = 2.0, trials: int = 3) -> float:
+                      probe_regions: int = 1 << 14,
+                      margin: float = 2.0, trials: int = 3,
+                      reps: int = 4) -> float:
     """Probe ``Workspace(eval_cost=...)`` for an integrand on the LIVE
-    backend: wall time of one chunked probe-pool rule sweep relative to a
-    sum-of-coordinates baseline, with the fixed per-dispatch sync floor
-    (~28 ms on the remote runtime) subtracted from both.
+    backend: wall time of a probe-pool rule sweep relative to a
+    sum-of-coordinates baseline.
 
-    Each timing warms the compile first and times ``trials`` dispatches
-    with perturbed inputs (the remote runtime elides repeated identical
-    dispatches) and keeps the best.  Returns ``max(1.0, margin * ratio)``
-    -- the x2 default safety margin is applied IN the probe because the
-    consumer is the worker-crash dispatch ceiling (DESIGN.md 3b): an
-    underestimated cost from probe noise (the ~28 ms sync floor is close
-    to the baseline signal on the remote runtime) walks a deep run
-    straight into the crash regime, while an overestimate only splits
-    slabs finer (bit-identical results, mildly more dispatches).  Deep
-    runs of expensive integrands (table interpolation, special
-    functions) should pass this as ``eval_cost``; a cost-50 integrand
-    swept over a full bucket in ONE dispatch is 50x past the ceiling the
-    Genz calibration proved safe.
+    Timing method: ``reps`` sweeps run INSIDE one jit with a carried
+    data dependency (the bench.py discipline), so the per-dispatch
+    floor is amortized 1/reps into BOTH measurements and the remote
+    runtime cannot elide repeats -- no floor subtraction.  (The first
+    probe design subtracted a separately-measured sync floor from
+    single-dispatch times; on the remote runtime the baseline sweep
+    itself sits near that floor, and the subtraction clamped to its
+    1e-4 s epsilon once -- inflating a cost-60 interpolation integrand
+    to cost-60079 and slicing its production run into uselessly-fine
+    dispatches.)  ``trials`` outer repetitions keep the best.
+
+    Returns ``max(1.0, margin * ratio)`` -- the x2 default safety
+    margin is applied IN the probe because the consumer is the
+    worker-crash dispatch ceiling (DESIGN.md 3b): an underestimate
+    walks a deep run into the crash regime, while an overestimate only
+    splits slabs finer (bit-identical results, mildly more dispatches).
+    The probe pool is deliberately SMALL (16k regions): the integrand's
+    cost is unknown before the probe, so the probe itself must stay far
+    under the ceiling at any plausible cost.
     """
     import time as _time
 
@@ -79,40 +85,45 @@ def measure_eval_cost(integrand, ndim: int, *, dtype=jnp.float64,
         raise ValueError("margin must be >= 1")
     f, ndim = make_integrand(integrand, ndim)
     ws = Workspace(ndim, dtype=dtype)
-    cap = max(region_pool.next_pow2(probe_regions), ws.chunk_size)
+    cap = min(max(region_pool.next_pow2(probe_regions), 1024),
+              ws.chunk_size)
     rng = np.random.default_rng(0)
     lows_np = rng.uniform(0.0, 0.5, (ndim, cap))
     global_lo = jnp.zeros((ndim,), ws.dtype)
     global_range = jnp.ones((ndim,), ws.dtype)
     lows = jnp.asarray(lows_np, ws.dtype)
+    tables = rule_eval.rule_tables(ndim, ws.dtype.name)
+    n_reps = max(reps, 1)
 
     def timed(fn) -> float:
-        lengths = jnp.asarray(np.full((ndim, cap), 0.25), ws.dtype)
-        out = ws._eval_pool(fn, lows, lengths, global_lo, global_range)
-        jax.block_until_ready(out)            # compile + executable load
+        @jax.jit
+        def loop(ln0):
+            def body(i, carry):
+                ln, acc = carry
+                est, _, _ = rule_eval.apply_rule(
+                    f if fn is None else fn, tables, lows, ln,
+                    global_lo, global_range)
+                s = jnp.sum(est)
+                # carried dependency defeats elision/overlap
+                return (ln * (1.0 + s * 1e-30), acc + s)
+            return jax.lax.fori_loop(
+                0, n_reps, body, (ln0, jnp.zeros((), ws.dtype)))
+
+        ln0 = jnp.asarray(np.full((ndim, cap), 0.25), ws.dtype)
+        jax.block_until_ready(loop(ln0))      # compile + executable load
         best = float("inf")
-        for trial in range(max(trials, 1)):   # perturbed: never elided
-            lengths = jnp.asarray(
-                np.full((ndim, cap), 0.25 * (1.0 + 1e-7 * (trial + 1))),
-                ws.dtype)
+        for trial in range(max(trials, 1)):
+            ln_t = ln0 * (1.0 + 1e-7 * (trial + 1))
             t0 = _time.perf_counter()
-            out = ws._eval_pool(fn, lows, lengths, global_lo, global_range)
-            jax.block_until_ready(out)
-            best = min(best, _time.perf_counter() - t0)
+            jax.block_until_ready(loop(ln_t))
+            best = min(best, (_time.perf_counter() - t0) / n_reps)
         return best
 
     def baseline(x):
         return jnp.sum(x, axis=-1)
 
-    # sync floor: tiny dispatch, timed the same way
-    tiny = jnp.zeros((8,), ws.dtype)
-    _ = jax.block_until_ready(jnp.sin(tiny))
-    t0 = _time.perf_counter()
-    _ = jax.block_until_ready(jnp.sin(tiny + 1.0))
-    floor = _time.perf_counter() - t0
-
-    t_base = max(timed(baseline) - floor, 1e-4)
-    t_f = max(timed(f) - floor, 1e-4)
+    t_base = max(timed(baseline), 1e-6)
+    t_f = timed(None)
     return max(1.0, margin * (t_f / t_base))
 
 
