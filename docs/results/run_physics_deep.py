@@ -7,10 +7,19 @@ model at 3e-4 on the CPU mesh (tests/test_physics_model.py); this script
 records the PRODUCTION regime on the real TPU: PAGANI carried to 1e-6
 via the continuation driver, VEGAS cross-check within combined errors.
 
-Usage:  python docs/results/run_physics_deep.py
+Usage:  python docs/results/run_physics_deep.py [epsrel] [max_wall_s]
+        (defaults 1e-5, 2400)
 Appends a row to physics_deep.csv (clean_time_and_call schema; the
 closed form is unknown, so true_value records the PAGANI estimate and
 the cross-check is the VEGAS agreement printed as a comment row).
+
+The model runs with interp_precision="f32" (round 4): the Interp2D
+dense contraction in TPU-native f32 cuts the probed eval_cost from
+~82 to ~7 Genz-equivalents (11.5x), while the table lookup stays
+accurate to ~1e-7 relative -- below the 1e-5/1e-6 targets and below
+any measured table's own accuracy (equivalence pinned in
+tests/test_interp.py::TestPrecisionF32).  All rule accumulation stays
+f64.  The id column records xla-f32interp for provenance.
 """
 import os
 import sys
@@ -25,10 +34,10 @@ from gpuintegration_tpu.pagani.workspace import measure_eval_cost  # noqa: E402
 from gpuintegration_tpu.utils import timing              # noqa: E402
 
 
-def main(out_path=None):
+def main(out_path=None, epsrel=1e-5, max_wall_s=2400.0):
     out_path = out_path or os.path.join(
         os.path.dirname(__file__), "physics_deep.csv")
-    model = ClusterLikelihood()
+    model = ClusterLikelihood(interp_precision="f32")
     # The interp-table likelihood costs many Genz-equivalents per eval;
     # probe the multiplier on the live backend (small probe pool -- safe
     # dispatch at any cost) and bound every rule sweep / fused burst with
@@ -47,7 +56,7 @@ def main(out_path=None):
     ws = Workspace(6, max_pool_regions=2 * 1024 * 1024, eval_cost=cost)
     t0 = time.time()
     res = ws.integrate_to_convergence(
-        model, epsrel=1e-6, epsabs=1e-40, max_wall_s=2400.0,
+        model, epsrel=epsrel, epsabs=1e-40, max_wall_s=max_wall_s,
         finish_epsrel_scale=0.4)
     wall = time.time() - t0
     t1 = time.time()
@@ -62,8 +71,8 @@ def main(out_path=None):
     with open(out_path, "a") as fh:
         if need_header:
             print(timing.PAGANI_CSV_HEADER, file=fh, flush=True)
-        print(f"cluster_likelihood_6d,6,xla,{res.estimate:.15e},1e-06,"
-              f"1e-40,{res.estimate:.15e},{res.errorest:.15e},"
+        print(f"cluster_likelihood_6d,6,xla-f32interp,{res.estimate:.15e},"
+              f"{epsrel:g},1e-40,{res.estimate:.15e},{res.errorest:.15e},"
               f"{res.nregions},{res.nFinishedRegions},{res.iters},"
               f"{res.status},{wall * 1e3}", file=fh, flush=True)
         print(f"# vegas cross-check: est={rv.estimate:.15e} "
@@ -78,4 +87,5 @@ def main(out_path=None):
 
 
 if __name__ == "__main__":
-    main()
+    main(epsrel=float(sys.argv[1]) if len(sys.argv) > 1 else 1e-5,
+         max_wall_s=float(sys.argv[2]) if len(sys.argv) > 2 else 2400.0)

@@ -50,13 +50,22 @@ class ClusterLikelihood:
 
     ndim = 6
 
-    def __init__(self, omega_m: float = 0.3, hmf: Interp2D | None = None):
+    def __init__(self, omega_m: float = 0.3, hmf: Interp2D | None = None,
+                 *, interp_precision: str | None = None):
         """``hmf``: optionally supply the table, e.g. one deserialised
         from a reference-format hexfloat dump (Interp2D.from_text) --
         the reference's own pipeline loads data/HMF_t.dump this way
-        (test/cuda/pagani/test_cpu_vs_gpu.cu)."""
+        (test/cuda/pagani/test_cpu_vs_gpu.cu).
+
+        ``interp_precision``: forwarded to the table's dense-contraction
+        precision (ops.interp._PRECISIONS).  "f32" is the deep-run fast
+        path: the table lookup runs TPU-native f32 (~1e-7 relative, below
+        any physical table's own accuracy) while every rule sum stays
+        f64; equivalence is pinned in tests/test_physics_model.py."""
         self.omega_m = omega_m
         self.hmf = make_hmf_table() if hmf is None else hmf
+        if interp_precision is not None:
+            self.hmf = self.hmf.with_precision(interp_precision)
 
     def __call__(self, x):
         z = 2.0 * x[..., 0]                    # z in [0, 2]

@@ -95,8 +95,37 @@ _DENSE_MAX_3D = 65536     # nx * ny * nz cells
 # keeping each slab a full MXU matmul.
 _DENSE_CHUNK_ELEMS = 16 * 1024 * 1024
 
+# Contraction dtypes for the dense path, keyed by the interpolator's
+# static ``precision`` field.  "f64" (default) keeps the historical
+# bit-exact behaviour.  "f32" is the mixed-precision fast path for
+# table-driven integrands: the hat weights and the table matmul run in
+# f32 (TPU-native; the f64 forms are ~5x-emulated) at
+# Precision.HIGHEST so the MXU does exact f32 rather than truncating
+# to bf16, and the result widens back to f64 at the call boundary.
+# Interpolation error becomes ~1e-7 relative (f32 eps on O(1) hat
+# weights and table values) -- below the intrinsic accuracy of
+# measured physics tables, and far below deep-run tolerances down to
+# 1e-6 (equivalence vs the f64 path is pinned in
+# tests/test_interp.py::TestPrecisionF32).  Rule accumulation
+# downstream stays f64 regardless: only the table lookup narrows.
+_PRECISIONS = ("f64", "f32")
 
-def _hat_weights_t(knots: jax.Array, x: jax.Array) -> jax.Array:
+
+def _contract_dtype(precision: str):
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"precision must be one of {_PRECISIONS}, got {precision!r}")
+    return jnp.float64 if precision == "f64" else jnp.float32
+
+
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Matmul at HIGHEST precision: exact in f64 (unchanged semantics)
+    and exact-f32 on the MXU in the mixed-precision path (default
+    precision would truncate f32 operands to bf16 on TPU)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _hat_weights_t(knots: jax.Array, x: jax.Array, dt=None) -> jax.Array:
     """Partition-of-unity linear hat weights, DIMS-MAJOR: shape ``(K, N)``
     for flat ``x`` of shape ``(N,)``.
 
@@ -108,12 +137,27 @@ def _hat_weights_t(knots: jax.Array, x: jax.Array) -> jax.Array:
     interpolated integrands lower to matmuls rather than per-point
     gathers on TPU.  The knot axis is MAJOR (sublane) so the wide batch
     axis rides the 128-lane minor dimension unpadded — a (N, 32)-shaped
-    layout pads 4x on TPU and has OOMed at rule-eval batch sizes."""
+    layout pads 4x on TPU and has OOMed at rule-eval batch sizes.
+
+    ``dt``: optional narrower dtype for the divide/min/clip stage of the
+    mixed-precision path.  The x-knot SUBTRACTIONS always run in the
+    input dtype (f64) and only the differences narrow — narrowing x
+    itself first loses the cell-relative position to cancellation at
+    large grid offsets (eps_f32*|x|/cell_width reached 1e-5-scale weight
+    error on measured tables), while narrowed differences keep the
+    weight accurate to ~f32 eps of the weight itself."""
     lo = jnp.concatenate([knots[:1] - 1.0, knots[:-1]])   # knots[k-1]
     hi = jnp.concatenate([knots[1:], knots[-1:] + 1.0])   # knots[k+1]
     xk = x[None, :]
-    rising = (xk - lo[:, None]) / (knots - lo)[:, None]
-    falling = (hi[:, None] - xk) / (hi - knots)[:, None]
+    num_r = xk - lo[:, None]
+    num_f = hi[:, None] - xk
+    den_r = knots - lo
+    den_f = hi - knots
+    if dt is not None:
+        num_r, num_f = num_r.astype(dt), num_f.astype(dt)
+        den_r, den_f = den_r.astype(dt), den_f.astype(dt)
+    rising = num_r / den_r[:, None]
+    falling = num_f / den_f[:, None]
     return jnp.clip(jnp.minimum(rising, falling), 0.0, 1.0)
 
 
@@ -143,19 +187,35 @@ def _chunked_flat_eval(kernel, arrays, per_point_elems):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class Interp1D:
-    """Clamped linear interpolation through (xs, zs)."""
+    """Clamped linear interpolation through (xs, zs).
+
+    ``precision="f32"`` opts the dense contraction into the
+    mixed-precision fast path (see _PRECISIONS); storage and the public
+    call signature stay f64."""
 
     xs: jax.Array
     zs: jax.Array
+    precision: str = "f64"
 
-    def __init__(self, xs, zs):
+    def __init__(self, xs, zs, *, precision: str = "f64"):
         xs = jnp.asarray(xs, jnp.float64)
         zs = jnp.asarray(zs, jnp.float64)
         if xs.ndim != 1 or xs.shape != zs.shape:
             raise ValueError("Interp1D needs equal-length 1-D xs/zs")
+        _contract_dtype(precision)
         xs, (zs,) = _ascending(xs, (zs,))
         self.xs = xs
         self.zs = zs
+        self.precision = precision
+
+    def with_precision(self, precision: str) -> "Interp1D":
+        """Same table, different dense-contraction precision (static
+        pytree aux, so jit specializes per choice)."""
+        _contract_dtype(precision)
+        obj = type(self).__new__(type(self))
+        obj.xs, obj.zs = self.xs, self.zs
+        obj.precision = precision
+        return obj
 
     def min_x(self):
         return self.xs[0]
@@ -184,10 +244,14 @@ class Interp1D:
         xc = self.clamp(jnp.asarray(x, jnp.float64))
         nk = self.xs.shape[0]
         if nk <= _DENSE_MAX_1D:
+            dt = _contract_dtype(self.precision)
+
             def kern(args):
                 (xf,) = args
-                return self.zs @ _hat_weights_t(self.xs, xf)
-            return _chunked_flat_eval(kern, (xc,), nk)
+                w = _hat_weights_t(self.xs, xf, dt)
+                return _mm(self.zs.astype(dt), w)
+            out = _chunked_flat_eval(kern, (xc,), nk)
+            return out.astype(jnp.float64)
         return self.eval(xc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
@@ -218,12 +282,13 @@ class Interp1D:
                 f"{_format_doubles(np.asarray(self.zs))}\n")
 
     def tree_flatten(self):
-        return (self.xs, self.zs), None
+        return (self.xs, self.zs), self.precision
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
         obj.xs, obj.zs = leaves
+        obj.precision = aux if aux is not None else "f64"
         return obj
 
 
@@ -238,16 +303,27 @@ class Interp2D:
     xs: jax.Array
     ys: jax.Array
     zs: jax.Array
+    precision: str = "f64"
 
-    def __init__(self, xs, ys, zs):
+    def __init__(self, xs, ys, zs, *, precision: str = "f64"):
         xs = jnp.asarray(xs, jnp.float64)
         ys = jnp.asarray(ys, jnp.float64)
         zs = jnp.asarray(zs, jnp.float64)
         if zs.shape != (ys.shape[0], xs.shape[0]):
             raise ValueError(f"zs shape {zs.shape} != (len(ys), len(xs))")
+        _contract_dtype(precision)
         xs, (zs,) = _ascending(xs, (zs,), axis=1)
         ys, (zs,) = _ascending(ys, (zs,), axis=0)
         self.xs, self.ys, self.zs = xs, ys, zs
+        self.precision = precision
+
+    def with_precision(self, precision: str) -> "Interp2D":
+        """Same table, different dense-contraction precision."""
+        _contract_dtype(precision)
+        obj = type(self).__new__(type(self))
+        obj.xs, obj.ys, obj.zs = self.xs, self.ys, self.zs
+        obj.precision = precision
+        return obj
 
     def clamp(self, x, y):
         return (jnp.clip(x, self.xs[0], self.xs[-1]),
@@ -274,13 +350,16 @@ class Interp2D:
         xc, yc = self.clamp(x, y)
         nx, ny = self.xs.shape[0], self.ys.shape[0]
         if nx * ny <= _DENSE_MAX_2D:
+            dt = _contract_dtype(self.precision)
+
             def kern(args):
                 xf, yf = args
-                wx = _hat_weights_t(self.xs, xf)      # (nx, N)
-                wy = _hat_weights_t(self.ys, yf)      # (ny, N)
-                t = self.zs @ wx                      # (ny, N)
+                wx = _hat_weights_t(self.xs, xf, dt)  # (nx, N)
+                wy = _hat_weights_t(self.ys, yf, dt)  # (ny, N)
+                t = _mm(self.zs.astype(dt), wx)       # (ny, N)
                 return jnp.sum(t * wy, axis=0)        # (N,)
-            return _chunked_flat_eval(kern, (xc, yc), nx + 2 * ny)
+            out = _chunked_flat_eval(kern, (xc, yc), nx + 2 * ny)
+            return out.astype(jnp.float64)
         return self.eval(xc, yc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
@@ -305,12 +384,13 @@ class Interp2D:
                 f"{_format_doubles(np.asarray(self.zs))}\n")
 
     def tree_flatten(self):
-        return (self.xs, self.ys, self.zs), None
+        return (self.xs, self.ys, self.zs), self.precision
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
         obj.xs, obj.ys, obj.zs = leaves
+        obj.precision = aux if aux is not None else "f64"
         return obj
 
 
@@ -324,8 +404,9 @@ class Interp3D:
     ys: jax.Array
     zs: jax.Array
     vals: jax.Array
+    precision: str = "f64"
 
-    def __init__(self, xs, ys, zs, vals):
+    def __init__(self, xs, ys, zs, vals, *, precision: str = "f64"):
         xs = jnp.asarray(xs, jnp.float64)
         ys = jnp.asarray(ys, jnp.float64)
         zs = jnp.asarray(zs, jnp.float64)
@@ -333,10 +414,21 @@ class Interp3D:
         if vals.shape != (zs.shape[0], ys.shape[0], xs.shape[0]):
             raise ValueError(
                 f"vals shape {vals.shape} != (len(zs), len(ys), len(xs))")
+        _contract_dtype(precision)
         xs, (vals,) = _ascending(xs, (vals,), axis=2)
         ys, (vals,) = _ascending(ys, (vals,), axis=1)
         zs, (vals,) = _ascending(zs, (vals,), axis=0)
         self.xs, self.ys, self.zs, self.vals = xs, ys, zs, vals
+        self.precision = precision
+
+    def with_precision(self, precision: str) -> "Interp3D":
+        """Same table, different dense-contraction precision."""
+        _contract_dtype(precision)
+        obj = type(self).__new__(type(self))
+        obj.xs, obj.ys, obj.zs, obj.vals = (
+            self.xs, self.ys, self.zs, self.vals)
+        obj.precision = precision
+        return obj
 
     def __call__(self, x, y, z):
         x = jnp.clip(jnp.asarray(x, jnp.float64), self.xs[0], self.xs[-1])
@@ -344,18 +436,21 @@ class Interp3D:
         z = jnp.clip(jnp.asarray(z, jnp.float64), self.zs[0], self.zs[-1])
         nx, ny, nz = (self.xs.shape[0], self.ys.shape[0], self.zs.shape[0])
         if nx * ny * nz <= _DENSE_MAX_3D:
+            dt = _contract_dtype(self.precision)
+
             def kern(args):
                 xf, yf, zf = args
-                wx = _hat_weights_t(self.xs, xf)      # (nx, N)
-                wy = _hat_weights_t(self.ys, yf)      # (ny, N)
-                wz = _hat_weights_t(self.zs, zf)      # (nz, N)
+                wx = _hat_weights_t(self.xs, xf, dt)
+                wy = _hat_weights_t(self.ys, yf, dt)
+                wz = _hat_weights_t(self.zs, zf, dt)
                 # (nz*ny, nx) @ (nx, N): one MXU matmul over the x axis
-                t = (self.vals.reshape(nz * ny, nx) @ wx).reshape(
-                    nz, ny, -1)
+                t = _mm(self.vals.astype(dt).reshape(nz * ny, nx),
+                        wx).reshape(nz, ny, -1)
                 t = jnp.sum(t * wy[None, :, :], axis=1)   # (nz, N)
                 return jnp.sum(t * wz, axis=0)            # (N,)
-            return _chunked_flat_eval(
+            out = _chunked_flat_eval(
                 kern, (x, y, z), nx + ny + nz + 2 * nz * ny)
+            return out.astype(jnp.float64)
         return self.eval(x, y, z)
 
     def eval(self, x, y, z):
@@ -401,10 +496,11 @@ class Interp3D:
                 f"{_format_doubles(np.asarray(self.vals))}\n")
 
     def tree_flatten(self):
-        return (self.xs, self.ys, self.zs, self.vals), None
+        return (self.xs, self.ys, self.zs, self.vals), self.precision
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = cls.__new__(cls)
         obj.xs, obj.ys, obj.zs, obj.vals = leaves
+        obj.precision = aux if aux is not None else "f64"
         return obj

@@ -267,6 +267,88 @@ class TestDenseGatherEquivalence:
         assert float(it(0.5)) == pytest.approx(0.25, abs=1e-6)
 
 
+class TestPrecisionF32:
+    """Mixed-precision dense contraction (precision="f32"): the table
+    lookup runs in exact f32 (HIGHEST matmuls, no bf16 truncation) and
+    widens back to f64.  Its error must stay at the f32 roundoff scale
+    of the table values -- below the ~1e-7 intrinsic accuracy of any
+    measured physics table -- while the API (clamping, batching,
+    pytree) is unchanged.  This is the fast path the 6D physics
+    certificate runs on (VERDICT r3 item 1)."""
+
+    def test_1d_equivalence(self):
+        rng = np.random.default_rng(10)
+        xs = np.sort(rng.uniform(-3, 5, 64))
+        zs = rng.normal(size=64)
+        it64 = Interp1D(xs, zs)
+        it32 = Interp1D(xs, zs, precision="f32")
+        q = jnp.asarray(np.concatenate([rng.uniform(-4, 6, 513), xs]))
+        a = np.asarray(it64(q))
+        b = np.asarray(it32(q))
+        assert b.dtype == np.float64
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=5e-6 * np.abs(zs).max())
+
+    def test_2d_equivalence(self):
+        rng = np.random.default_rng(11)
+        xs = np.sort(rng.uniform(0, 1, 64))
+        ys = np.sort(rng.uniform(-2, 2, 32))
+        zs = rng.normal(size=(32, 64))
+        it64 = Interp2D(xs, ys, zs)
+        it32 = it64.with_precision("f32")
+        qx = jnp.asarray(rng.uniform(-0.2, 1.2, 700))
+        qy = jnp.asarray(rng.uniform(-2.5, 2.5, 700))
+        a = np.asarray(it64(qx, qy))
+        b = np.asarray(it32(qx, qy))
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=5e-6 * np.abs(zs).max())
+
+    def test_3d_equivalence(self):
+        rng = np.random.default_rng(12)
+        xs = np.sort(rng.uniform(0, 1, 10))
+        ys = np.sort(rng.uniform(0, 1, 8))
+        zs = np.sort(rng.uniform(0, 1, 6))
+        vals = rng.normal(size=(6, 8, 10))
+        it64 = Interp3D(xs, ys, zs, vals)
+        it32 = it64.with_precision("f32")
+        q = [jnp.asarray(rng.uniform(-0.1, 1.1, 400)) for _ in range(3)]
+        a = np.asarray(it64(*q))
+        b = np.asarray(it32(*q))
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=5e-6 * np.abs(vals).max())
+
+    def test_pytree_preserves_precision(self):
+        import jax
+        it = Interp2D([0.0, 1.0], [0.0, 1.0],
+                      [[0.0, 1.0], [2.0, 3.0]], precision="f32")
+        leaves, treedef = jax.tree_util.tree_flatten(it)
+        it2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert it2.precision == "f32"
+        # distinct treedefs => jit specializes per precision choice
+        _, td64 = jax.tree_util.tree_flatten(it.with_precision("f64"))
+        assert td64 != treedef
+
+    def test_bad_precision_rejected(self):
+        with pytest.raises(ValueError, match="precision"):
+            Interp1D([0.0, 1.0], [0.0, 1.0], precision="bf16")
+        with pytest.raises(ValueError, match="precision"):
+            Interp1D([0.0, 1.0], [0.0, 1.0]).with_precision("f16")
+
+    def test_physics_model_f32_below_tolerance_floor(self):
+        """ClusterLikelihood(interp_precision="f32") agrees with the f64
+        model to ~1e-6 relative -- an order below the 1e-5 production
+        certificate tolerance it exists for."""
+        from gpuintegration_tpu.models.physics import ClusterLikelihood
+        m64 = ClusterLikelihood()
+        m32 = ClusterLikelihood(interp_precision="f32")
+        pts = jnp.asarray(
+            np.random.default_rng(13).uniform(0, 1, (512, 6)))
+        a = np.asarray(m64(pts))
+        b = np.asarray(m32(pts))
+        np.testing.assert_allclose(b, a, rtol=0,
+                                   atol=2e-6 * np.abs(a).max())
+
+
 class TestMonotoneGrids:
     def test_descending_grid_flipped(self):
         """Descending knots silently interpolated through the wrong cell
