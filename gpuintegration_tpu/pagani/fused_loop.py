@@ -44,7 +44,8 @@ from gpuintegration_tpu.pagani import region_pool
 
 @functools.partial(jax.jit, static_argnames=(
     "f", "ndim", "dtype_name", "chunk_size", "relerr_classification",
-    "gate", "feval", "mesh", "rule_backend", "f_axes", "interpret"))
+    "gate", "feval", "mesh", "rule_backend", "f_axes", "interpret",
+    "with_split_frac"))
 def fused_adaptive_phase(
     f,
     ndim: int,
@@ -77,6 +78,12 @@ def fused_adaptive_phase(
     rule_backend: str = "xla",
     f_axes=None,              # scalar-per-axis integrand (pallas backend)
     interpret: bool = False,  # pallas interpret mode (non-TPU backends)
+    with_split_frac: bool = False,  # crease-aware splitting: thread the
+                              # per-region cut fraction through the carry
+                              # (rule_eval._split_fraction; single-chip
+                              # XLA only).  Adds a sixth return slot with
+                              # the compacted fraction vector so a grow
+                              # exit's host split stays crease-aware.
 ):
     """Returns (lows, lengths, parent_est, sdim, packed) -- plus a
     per-shard count vector ``ns`` before ``packed`` in mesh mode -- where
@@ -124,6 +131,10 @@ def fused_adaptive_phase(
     tables = rule_eval.rule_tables(ndim, dtype_name)
     zero = jnp.zeros((), f64)
 
+    if with_split_frac and (mesh is not None or rule_backend != "xla"):
+        raise ValueError("with_split_frac (crease_split) runs single-chip "
+                         "on the XLA rule backend only")
+
     if rule_backend == "pallas":
         # the f32 VMEM-fused kernel drives the whole loop body (VERDICT
         # round-1 item: the fastest kernel must serve the fastest loop).
@@ -140,7 +151,8 @@ def fused_adaptive_phase(
         def eval_pool(lo_c, ln_c, n_loc, global_lo, global_range):
             return rule_eval.apply_rule(
                 f, tables, lo_c, ln_c, global_lo, global_range,
-                chunk_size=chunk_size, n=n_loc, blocked=True)
+                chunk_size=chunk_size, n=n_loc, blocked=True,
+                with_split_frac=with_split_frac)
 
     if mesh is not None:
         from gpuintegration_tpu.parallel.mesh import REGION_AXIS
@@ -159,8 +171,8 @@ def fused_adaptive_phase(
             parent_est = jnp.pad(parent_est, (0, cap - parent_est.shape[0]))
 
         def cond(carry):
-            (_, _, _n_loc, n_g, _, _, _, _, iters_c, nev_c, _, status_c,
-             _, _, _, _, _, _, _, _) = carry
+            n_g, iters_c, nev_c, status_c = (carry[3], carry[8],
+                                             carry[9], carry[11])
             return ((status_c == -1)
                     & (2 * n_g <= gate)
                     & (iters_c < max_iters)
@@ -169,10 +181,13 @@ def fused_adaptive_phase(
         def body(carry):
             (lo_c, ln_c, n_loc, n_glob, par_c, cum_e, cum_r, res_nreg,
              iters_c, nev, hist, _status, _lie, _lir,
-             _pe, _pr, _pn, _pi, _pv, _sd) = carry
+             _pe, _pr, _pn, _pi, _pv, *_tail) = carry
 
-            est_raw, err_raw, sdim = eval_pool(
-                lo_c, ln_c, n_loc, global_lo, global_range)
+            ev = eval_pool(lo_c, ln_c, n_loc, global_lo, global_range)
+            if with_split_frac:
+                est_raw, err_raw, sdim, sfrac = ev
+            else:
+                (est_raw, err_raw, sdim), sfrac = ev, None
             # SAME traced pipeline as the host's _post_stage
             (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
              fin_err_d, n_active_d) = iteration_math(
@@ -220,11 +235,15 @@ def fused_adaptive_phase(
             # survivors -- compacting into cap//2 would truncate them);
             # the in-place split for the normal branch uses the first
             # half, which is safe there (go implies n_active <= cap/2)
-            n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
-                active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
+            cres = region_pool.compact(
+                active, lo_c, ln_c, sdim, est, refined, out_capacity=cap,
+                extra=sfrac)
+            n_act_d, c_lo, c_ln, c_sd, par_new = cres[:5]
+            c_fr = cres[6] if with_split_frac else None
             lo2, ln2, _ = region_pool.split(
                 c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
-                n_act_d, out_capacity=cap)
+                n_act_d, out_capacity=cap,
+                frac=None if c_fr is None else c_fr[:cap // 2])
 
             # Every branch APPLIES the iteration:
             #   done     -> accuracy: fold the WHOLE sweep into the ledger
@@ -257,12 +276,17 @@ def fused_adaptive_phase(
             hist_out = jnp.where(~done,
                                  jnp.concatenate([hist[1:], tot_est[None]]),
                                  hist)
-            return (lo_out, ln_out, n_out_loc, n_out_glob, par_out,
-                    cum_e + add_est, cum_r + add_err, res_nreg + drop,
-                    iters_c + 1, nev + n_glob.astype(f64) * feval,
-                    hist_out, status,
-                    iter_est - fin_est, iter_err - fin_err,
-                    cum_e, cum_r, res_nreg, iters_c, nev, sd_out)
+            out = (lo_out, ln_out, n_out_loc, n_out_glob, par_out,
+                   cum_e + add_est, cum_r + add_err, res_nreg + drop,
+                   iters_c + 1, nev + n_glob.astype(f64) * feval,
+                   hist_out, status,
+                   iter_est - fin_est, iter_err - fin_err,
+                   cum_e, cum_r, res_nreg, iters_c, nev, sd_out)
+            if with_split_frac:
+                # compacted cut fractions travel like sd_out: a grow
+                # exit's host split reads them (slices [:n])
+                out = out + (c_fr,)
+            return out
 
         carry0 = (lows, lengths, n_loc0, n_glob0, parent_est,
                   cum_est, cum_err, result_nregions,
@@ -270,15 +294,19 @@ def fused_adaptive_phase(
                   zero, zero,
                   cum_est, cum_err, result_nregions, iters_done, neval,
                   jnp.zeros((cap,), jnp.int32))
+        if with_split_frac:
+            carry0 = carry0 + (jnp.full((cap,), 0.5, dtype),)
         (lo_f, ln_f, nl_f, ng_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
          hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, pv_f,
-         sd_f) = jax.lax.while_loop(cond, body, carry0)
+         sd_f, *tail_f) = jax.lax.while_loop(cond, body, carry0)
         packed = jnp.stack([
             ng_f.astype(f64), ce_f, cr_f, rn_f,
             it_f.astype(f64), nev_f, st_f.astype(f64),
             lie_f, lir_f,
             pe_f, pr_f, pn_f, pi_f.astype(f64),
             hist_f[0], hist_f[1], hist_f[2], pv_f])
+        if with_split_frac:
+            return lo_f, ln_f, par_f, sd_f, tail_f[0], nl_f, packed
         return lo_f, ln_f, par_f, sd_f, nl_f, packed
 
     cap_nev = (jnp.asarray(jnp.inf, f64) if neval_cap is None
@@ -287,8 +315,11 @@ def fused_adaptive_phase(
                cum_est, cum_err, result_nregions, iters_done, neval,
                est_hist, max_iters, abs_per_vol, cap_nev)
     if mesh is None:
-        lo_f, ln_f, par_f, sd_f, _nl, packed = run(
-            lows, lengths, n, n, parent_est, *scalars)
+        out = run(lows, lengths, n, n, parent_est, *scalars)
+        if with_split_frac:
+            lo_f, ln_f, par_f, sd_f, fr_f, _nl, packed = out
+            return lo_f, ln_f, par_f, sd_f, fr_f, packed
+        lo_f, ln_f, par_f, sd_f, _nl, packed = out
         return lo_f, ln_f, par_f, sd_f, packed
 
     from jax import shard_map

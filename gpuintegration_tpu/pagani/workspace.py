@@ -586,11 +586,13 @@ class Workspace:
         crease instead of the midpoint, making both children smooth and
         restoring the rule's full convergence order in one cut
         (rule_eval._split_fraction; regions with no confident kink
-        split at the midpoint bit-identically).  Scalar XLA host loop
-        only (disables the fused phase; incompatible with mesh, the
-        Pallas rule backend, vector integrands and vegas_assisted).
-        Beyond-reference: the reference splits at midpoints only
-        (Sub_region_splitter.cuh:56-87).
+        split at the midpoint bit-identically).  Scalar XLA single-chip
+        only (incompatible with mesh, the Pallas rule backend, vector
+        integrands and vegas_assisted); runs both the host loop and the
+        fused on-device phase (the cut-fraction vector is threaded
+        through the fused carry, host/fused equivalence tested in
+        tests/test_crease_split.py).  Beyond-reference: the reference
+        splits at midpoints only (Sub_region_splitter.cuh:56-87).
 
         ``predict_split``: the reference's split-prediction heuristic
         (Workspace.cuh:206-211, 244-248): suppress finished-region
@@ -738,10 +740,12 @@ class Workspace:
         fused_gate = int(0.1 * self.max_pool_regions)
         # the pallas backend fuses too: its f32 kernel replaces apply_rule
         # inside the while_loop body (fused_loop.eval_pool).  crease_split
-        # threads a per-region fraction the fused carry doesn't hold.
+        # threads its (cap,) cut-fraction vector through the fused carry
+        # (with_split_frac), so crease runs get the on-device iteration
+        # rate too (round-4 item; host/fused bit-equivalence tested in
+        # tests/test_crease_split.py).
         fused_ok = (fused and self.mesh is None and recorder is None
-                    and not vegas_assisted and not predict_split
-                    and not crease_split)
+                    and not vegas_assisted and not predict_split)
         inflight_est = inflight_err = 0.0
         exhausted = False
 
@@ -756,8 +760,7 @@ class Workspace:
             if fused_ok and blocked and 2 * n <= fused_gate:
                 from gpuintegration_tpu.pagani import fused_loop
                 chunk = self.chunk_size if cap > self.chunk_size else None
-                lows, lengths, parent_est, sdim_f, packed_d = \
-                    fused_loop.fused_adaptive_phase(
+                fout = fused_loop.fused_adaptive_phase(
                         f, ndim, dtype_name, chunk, relerr_classification,
                         fused_gate, feval,
                         lows, lengths, n_dev, parent_est,
@@ -778,7 +781,14 @@ class Workspace:
                                     jnp.float64),
                         rule_backend=self.rule_backend,
                         f_axes=self._f_axes,
+                        with_split_frac=crease_split,
                         interpret=jax.default_backend() != "tpu")
+                if crease_split:
+                    (lows, lengths, parent_est, sdim_f, frac_f,
+                     packed_d) = fout
+                else:
+                    lows, lengths, parent_est, sdim_f, packed_d = fout
+                    frac_f = None
                 # ONE D2H sync for every scalar of the whole burst
                 packed = np.asarray(packed_d)
                 n = int(packed[0])
@@ -805,7 +815,8 @@ class Workspace:
                     # so a budget expiry on a growth iteration still exits
                     # with the split children, like the host loop.)
                     lows, lengths, _ = region_pool.split(
-                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap)
+                        lows, lengths, sdim_f, n_dev, out_capacity=2 * cap,
+                        frac=frac_f)
                     cap = 2 * cap
                     n = 2 * n
                     n_dev = jnp.asarray(n, jnp.int32)

@@ -106,6 +106,32 @@ class TestCreaseSplitIntegration:
         assert r_mid.estimate == r_crease.estimate
         assert r_mid.errorest == r_crease.errorest
 
+    def test_fused_matches_host_loop(self):
+        """crease_split through the fused on-device phase (round 4): the
+        cut-fraction vector rides the while_loop carry, so a fused crease
+        run must reproduce the host-loop trajectory exactly -- same
+        discipline as the scalar fused/host equivalence (both trace
+        workspace.iteration_math + the same _split_fraction)."""
+        g = genz.f5_c0_continuous(3, a=10.0, b=0.37)
+        kw = dict(epsrel=1e-7, epsabs=1e-40, crease_split=True,
+                  max_iterations=60)
+        r_host = Workspace(3, chunk_size=1024).integrate(
+            g, fused=False, **kw)
+        r_fused = Workspace(3, chunk_size=1024).integrate(
+            g, fused=True, **kw)
+        assert (r_host.status, r_host.iters, r_host.neval,
+                r_host.nregions) == (r_fused.status, r_fused.iters,
+                                     r_fused.neval, r_fused.nregions)
+        # same tolerances as the scalar fused/host discipline
+        # (test_workspace_features.TestFusedAdaptivePhase._compare):
+        # estimates to 1e-12, errorest to reassociation-level 1e-9
+        np.testing.assert_allclose(r_fused.estimate, r_host.estimate,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(r_fused.errorest, r_host.errorest,
+                                   rtol=1e-9)
+        rel = abs(r_fused.estimate - g.true_value) / g.true_value
+        assert r_fused.status == 0 and rel < 3e-7
+
     def test_rejected_modes(self):
         g = genz.f4_gaussian(2)
         with pytest.raises(ValueError, match="crease_split"):
