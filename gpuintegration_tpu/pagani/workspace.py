@@ -531,8 +531,19 @@ class Workspace:
         finish_epsrel_scale: float = 1.0,
         finish_abs_per_vol: float = 0.0,
         crease_split: bool = False,
+        deadline: float | None = None,
     ) -> IntegrationResult:
         """Integrate ``integrand`` to the requested tolerances.
+
+        ``deadline``: optional ``time.monotonic()`` timestamp -- the loop
+        stops BETWEEN iterations once it passes (status 1, inflight sweep
+        folded in like a max-iterations exit).  integrate_to_convergence
+        threads its ``max_wall_s`` here so a single long round or
+        continuation slice cannot overshoot the budget by its own
+        duration (a 1e-6 physics slice once overran a 2400 s budget to
+        2551 s when the deadline was only checked between slices).
+        Granularity: one host iteration or one fused burst (bursts are
+        already dispatch-bounded by the eval ceiling, DESIGN.md 3b).
 
         ``finish_epsrel_scale``: tighten per-region retirement (two-level
         finished classification, two_level.refine_error) and the
@@ -666,7 +677,7 @@ class Workspace:
                 max_iterations, initial_regions, recorder,
                 finish_scale=finish_epsrel_scale,
                 abs_per_vol=finish_abs_per_vol,
-                fused=fused, ledger=ledger)
+                fused=fused, ledger=ledger, deadline=deadline)
 
         if self.mesh is not None:
             if vegas_assisted or predict_split:
@@ -680,7 +691,7 @@ class Workspace:
                 partitions_per_axis, relerr_classification,
                 max_iterations, initial_regions, recorder, fused, ledger,
                 finish_scale=finish_epsrel_scale,
-                abs_per_vol=finish_abs_per_vol)
+                abs_per_vol=finish_abs_per_vol, deadline=deadline)
 
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
@@ -751,7 +762,9 @@ class Workspace:
 
         it = cum.iters
         while True:
-            if it >= max_iterations:
+            if it >= max_iterations or (
+                    deadline is not None
+                    and _time.monotonic() >= deadline):
                 exhausted = True
                 break
             if n <= 0:
@@ -1041,7 +1054,7 @@ class Workspace:
         self, f, ncomp, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, finish_scale=1.0, abs_per_vol=0.0,
-        fused=True, ledger=None,
+        fused=True, ledger=None, deadline=None,
     ) -> IntegrationResult:
         """Adaptive loop for vector-valued integrands: f maps (..., ndim)
         -> (..., ncomp).  All components share one point set and one
@@ -1123,7 +1136,9 @@ class Workspace:
 
         it = cum.iters
         while True:
-            if it >= max_iterations:
+            if it >= max_iterations or (
+                    deadline is not None
+                    and _time.monotonic() >= deadline):
                 exhausted = True
                 break
             if n <= 0:
@@ -1347,7 +1362,7 @@ class Workspace:
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, fused, ledger=None, finish_scale=1.0,
-        abs_per_vol=0.0,
+        abs_per_vol=0.0, deadline=None,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
 
@@ -1430,7 +1445,9 @@ class Workspace:
 
         it = cum.iters
         while True:
-            if it >= max_iterations:
+            if it >= max_iterations or (
+                    deadline is not None
+                    and _time.monotonic() >= deadline):
                 exhausted = True
                 break
             if n <= 0:
@@ -1711,9 +1728,11 @@ class Workspace:
         single-pool memory model cannot certify.
 
         Stops on convergence, ``max_rounds``, ``max_wall_s`` seconds of
-        wall clock (checked between rounds/slices; a bound for unattended
-        runs), an empty pool, or when a round fails to shrink the total
-        error below ``min_err_reduction`` times the previous round's
+        wall clock (threaded into every round and slice as a per-
+        iteration deadline, so a single long slice cannot overshoot the
+        budget by its own duration -- a bound for unattended runs), an
+        empty pool, or when a round fails to shrink the total error
+        below ``min_err_reduction`` times the previous round's
         (no-progress guard).
         """
         import contextlib
@@ -1726,7 +1745,8 @@ class Workspace:
                     else contextlib.nullcontext())
 
         with _stage("round1"):
-            res = self.integrate(integrand, epsrel, epsabs, vol, **kw)
+            res = self.integrate(integrand, epsrel, epsabs, vol,
+                                 deadline=deadline, **kw)
         # round 1 consumed any user initial_regions/ledger seed; later
         # rounds (and continuation slices) supply their own -- leaving the
         # user's in kw would TypeError on resume, and a leftover ledger=
@@ -1775,7 +1795,7 @@ class Workspace:
                 res = self.integrate(
                     integrand, epsrel, epsabs, vol,
                     initial_regions=(ckpt.lows, ckpt.lengths),
-                    ledger=ckpt.ledger, **kw)
+                    ledger=ckpt.ledger, deadline=deadline, **kw)
             rounds += 1
             if res.status == 1 and worst_err(res) > min_err_reduction * prev_err:
                 break   # no meaningful progress; stop burning evals
@@ -1918,7 +1938,8 @@ class Workspace:
             with _stage("slices"):
                 r_i = self.integrate(
                     integrand, eps_rel_i, eps_abs_i, vol,
-                    initial_regions=(lows_i, lengths_i), **kw_i)
+                    initial_regions=(lows_i, lengths_i),
+                    deadline=deadline, **kw_i)
             runs += 1
             iters += r_i.iters
             neval += r_i.neval
