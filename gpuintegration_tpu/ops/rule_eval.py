@@ -176,13 +176,47 @@ def _eval_chunk(
     estimate = vol * sums[:, 0]
     errorest = vol * gated
     if with_split_frac:
-        frac = _split_fraction(tables, vals, split_dim)
+        frac, split_dim = _split_fraction(tables, vals, split_dim)
         return estimate, errorest, split_dim, frac
     return estimate, errorest, split_dim
 
 
 def _split_fraction(tables: RuleTables, vals, split_dim):
-    """Crease-aware split fraction along the chosen dimension.
+    """Crease- and jump-aware split fraction along the chosen dimension.
+
+    Returns ``(frac, split_dim)``: the per-region cut fraction AND a
+    possibly-overridden bisection dimension.  Two detectors share the
+    collinear five-point stencil per axis:
+
+    * C0 KINKS (|x - t|): secant-line intersection with four measured
+      false-positive gates; cut at the estimated crease offset by the
+      blind-zone margin (details below).  No dimension override.
+    * C-1 JUMPS (steps -- round 4, VERDICT r3 #3): a step inside an
+      inner sample gap makes that gap's secant FAR steeper than every
+      flank secant (slope ~ jump/gap vs the branches' O(f')), while the
+      far flank stays straight (both its samples ride one smooth
+      branch) -- the signature "near-zero secant-slope disagreement on
+      both flanks but a large value gap between adjacent samples".
+      Smooth steep exponentials grow their slope monotonically (the
+      gap secant sits BETWEEN its neighbours), and a kink's gap secant
+      is a convex combination of the flank slopes, so neither fires
+      the 4x-outlier gate (tested in tests/test_crease_split.py).
+      When a jump is confident, TWO actions follow: (a) the cut lands
+      at the suspect gap's center-side edge offset by the same sound
+      margin INTO the smooth side, so the jump child keeps the whole
+      gap with >= margin boundary clearance (the 3a-ii blind-zone
+      argument transfers unchanged) and the other child is provably
+      smooth; (b) the bisection dimension is OVERRIDDEN to the
+      strongest-jump axis.  The override is the load-bearing part for
+      discontinuous integrands: the total straddling-error mass is
+      jump x (surface area x normal width), and only NORMAL cuts
+      shrink it -- but on f6-style integrands with large smooth
+      exponents the tangential fourth differences out-compete the jump
+      for many generations, so midpoint straddlers split TANGENTIALLY
+      and the straddler count multiplies ~2^(d-1) per sweep (the f6 8D
+      1e-6 wall anatomy, docs/VALIDATION.md 2b).  Splitting straddlers
+      normal to the surface keeps their count fixed while the stored
+      jump error halves per generation.
 
     The degree-9 rule has no convergence order across a C0 crease
     (|x - t| kink), so midpoint bisection drains crease regions at a
@@ -209,9 +243,9 @@ def _split_fraction(tables: RuleTables, vals, split_dim):
     dim axis -- no pool-sized dynamic gathers (docs/DESIGN.md layout
     invariants).
 
-    Returns frac (C,) in [0.12, 0.88]; exactly 0.5 wherever no
-    confident kink is detected (region_pool.split with frac=0.5 is
-    bit-identical to the midpoint path)."""
+    frac is in [0.12, 0.88]; exactly 0.5 (and split_dim unchanged)
+    wherever neither detector is confident (region_pool.split with
+    frac=0.5 is bit-identical to the midpoint path)."""
     ndim = tables.ndim
     dtype = vals.dtype
     f0 = vals[:, 0]
@@ -224,7 +258,7 @@ def _split_fraction(tables: RuleTables, vals, split_dim):
             denom == 0.0, 1.0, denom)
         return xstar, jnp.abs(denom), jnp.abs(sl) + jnp.abs(sr)
 
-    fr_d = []
+    fr_d, jfr_d, jstr_d = [], [], []
     for d in range(ndim):
         p1, p2 = 1 + 2 * d, 2 + 2 * d
         q1, q2 = 1 + 2 * ndim + 2 * d, 2 + 2 * ndim + 2 * d
@@ -300,10 +334,53 @@ def _split_fraction(tables: RuleTables, vals, split_dim):
         fr_d.append(jnp.where(ok,
                               jnp.clip(0.5 + xcut, 0.12, 0.88),
                               jnp.asarray(0.5, dtype)))
+
+        # ---- jump (step) hypotheses on the same stencil ----------------
+        # J1: step in (-a, 0): the gap secant g2 DOMINATES every flank
+        # secant (2x) and BREAKS the geometric slope progression
+        # (smooth functions have g2^2 ~ g1*g3 -- exp slopes progress
+        # geometrically, polynomials sub-geometrically; a jump makes
+        # g2^2 >> |g1*g3|, scale-free so steep-but-smooth exponentials
+        # stay silent), and the far flank is straight.  J2 mirrored.
+        # On steep-branch integrands (f6's exp coefficients up to ~10)
+        # the dominance gate only opens once the region has shrunk so
+        # the branch slope a*len*f drops under the jump secant J/gap --
+        # detection strengthens exactly at the deep generations where
+        # the straddler population explodes.  Strength = the outlier
+        # slope magnitude (~ jump/gap): the cross-dim argmax picks the
+        # surface dominating the region's error.
+        a2, a1 = jnp.abs(g2), jnp.abs(g1)
+        a3, a4 = jnp.abs(g3), jnp.abs(g4)
+        mag1 = jnp.maximum(jnp.maximum(a1, a3), a4)
+        j1 = (a2 > 2.0 * mag1) & (a2 > 0.0) \
+            & (a2 * a2 > 16.0 * a1 * a3) \
+            & (jnp.abs(g4 - g3) < 0.5 * a2)
+        mag2 = jnp.maximum(jnp.maximum(a1, a2), a4)
+        j2 = (a3 > 2.0 * mag2) & (a3 > 0.0) \
+            & (a3 * a3 > 16.0 * a2 * a4) \
+            & (jnp.abs(g1 - g2) < 0.5 * a3)
+        # cut at the suspect gap's center-side edge + margin into the
+        # smooth side: J1's jump child is [lo, center + margin] (whole
+        # gap kept with >= margin clearance), the other child smooth
+        jfr_d.append(jnp.where(j1, 0.5 + margin,
+                               jnp.where(j2, 0.5 - margin, 0.5))
+                     .astype(dtype))
+        jstr_d.append(jnp.where(j1, a2, jnp.where(j2, a3, 0.0))
+                      .astype(dtype))
     fr_all = jnp.stack(fr_d, axis=1)                       # (C, ndim)
     onehot = (jnp.arange(ndim, dtype=jnp.int32)[None, :]
               == split_dim[:, None]).astype(dtype)
-    return jnp.sum(fr_all * onehot, axis=1)
+    frac_kink = jnp.sum(fr_all * onehot, axis=1)
+    jstr = jnp.stack(jstr_d, axis=1)                       # (C, ndim)
+    jfr = jnp.stack(jfr_d, axis=1)
+    has_jump = jnp.max(jstr, axis=1) > 0.0
+    jdim = jnp.argmax(jstr, axis=1).astype(jnp.int32)
+    j_onehot = (jnp.arange(ndim, dtype=jnp.int32)[None, :]
+                == jdim[:, None]).astype(dtype)
+    frac_jump = jnp.sum(jfr * j_onehot, axis=1)
+    frac = jnp.where(has_jump, frac_jump, frac_kink)
+    split_out = jnp.where(has_jump, jdim, split_dim)
+    return frac, split_out
 
 
 def _eval_chunk_vector(

@@ -648,29 +648,35 @@ class Workspace:
                 "crease_split runs on the single-chip scalar XLA host "
                 "loop (see the docstring note)")
         if ncomp > 1:
-            if (self.mesh is not None or vegas_assisted or predict_split
+            if (vegas_assisted or predict_split
                     or self.rule_backend != "xla"):
                 # Documented exclusions (not yet-unwritten code paths):
-                # mesh -- the shard-local sub-pool protocol replicates
-                # only SCALAR f64 ledger entries through psum; a vector
-                # ledger needs (ncomp,) replicated carries in the shard
-                # map, untested at pool scale.  pallas -- the VMEM rule
-                # kernel is f32 scalar-per-axis by construction (Mosaic
-                # 2-D column math, ops/pallas_rule.py).  vegas_assisted /
-                # predict_split -- scalar per-region MC overwrite and
-                # scalar snapshot heuristics (Phases.cuh:479-518,
-                # Workspace.cuh:206-211).  Vector runs get the host loop,
-                # the fused vector phase and checkpoint/ledger resume.
+                # pallas -- the VMEM rule kernel is f32 scalar-per-axis
+                # by construction (Mosaic 2-D column math,
+                # ops/pallas_rule.py).  vegas_assisted / predict_split --
+                # scalar per-region MC overwrite and scalar snapshot
+                # heuristics (Phases.cuh:479-518, Workspace.cuh:206-211).
+                # Vector runs get the host loop, the fused vector phase,
+                # checkpoint/ledger resume, continuation slicing and
+                # (round 4) the mesh host loop.
                 raise ValueError(
-                    "vector-valued integrands run on the single-chip XLA "
-                    "host/fused loops (mesh, pallas, vegas_assisted and "
-                    "predict_split are scalar-only; see the docstring "
-                    "note in Workspace.integrate)")
+                    "vector-valued integrands run on the XLA backend "
+                    "(pallas, vegas_assisted and predict_split are "
+                    "scalar-only; see the docstring note in "
+                    "Workspace.integrate)")
             if ledger is not None:
                 if np.ndim(ledger[0]) != 1:
                     raise ValueError(
                         "vector runs need a vector ledger: ((ncomp,) est, "
                         "(ncomp,) err, nregions, iters, neval)")
+            if self.mesh is not None:
+                return self._integrate_mesh(
+                    f, epsrel, epsabs, global_lo, global_range,
+                    partitions_per_axis, relerr_classification,
+                    max_iterations, initial_regions, recorder, fused,
+                    ledger, finish_scale=finish_epsrel_scale,
+                    abs_per_vol=finish_abs_per_vol, deadline=deadline,
+                    ncomp=ncomp)
             return self._integrate_vector(
                 f, ncomp, epsrel, epsabs, global_lo, global_range,
                 partitions_per_axis, relerr_classification,
@@ -1302,13 +1308,35 @@ class Workspace:
                     float(cum_err[w]))
                 success = hs.pass_mem and hs.pass_errorest_budget
                 if success:
-                    active = hs.active_flags
                     kept = np.asarray(jnp.stack(
-                        [_dot(active, est[c]) for c in range(ncomp)]
-                        + [_dot(active, refined[c]) for c in range(ncomp)]))
-                    finished_est = iter_est - kept[:ncomp]
-                    finished_err = iter_err - kept[ncomp:]
-                    n_active = hs.num_active
+                        [_dot(hs.active_flags, est[c])
+                         for c in range(ncomp)]
+                        + [_dot(hs.active_flags, refined[c])
+                           for c in range(ncomp)]))
+                    cand_est = iter_est - kept[:ncomp]
+                    cand_err = iter_err - kept[ncomp:]
+                    # Per-component budget guard: the ladder's own
+                    # budget test keys on the WORST component only, so a
+                    # drop that passes there can bank another
+                    # component's error past that component's whole
+                    # certificate budget -- after which no continuation
+                    # can ever certify it (the hopeless-bank exit
+                    # downstream fires; observed: a 2-component run
+                    # banked 3.3x component 0's budget while classifying
+                    # on component 1).  Enforce what the scalar
+                    # classifier guarantees by construction: every
+                    # component's cumulative banked error stays inside
+                    # its own max(eps_work*|est|, epsabs).
+                    eps_work_v = epsrel * finish_scale
+                    targets = np.maximum(
+                        np.abs(cum_est + iter_est) * eps_work_v, epsabs)
+                    if np.all(cum_err + cand_err <= targets):
+                        active = hs.active_flags
+                        finished_est = cand_est
+                        finished_err = cand_err
+                        n_active = hs.num_active
+                    else:
+                        success = False
                 must_terminate = not success and classification_necessary
             else:
                 must_terminate = classification_necessary
@@ -1362,9 +1390,19 @@ class Workspace:
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, fused, ledger=None, finish_scale=1.0,
-        abs_per_vol=0.0, deadline=None,
+        abs_per_vol=0.0, deadline=None, ncomp=1,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
+
+        ``ncomp`` > 1 (round 4): vector integrands run the same
+        shard-local pipeline with component-major (ncomp, D*cap_s)
+        estimates and "(ncomp,) replicated scalar carries" -- the
+        psum'd concatenated iteration vector of
+        sharded_post_stage_vector.  The classifier keys on the worst
+        component with the per-component budget guard of the
+        single-chip vector loop; the fused phase stays scalar-only
+        (the vector fused carry has no mesh form yet -- host-loop
+        iterations here), documented on Workspace.integrate.
 
         Each device owns a BLOCKED sub-pool of per-shard capacity
         ``cap_s`` with its OWN region count; eval, two-level refinement,
@@ -1421,24 +1459,44 @@ class Workspace:
         lows = jax.device_put(jnp.asarray(glo), psh)
         lengths = jax.device_put(jnp.asarray(gln), psh)
         ns = jax.device_put(jnp.asarray(counts, jnp.int32), vsh)
-        parent_est = jax.device_put(jnp.zeros((D * cap_s,), dtype), vsh)
+        vec = ncomp > 1
+        parent_est = jax.device_put(
+            jnp.zeros((D * cap_s,) if not vec else (ncomp, D * cap_s),
+                      dtype), vsh if not vec else psh)
         use_refine = jnp.asarray(False)
 
         classifier = HeuristicClassifier(epsrel * finish_scale, epsabs,
                                          self.max_pool_regions)
         feval = rule_eval.rule_tables(ndim, dtype_name).feval
         cum = IntegrationResult(status=1)
+        cum_est = np.zeros(ncomp)
+        cum_err = np.zeros(ncomp)
         result_nregions = 0
         if ledger is not None:
-            (cum.estimate, cum.errorest, result_nregions, cum.iters,
-             cum.neval) = ledger
+            est_seed, err_seed, result_nregions, it_seed, nev_seed = ledger
+            cum_est = np.atleast_1d(
+                np.asarray(est_seed, np.float64)).copy()
+            cum_err = np.atleast_1d(
+                np.asarray(err_seed, np.float64)).copy()
+            if cum_est.shape != (ncomp,):
+                raise ValueError(
+                    f"mesh ledger est/err must have shape ({ncomp},)")
+            cum.iters = int(it_seed)
+            cum.neval = int(nev_seed)
             cum.nFinishedRegions = result_nregions
             max_iterations = max_iterations + cum.iters
+        cum.estimate, cum.errorest = float(cum_est[0]), float(cum_err[0])
         blocked = False
         fused_gate = int(0.1 * self.max_pool_regions)
-        fused_ok = fused and recorder is None
-        inflight_est = inflight_err = 0.0
+        # vector fused phase has no mesh form yet (see the docstring)
+        fused_ok = fused and recorder is None and not vec
+        inflight_est = np.zeros(ncomp)
+        inflight_err = np.zeros(ncomp)
         exhausted = False
+
+        def all_accuracy(ests, errs):
+            return all(accuracy_reached(epsrel, epsabs, abs(e), r)
+                       for e, r in zip(ests, errs))
 
         def _chunk(cs):
             return self.chunk_size if cs > self.chunk_size else None
@@ -1531,71 +1589,147 @@ class Workspace:
             est_raw, err_raw, sdim = S.sharded_eval_stage(
                 f, ndim, dtype_name, mesh, lows, lengths,
                 global_lo, global_range, ns=ns,
-                chunk_size=_chunk(cap_s), blocked=blocked)
-            est, refined, active, mask_b, _ns_act, scalars_d = \
-                S.sharded_post_stage(
-                    relerr_classification, blocked, mesh,
-                    est_raw, err_raw, ns, parent_est, use_refine, eps_dev,
-                    lengths=None if apv_dev is None else lengths,
-                    abs_per_vol=apv_dev)
+                chunk_size=_chunk(cap_s), blocked=blocked, ncomp=ncomp)
+            if vec:
+                est, refined, active, mask_b, _ns_act, scalars_d = \
+                    S.sharded_post_stage_vector(
+                        relerr_classification, blocked, mesh, ncomp,
+                        est_raw, err_raw, ns, parent_est, use_refine,
+                        eps_dev,
+                        lengths=None if apv_dev is None else lengths,
+                        abs_per_vol=apv_dev)
+            else:
+                est, refined, active, mask_b, _ns_act, scalars_d = \
+                    S.sharded_post_stage(
+                        relerr_classification, blocked, mesh,
+                        est_raw, err_raw, ns, parent_est, use_refine,
+                        eps_dev,
+                        lengths=None if apv_dev is None else lengths,
+                        abs_per_vol=apv_dev)
             self.final_pool = ("mesh", lows, lengths, np.asarray(ns),
                                cap_s, blocked)
             # this sweep's per-region (est, refined) on the global layout
             # (same keep indexing as the pool): the continuation-boundary
             # shard rebalance sorts survivors on these
             self.final_pool_errors = (est, refined)
-            self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                      result_nregions, cum.iters, cum.neval)
+            self._ledger_excl_pool = (
+                (cum_est.copy(), cum_err.copy(), result_nregions,
+                 cum.iters, cum.neval) if vec else
+                (cum.estimate, cum.errorest, result_nregions, cum.iters,
+                 cum.neval))
             scalars = np.asarray(scalars_d)       # ONE sync per iteration
-            iter_est, iter_err, finished_est, finished_err = (
-                float(scalars[0]), float(scalars[1]),
-                float(scalars[2]), float(scalars[3]))
-            n_active = int(scalars[4])
+            if vec:
+                iter_est = scalars[0:ncomp].astype(np.float64)
+                iter_err = scalars[ncomp:2 * ncomp].astype(np.float64)
+                finished_est = scalars[2 * ncomp:3 * ncomp].astype(
+                    np.float64)
+                finished_err = scalars[3 * ncomp:4 * ncomp].astype(
+                    np.float64)
+                n_active = int(scalars[4 * ncomp])
+            else:
+                iter_est, iter_err, finished_est, finished_err = (
+                    float(scalars[0]), float(scalars[1]),
+                    float(scalars[2]), float(scalars[3]))
+                n_active = int(scalars[4])
             cum.iters += 1
             cum.neval += n * feval
             if recorder is not None:
+                ce0 = float(cum_est[0]) if vec else cum.estimate
+                cr0 = float(cum_err[0]) if vec else cum.errorest
                 recorder.record(
-                    it=it, estimate=cum.estimate + iter_est,
-                    errorest=cum.errorest + iter_err,
-                    festimate=cum.estimate, ferrorest=cum.errorest,
+                    it=it, estimate=ce0 + np.ravel(iter_est)[0],
+                    errorest=cr0 + np.ravel(iter_err)[0],
+                    festimate=ce0, ferrorest=cr0,
                     nregions=n, fnregions=cum.nFinishedRegions,
                     time_ms=(_time.perf_counter() - t_iter) * 1e3)
 
-            if accuracy_reached(epsrel, epsabs,
-                                abs(cum.estimate + iter_est),
-                                cum.errorest + iter_err):
-                cum.estimate += iter_est
-                cum.errorest += iter_err
+            if vec:
+                converged_now = all_accuracy(cum_est + iter_est,
+                                             cum_err + iter_err)
+            else:
+                converged_now = accuracy_reached(
+                    epsrel, epsabs, abs(cum.estimate + iter_est),
+                    cum.errorest + iter_err)
+            if converged_now:
+                if vec:
+                    cum_est = cum_est + iter_est
+                    cum_err = cum_err + iter_err
+                else:
+                    cum.estimate += iter_est
+                    cum.errorest += iter_err
                 cum.status = 0
                 cum.nregions = result_nregions + n
-                return cum
+                break
 
-            classifier.store_estimate(cum.estimate + iter_est)
-
-            # error-budget-overflow rollback (Workspace.cuh:121-146);
-            # budget includes the epsabs term -- see the host loop's note
-            leaves_est = cum.estimate + iter_est
-            leaves_fin_err = cum.errorest + finished_err
-            if leaves_fin_err > max(abs(leaves_est) * epsrel, epsabs):
+            if vec:
+                # worst component drives classification (see the
+                # single-chip vector loop's note)
+                w = int(np.argmax(
+                    (cum_err + iter_err) /
+                    np.maximum(np.abs(cum_est + iter_est), 1e-300)))
+                classifier.store_estimate(float(cum_est[w] + iter_est[w]))
+                overflow = any(
+                    ce + fe > max(abs(le) * epsrel, epsabs)
+                    for ce, fe, le in zip(cum_err, finished_err,
+                                          cum_est + iter_est))
+            else:
+                classifier.store_estimate(cum.estimate + iter_est)
+                # error-budget-overflow rollback (Workspace.cuh:121-146);
+                # budget includes the epsabs term (host loop's note)
+                overflow = (cum.errorest + finished_err) > max(
+                    abs(cum.estimate + iter_est) * epsrel, epsabs)
+            if overflow:
                 active = jnp.where(mask_b, 1.0, 0.0).astype(dtype)
-                finished_est = finished_err = 0.0
+                if vec:
+                    finished_est = np.zeros(ncomp)
+                    finished_err = np.zeros(ncomp)
+                else:
+                    finished_est = finished_err = 0.0
                 n_active = n
 
             # memory-pressure heuristic classify (Workspace.cuh:76-118)
             must_terminate = False
             classification_necessary = not classifier.split_fits(n)
             if classifier.classification_criteria_met(n):
-                hs = classifier.classify_ladder(
-                    refined, mask_b, n, iter_err, finished_err,
-                    cum.errorest)
+                if vec:
+                    hs = classifier.classify_ladder(
+                        _max_over_components(refined), mask_b, n,
+                        float(iter_err[w]), float(finished_err[w]),
+                        float(cum_err[w]))
+                else:
+                    hs = classifier.classify_ladder(
+                        refined, mask_b, n, iter_err, finished_err,
+                        cum.errorest)
                 success = hs.pass_mem and hs.pass_errorest_budget
-                if success:
+                if success and vec:
+                    kept = np.asarray(jnp.stack(
+                        [_dot(hs.active_flags, est[c])
+                         for c in range(ncomp)]
+                        + [_dot(hs.active_flags, refined[c])
+                           for c in range(ncomp)]))
+                    cand_est = iter_est - kept[:ncomp]
+                    cand_err = iter_err - kept[ncomp:]
+                    # per-component budget guard (single-chip vector
+                    # loop's note: the ladder keys on the worst
+                    # component only)
+                    targets = np.maximum(
+                        np.abs(cum_est + iter_est)
+                        * (epsrel * finish_scale), epsabs)
+                    if np.all(cum_err + cand_err <= targets):
+                        active = hs.active_flags
+                        finished_est = cand_est
+                        finished_err = cand_err
+                        n_active = hs.num_active
+                    else:
+                        success = False
+                elif success:
                     active = hs.active_flags
                     kept = np.asarray(
-                        jnp.stack([_dot(active, est), _dot(active, refined)]))
+                        jnp.stack([_dot(active, est),
+                                   _dot(active, refined)]))
                     finished_est = iter_est - float(kept[0])
-                    # exact banked error (see the single-chip loop's note:
-                    # the reference's extra_f_errorest undercounts)
+                    # exact banked error (see the single-chip loop's
+                    # note: the reference's extra_f_errorest undercounts)
                     finished_err = iter_err - float(kept[1])
                     n_active = hs.num_active
                 must_terminate = not success and classification_necessary
@@ -1603,21 +1737,29 @@ class Workspace:
                 must_terminate = classification_necessary
 
             if must_terminate:
-                cum.estimate += iter_est
-                cum.errorest += iter_err
+                if vec:
+                    cum_est = cum_est + iter_est
+                    cum_err = cum_err + iter_err
+                else:
+                    cum.estimate += iter_est
+                    cum.errorest += iter_err
                 cum.nregions = result_nregions + n
-                return cum
+                break
 
-            cum.estimate += finished_est
-            cum.errorest += finished_err
+            if vec:
+                cum_est = cum_est + finished_est
+                cum_err = cum_err + finished_err
+            else:
+                cum.estimate += finished_est
+                cum.errorest += finished_err
             inflight_est = iter_est - finished_est
             inflight_err = iter_err - finished_err
 
             result_nregions += n - n_active
             cum.nFinishedRegions += n - n_active
             if n_active == 0:
-                cum.nregions = result_nregions
-                return cum
+                n = 0      # epilogue computes nregions as result + n
+                break
 
             # per-shard survivor counts pick the next per-shard bucket
             ns_act = np.asarray(
@@ -1634,9 +1776,18 @@ class Workspace:
             it += 1
 
         if exhausted and cum.iters > 0:
-            cum.estimate += inflight_est
-            cum.errorest += inflight_err
+            if vec:
+                cum_est = cum_est + inflight_est
+                cum_err = cum_err + inflight_err
+            else:
+                cum.estimate += inflight_est
+                cum.errorest += inflight_err
         cum.nregions = result_nregions + n
+        if vec:
+            cum.estimates = cum_est
+            cum.errorests = cum_err
+            cum.estimate = float(cum_est[0])
+            cum.errorest = float(cum_err[0])
         return cum
 
     def _rebalance_checkpoint_for_mesh(self, ckpt):
@@ -1772,12 +1923,9 @@ class Workspace:
             self.final_pool = None
             self.final_pool_errors = None
             if 4 * ckpt.lows.shape[0] > self.max_pool_regions:
-                if np.ndim(ckpt.estimate) == 1:
-                    # the partitioned continuation's slice budgeting
-                    # (finish_abs_per_vol shares, dynamic slice targets)
-                    # is scalar; a split-starved VECTOR pool returns the
-                    # honest status-1 result instead of slicing wrong
-                    break
+                # vector pools slice too (round 4): worst-component slice
+                # budgeting, per-component banking and certificate -- see
+                # _partitioned_continuation's unified-array docs
                 return self._partitioned_continuation(
                     integrand, epsrel, epsabs, vol, ckpt, res,
                     max_rounds - rounds, deadline,
@@ -1810,17 +1958,27 @@ class Workspace:
         exact stored (est, err) sums; without them (fused/mesh exits have
         no per-region stash) the pool order is kept and the inflight
         totals are apportioned by region count -- they still sum to the
-        true totals, which is all the global accounting needs."""
+        true totals, which is all the global accounting needs.
+
+        Vector stashes are (n, ncomp): the sort key is the WORST
+        component per region and slice sums are (ncomp,) arrays (the
+        all-components certificate downstream needs every component's
+        stored share)."""
         n = lows.shape[0]
         if n == 0:
             return []
         if reg_err is not None:
-            order = np.argsort(reg_err)            # ascending: hot at end
+            err_key = (reg_err if reg_err.ndim == 1
+                       else reg_err.max(axis=1))
+            order = np.argsort(err_key)            # ascending: hot at end
             lows, lengths = lows[order], lengths[order]
             reg_est, reg_err = reg_est[order], reg_err[order]
+
+            def _sum(a, i):
+                s = a[i:i + cap].sum(axis=0)
+                return float(s) if np.ndim(s) == 0 else s
             return [(lows[i:i + cap], lengths[i:i + cap],
-                     float(reg_est[i:i + cap].sum()),
-                     float(reg_err[i:i + cap].sum()), depth, True)
+                     _sum(reg_est, i), _sum(reg_err, i), depth, True)
                     for i in range(0, n, cap)]
         # apportioned (inexact) slices: totals are right but the per-slice
         # shares are NOT -- flagged False so the global certificate never
@@ -1864,24 +2022,53 @@ class Workspace:
         def _stage(name):
             return (stage_timer.stage(name) if stage_timer is not None
                     else contextlib.nullcontext())
+
+        # Unified scalar/vector arithmetic: everything runs on (ncomp,)
+        # f64 arrays with ncomp=1 for scalar integrands.  Vector slices
+        # drive their tolerances off the WORST component (max relative
+        # error) while banking and certifying EVERY component -- the
+        # all-components semantics of the vector loop itself
+        # (cubacpp integrand_traits.hh:81-93).
+        vec = np.ndim(ckpt.estimate) == 1
+
+        def A(x):
+            return np.atleast_1d(np.asarray(x, np.float64))
+
+        def rest(r):
+            return A(r.estimates if getattr(r, "estimates", None)
+                     is not None else r.estimate)
+
+        def rerr(r):
+            return A(r.errorests if getattr(r, "errorests", None)
+                     is not None else r.errorest)
+
         slice_cap = max(self.max_pool_regions // 16, 2 * self.chunk_size)
         max_depth = 12
-        fin_est, fin_err = ckpt.estimate, ckpt.errorest
+        fin_est, fin_err = A(ckpt.estimate).copy(), A(ckpt.errorest).copy()
         iters, neval = ckpt.iters, ckpt.neval
         nregions = nfinished = ckpt.nregions
         work = self._make_slices(
             ckpt.lows, ckpt.lengths,
             ckpt.region_estimates, ckpt.region_errorests,
-            last_res.estimate - ckpt.estimate,
-            last_res.errorest - ckpt.errorest, slice_cap, 0)
+            rest(last_res) - fin_est,
+            rerr(last_res) - fin_err, slice_cap, 0)
+        zero = np.zeros_like(fin_est)
+
+        def _qsum(col):
+            return sum((A(w[col]) for w in work), zero.copy())
+
+        def _err_key(w):
+            return float(np.max(A(w[3])))
+
         max_runs = max(64 * rounds_left, 4 * len(work))
         runs = 0
         status = 1
         while True:
-            q_est = sum(w[2] for w in work)
-            q_err = sum(w[3] for w in work)
-            budget = max(epsrel * abs(fin_est + q_est), epsabs)
-            if all(w[5] for w in work) and (fin_err + q_err) <= budget:
+            q_est = _qsum(2)
+            q_err = _qsum(3)
+            budget = np.maximum(epsrel * np.abs(fin_est + q_est), epsabs)
+            if all(w[5] for w in work) and np.all(
+                    fin_err + q_err <= budget):
                 status = 0               # certified: banked + EXACT queue
                 break
             if not work or runs >= max_runs or (
@@ -1904,32 +2091,40 @@ class Workspace:
             # zero-crossing regions (which can never pass a relative
             # test) a sound way to finish inside the share.
             projected = fin_err + sum(
-                min(w[3], max(epsrel * abs(w[2]), epsabs)) for w in work)
-            needed = budget - fin_err
+                (np.minimum(A(w[3]),
+                            np.maximum(epsrel * np.abs(A(w[2])), epsabs))
+                 for w in work), zero.copy())
             # Hopeless-banked-budget exit.  The banked error is immutable
             # but the BUDGET is not: refining slices moves the queue
             # estimate and with it epsrel*|fin_est + q_est|.  The stored
             # queue error bounds that motion, so the run is provably
             # uncertifiable only once the bank exceeds the best budget any
             # refinement could reach -- then stop without evaluating.
-            best_budget = max(
-                epsrel * (abs(fin_est + q_est) + q_err), epsabs)
-            if fin_err > best_budget:
+            best_budget = np.maximum(
+                epsrel * (np.abs(fin_est + q_est) + q_err), epsabs)
+            if np.any(fin_err > best_budget):
                 break
-            lows_i, lengths_i, s_est_i, s_err_i, depth, exact = \
-                work.pop()
+            lows_i, lengths_i, s_est_w, s_err_w, depth, exact = work.pop()
+            s_est_i, s_err_i = A(s_est_w), A(s_err_w)
             n_in = lows_i.shape[0]
+            # worst component drives this slice's tolerances (scalar
+            # integrate() targets); the certificate above stays
+            # per-component
+            wc = int(np.argmax(
+                (fin_err + q_err)
+                / np.maximum(np.abs(fin_est + q_est), 1e-300)))
+            needed = budget[wc] - fin_err[wc]
             eps_rel_i, eps_abs_i, kw_i = epsrel, epsabs, kw
-            if projected > budget and needed > 0 and q_err > 0 \
-                    and s_err_i > 0:
-                share = 0.8 * (needed / q_err) * s_err_i
+            if np.any(projected > budget) and needed > 0 \
+                    and q_err[wc] > 0 and s_err_i[wc] > 0:
+                share = 0.8 * (needed / q_err[wc]) * s_err_i[wc]
                 vol_i = float(np.prod(lengths_i, axis=1).sum())
                 # an apportioned (inexact) slice's stored estimate is a
                 # uniform share, not its own: a relative tolerance derived
                 # from it can overshoot the share arbitrarily, so inexact
                 # slices get a purely absolute target (share + volume term)
                 eps_rel_i = (
-                    min(epsrel, share / max(abs(s_est_i), 1e-300))
+                    min(epsrel, share / max(abs(s_est_i[wc]), 1e-300))
                     if exact else 0.0)
                 eps_abs_i = share
                 kw_i = dict(kw)
@@ -1949,15 +2144,16 @@ class Workspace:
                 self.final_pool = None
                 self.final_pool_errors = None
                 surv = ck_i.lows.shape[0]
-                new_err = ck_i.errorest + (
-                    float(ck_i.region_errorests.sum())
+                new_err = A(ck_i.errorest) + (
+                    A(ck_i.region_errorests.sum(axis=0))
                     if ck_i.region_errorests is not None
-                    else r_i.errorest - ck_i.errorest)
-                if surv > 0 and new_err < min_err_reduction * s_err_i:
+                    else rerr(r_i) - A(ck_i.errorest))
+                if surv > 0 and np.max(new_err) < \
+                        min_err_reduction * np.max(s_err_i):
                     # progress: bank the finished ledger, re-queue the
                     # survivors error-sorted (deeper level)
-                    fin_est += ck_i.estimate
-                    fin_err += ck_i.errorest
+                    fin_est += A(ck_i.estimate)
+                    fin_err += A(ck_i.errorest)
                     # ck_i.nregions = regions retired BEFORE the final
                     # sweep -- the view consistent with requeueing the
                     # whole final pool (r_i.nregions counts that pool
@@ -1968,33 +2164,37 @@ class Workspace:
                     sub = self._make_slices(
                         ck_i.lows, ck_i.lengths,
                         ck_i.region_estimates, ck_i.region_errorests,
-                        r_i.estimate - ck_i.estimate,
-                        r_i.errorest - ck_i.errorest,
+                        rest(r_i) - A(ck_i.estimate),
+                        rerr(r_i) - A(ck_i.errorest),
                         slice_cap, depth + 1)
                     work.extend(sub)
-                    work.sort(key=lambda w: w[3])   # keep hottest at end
+                    work.sort(key=_err_key)         # keep hottest at end
                     requeued = len(sub)
             if not requeued:
-                fin_est += r_i.estimate
-                fin_err += r_i.errorest
+                fin_est += rest(r_i)
+                fin_err += rerr(r_i)
                 nregions += r_i.nregions
                 nfinished += r_i.nFinishedRegions
             if _log:
                 print(f"[continuation] slice {runs}/{max_runs}: "
                       f"n_in={n_in} depth={depth} status={r_i.status} "
                       f"est={r_i.estimate:.6e} err={r_i.errorest:.3e} "
-                      f"stored={s_err_i:.3e} requeued={requeued} "
-                      f"queued={len(work)} banked_err={fin_err:.3e}",
+                      f"stored={s_err_i[wc]:.3e} requeued={requeued} "
+                      f"queued={len(work)} banked_err={fin_err[wc]:.3e}",
                       file=_sys.stderr, flush=True)
         # fold the untouched queue's stored sums so the estimate is the
         # complete integral either way
-        total_est = fin_est + sum(w[2] for w in work)
-        total_err = fin_err + sum(w[3] for w in work)
+        total_est = fin_est + _qsum(2)
+        total_err = fin_err + _qsum(3)
         nregions += sum(w[0].shape[0] for w in work)
-        return IntegrationResult(
-            estimate=total_est, errorest=total_err, status=status,
-            iters=iters, neval=neval, nregions=nregions,
+        res = IntegrationResult(
+            estimate=float(total_est[0]), errorest=float(total_err[0]),
+            status=status, iters=iters, neval=neval, nregions=nregions,
             nFinishedRegions=nfinished)
+        if vec:
+            res.estimates = total_est
+            res.errorests = total_err
+        return res
 
     def make_checkpoint(self):
         """Package the last run's live pool + ledger into a resumable
@@ -2030,8 +2230,12 @@ class Workspace:
             reg_est = reg_err = None
             if getattr(self, "final_pool_errors", None) is not None:
                 e_d, r_d = self.final_pool_errors
-                reg_est = np.asarray(e_d)[keep]
-                reg_err = np.asarray(r_d)[keep]
+                e_np, r_np = np.asarray(e_d), np.asarray(r_d)
+                if e_np.ndim == 2:      # vector: (ncomp, D*cap_s) ->
+                    reg_est = e_np[:, keep].T   # (n, ncomp) on host
+                    reg_err = r_np[:, keep].T
+                else:
+                    reg_est, reg_err = e_np[keep], r_np[keep]
             return PaganiCheckpoint(
                 lows=lo_np[:, keep].T, lengths=ln_np[:, keep].T,
                 estimate=est, errorest=err, nregions=nregions, iters=iters,

@@ -43,10 +43,10 @@ _VEC = P(REGION_AXIS)
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "dtype_name", "mesh", "chunk_size",
-                     "blocked"))
+                     "blocked", "ncomp"))
 def sharded_eval_stage(f, ndim, dtype_name, mesh,
                        lows, lengths, global_lo, global_range,
-                       ns=None, chunk_size=None, blocked=False):
+                       ns=None, chunk_size=None, blocked=False, ncomp=1):
     """Rule application with the region axis sharded over the mesh.
 
     Each shard evaluates its own regions -- the multi-chip analogue of the
@@ -57,26 +57,31 @@ def sharded_eval_stage(f, ndim, dtype_name, mesh,
     dynamic-trip chunked path per shard (only occupied chunks evaluated)
     with the per-shard ``blocked`` layout; ``None`` sweeps the full
     (padded) shard.
+
+    ``ncomp`` > 1: vector integrands -- est/err come back component-major
+    (ncomp, D*cap_s) with the REGION axis sharded (component axis
+    replicated like the pools' dims axis).
     """
     tables = rule_eval.rule_tables(ndim, dtype_name)
+    est_spec = _VEC if ncomp == 1 else _POOL
 
     if ns is None:
         def local_eval(lo, ln, gl, gr):
             return rule_eval.apply_rule(f, tables, lo, ln, gl, gr,
-                                        chunk_size=chunk_size)
+                                        chunk_size=chunk_size, ncomp=ncomp)
         in_specs = (_POOL, _POOL, P(None), P(None))
         args = (lows, lengths, global_lo, global_range)
     else:
         def local_eval(lo, ln, gl, gr, ns_l):
             return rule_eval.apply_rule(
                 f, tables, lo, ln, gl, gr, chunk_size=chunk_size,
-                n=ns_l[0], blocked=blocked)
+                n=ns_l[0], blocked=blocked, ncomp=ncomp)
         in_specs = (_POOL, _POOL, P(None), P(None), _VEC)
         args = (lows, lengths, global_lo, global_range, ns)
 
     fn = shard_map(
         local_eval, mesh=mesh, in_specs=in_specs,
-        out_specs=(_VEC, _VEC, _VEC), check_vma=False,
+        out_specs=(est_spec, est_spec, _VEC), check_vma=False,
     )
     return fn(*args)
 
@@ -139,6 +144,48 @@ def sharded_post_stage(relerr_classification, blocked, mesh,
     return fn(*args)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("relerr_classification", "blocked", "mesh", "ncomp"))
+def sharded_post_stage_vector(relerr_classification, blocked, mesh, ncomp,
+                              est, err, ns, parent_est, use_refine, epsrel,
+                              lengths=None, abs_per_vol=None):
+    """Vector twin of ``sharded_post_stage``: the per-shard pipeline is
+    workspace.iteration_math_vector (the SAME traced code as the
+    single-chip vector loop) on component-major (ncomp, cap_s) shards,
+    and the concatenated scalar vector [iter_est(ncomp), iter_err(ncomp),
+    fin_est(ncomp), fin_err(ncomp), n_active] is psum'd into replicated
+    f64 globals -- the "(ncomp,) replicated scalar carries" the round-3
+    exclusion documented as missing."""
+    from gpuintegration_tpu.pagani.workspace import iteration_math_vector
+    from gpuintegration_tpu.pagani import region_pool
+
+    def local(e, r, ns_l, par, ur, eps, *rest):
+        cap_s = e.shape[1]
+        n_loc = ns_l[0]
+        ln_l, apv = rest if rest else (None, None)
+        (e2, refined, active, i_est, i_err, f_est, f_err,
+         n_act) = iteration_math_vector(
+            relerr_classification, blocked, e, r, n_loc, par, ur, eps,
+            lengths=ln_l, abs_per_vol=apv)
+        s = jnp.concatenate(
+            [i_est, i_err, f_est, f_err, n_act[None]]).astype(jnp.float64)
+        s = jax.lax.psum(s, REGION_AXIS)
+        mask = region_pool.block_mask(cap_s, n_loc, blocked)
+        return e2, refined, active, mask, n_act[None].astype(jnp.int32), s
+
+    in_specs = (_POOL, _POOL, _VEC, _POOL, P(), P())
+    args = (est, err, ns, parent_est, use_refine, epsrel)
+    if abs_per_vol is not None:
+        in_specs += (_POOL, P())
+        args += (lengths, abs_per_vol)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=in_specs,
+        out_specs=(_POOL, _POOL, _VEC, _VEC, _VEC, P()),
+        check_vma=False)
+    return fn(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
 def sharded_compact_split(mesh, out_capacity,
                           active, lows, lengths, sdim, est, refined):
@@ -148,9 +195,14 @@ def sharded_compact_split(mesh, out_capacity,
     blocked sub-bucket of per-shard capacity ``out_capacity``.
 
     Returns (ns_children (D,), child_lows, child_lengths, parent_est,
-    parent_err) with pools/vectors region-sharded.
+    parent_err) with pools/vectors region-sharded.  Vector runs pass
+    component-major (ncomp, D*cap_s) est/refined; the compaction's shift
+    passes treat the component axis exactly like the pools' dims axis
+    (replicated), and the parents come back component-major.
     """
     from gpuintegration_tpu.pagani import region_pool
+
+    pe_spec = _POOL if est.ndim == 2 else _VEC
 
     def local(a, lo, ln, sd, e, r):
         # compaction is gated by the active MASK alone; per-shard counts
@@ -163,8 +215,8 @@ def sharded_compact_split(mesh, out_capacity,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(_VEC, _POOL, _POOL, _VEC, _VEC, _VEC),
-        out_specs=(_VEC, _POOL, _POOL, _VEC, _VEC),
+        in_specs=(_VEC, _POOL, _POOL, _VEC, pe_spec, pe_spec),
+        out_specs=(_VEC, _POOL, _POOL, pe_spec, pe_spec),
         check_vma=False)
     return fn(active, lows, lengths, sdim, est, refined)
 

@@ -235,3 +235,61 @@ def test_vegas_mesh_fast_paths(mesh):
                seed=3, chunk_cubes=64, mesh=mesh, importance="poly")
     assert rp.status == 0
     assert abs(rp.estimate - g.true_value) / g.true_value < 2e-2
+
+
+def test_mesh_vector_matches_single_chip(mesh):
+    """Round-4 item: vector integrands run the mesh host loop
+    ((ncomp,) replicated scalar carries psum'd by
+    sharded_post_stage_vector, component-major shard-local
+    compaction).  The 8-device run must reproduce the single-chip
+    vector trajectory (same iterations/regions) with estimates equal
+    to psum-reassociation roundoff, per component."""
+    from gpuintegration_tpu import Workspace
+    comps = [genz.f4_gaussian(3, a=5.0), genz.f1_oscillatory(3)]
+
+    def fv(x):
+        return jnp.stack([c(x) for c in comps], axis=-1)
+
+    fv.ndim = 3
+    kw = dict(epsrel=1e-6, epsabs=1e-40)
+    r1 = Workspace(3, chunk_size=256).integrate(fv, fused=False, **kw)
+    r8 = Workspace(3, chunk_size=256, mesh=mesh).integrate(fv, **kw)
+    assert r1.status == 0 and r8.status == 0
+    assert r1.iters == r8.iters
+    assert r1.nregions == r8.nregions
+    assert r8.estimates is not None and r8.estimates.shape == (2,)
+    np.testing.assert_allclose(np.asarray(r8.estimates),
+                               np.asarray(r1.estimates), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r8.errorests),
+                               np.asarray(r1.errorests), rtol=1e-9)
+    truths = np.array([c.true_value for c in comps])
+    rel = np.abs(np.asarray(r8.estimates) - truths) / np.abs(truths)
+    assert np.all(rel < 1e-5), rel
+
+
+def test_mesh_vector_checkpoint_and_continuation(mesh):
+    """Vector mesh runs checkpoint with the (n, ncomp) stash (the mesh
+    keep-indexing transposes the component-major device layout) and the
+    convergence driver resumes them across rounds."""
+    from gpuintegration_tpu import Workspace
+    comps = [genz.f4_gaussian(3, a=5.0), genz.f2_product_peak(3)]
+
+    def fv(x):
+        return jnp.stack([c(x) for c in comps], axis=-1)
+
+    fv.ndim = 3
+    ws = Workspace(3, chunk_size=256, mesh=mesh)
+    r = ws.integrate(fv, epsrel=1e-8, epsabs=1e-40, max_iterations=4)
+    assert r.status == 1
+    ck = ws.make_checkpoint()
+    assert ck.lows.shape[0] > 0
+    assert ck.region_errorests is not None
+    assert ck.region_errorests.shape == (ck.lows.shape[0], 2)
+    ws2 = Workspace(3, chunk_size=256, mesh=mesh)
+    r2 = ws2.integrate_to_convergence(
+        fv, epsrel=1e-7, epsabs=1e-40, max_iterations=6,
+        finish_epsrel_scale=0.4)
+    assert r2.status == 0
+    truths = np.array([c.true_value for c in comps])
+    rel = np.abs(np.asarray(r2.estimates) - truths) / np.abs(truths)
+    assert np.all(rel < 1e-6), rel

@@ -213,3 +213,40 @@ def test_vector_convergence_driver():
     for i in range(len(MEMBERS)):
         rel = abs(r.estimates[i] - TRUTHS[i]) / abs(TRUTHS[i])
         assert rel < 1e-6, (i, rel)
+
+
+def test_split_starved_vector_continuation_slices():
+    """Round-4 item: a split-starved VECTOR pool runs the partitioned
+    continuation (worst-component slice budgeting, per-component banking
+    and certificate) instead of exiting -- and certifies a tolerance the
+    single capped round provably cannot (it ends status 1 at the wall)."""
+    comps = [genz.f4_gaussian(ND, a=8.0), genz.f2_product_peak(ND)]
+
+    def fv(x):
+        return jnp.stack([c(x) for c in comps], axis=-1)
+
+    fv.ndim = ND
+    truths = np.array([c.true_value for c in comps])
+    eps = 1e-8
+    # finish_epsrel_scale=0.4: reserve budget headroom for the
+    # still-active queue, exactly like the deep-run scripts -- at the
+    # default 1.0 the capped rounds bank up to ~1x the budget per
+    # component and no continuation can certify (the scalar 8D
+    # phenomenon documented on integrate()).  chunk_size stays well
+    # under max_pool/16 so continuation slices get their designed 16x
+    # refinement headroom (production configs always have pool >> chunk)
+    ws = Workspace(ND, chunk_size=256, max_pool_regions=4096)
+    r1 = ws.integrate(fv, epsrel=eps, epsabs=1e-40,
+                      finish_epsrel_scale=0.4)
+    assert r1.status == 1             # the capped single round walls
+    ws2 = Workspace(ND, chunk_size=256, max_pool_regions=4096)
+    r = ws2.integrate_to_convergence(fv, epsrel=eps, epsabs=1e-40,
+                                     max_rounds=40,
+                                     finish_epsrel_scale=0.4)
+    assert r.status == 0
+    assert r.estimates is not None and r.estimates.shape == (2,)
+    # the certificate is per-component
+    for i in range(2):
+        assert r.errorests[i] <= eps * abs(r.estimates[i]) * (1 + 1e-12)
+        rel = abs(r.estimates[i] - truths[i]) / abs(truths[i])
+        assert rel < 10 * eps, (i, rel)
