@@ -120,6 +120,31 @@ def bench_vegas(ndim=6, ncall=1e7, importance="poly", sampler=None):
     return r.neval / dt, rel
 
 
+def bench_vegas_vector(ndim=6, ncall=1e7, ncomp=4):
+    """Vector-integrand VEGAS throughput (samples/s, counting each point
+    once) on the AUTO sampler -- on TPU this is the hybrid Pallas
+    point-gen path, newly open to ncomp > 1 (round 4): component-major
+    accumulators, adaptation on component 0.  The ncomp components share
+    one point set, so the per-point cost grows only by the integrand's
+    extra arithmetic."""
+    from gpuintegration_tpu.mcubes.vegas import integrate as vegas
+    g = genz.f4_gaussian(ndim, a=8.0)
+
+    def gv(x):
+        base = g(x)
+        return jnp.stack([base * (1.0 + 0.25 * k) for k in range(ncomp)],
+                         axis=-1)
+    gv.ndim = ndim
+    kw = dict(epsrel=0.0, epsabs=0.0, ncall=ncall, total_iters=4,
+              adjust_iters=2, skip_iters=0, importance="poly")
+    vegas(gv, seed=1, **kw)
+    t0 = time.perf_counter()
+    r = vegas(gv, seed=2, **kw)
+    dt = time.perf_counter() - t0
+    rel = abs(r.estimates[0] - g.true_value) / abs(g.true_value)
+    return r.neval / dt, rel
+
+
 def bench_pallas(ndim=8, inner=30):
     """f32 Pallas fused rule kernel throughput (the recommended f32 path:
     VMEM-resident point-gen + integrand + contraction -- docs/DESIGN.md
@@ -357,6 +382,13 @@ def main():
         _OUT["detail"]["vegas_6d_grid_samples_per_sec"] = vegas_grid_rate
     except Exception as e:
         _OUT["detail"]["vegas_grid_error"] = repr(e)
+    try:
+        # round 4: vector integrands on the hybrid point-gen sampler
+        vv_rate, vv_rel = bench_vegas_vector()
+        _OUT["detail"]["vegas_6d_vector4_samples_per_sec"] = vv_rate
+        _OUT["detail"]["vegas_6d_vector4_rel_err"] = vv_rel
+    except Exception as e:
+        _OUT["detail"]["vegas_vector_error"] = repr(e)
     try:
         _OUT["detail"]["pallas_f32_8d_evals_per_sec"] = bench_pallas()
     except Exception:      # non-TPU backend or Mosaic unavailable

@@ -90,6 +90,12 @@ def main(argv=None):
                          "term -- gives zero-crossing regions of "
                          "oscillatory integrands a sound exit; banked "
                          "total is bounded by VALUE)")
+    sp.add_argument("--crease-split", action="store_true",
+                    help="crease/jump-aware splitting: locate off-grid "
+                         "C0 kinks and step discontinuities from the "
+                         "rule's collinear samples and cut next to them "
+                         "with a sound margin (jumps also split normal "
+                         "to the surface; DESIGN.md 3a-ii/iii)")
     sp = sub.add_parser("mcubes", parents=[common],
                         help="VEGAS Monte Carlo (mcubes_time_and_call analogue)")
     sp.add_argument("--ncall", type=float, default=1e6)
@@ -160,6 +166,8 @@ def main(argv=None):
             # pass negatives through so Workspace.integrate's validation
             # rejects them loudly instead of silently disabling the feature
             extra["finish_abs_per_vol"] = args.finish_abs_per_vol
+        if args.crease_split:
+            extra["crease_split"] = True
         good = timing.clean_time_and_call(
             args.integrand, g, args.epsrel, truth, sys.stdout,
             ndim=ndim, vol=vol, epsabs=args.epsabs,
