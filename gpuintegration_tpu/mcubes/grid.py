@@ -67,7 +67,13 @@ def smooth_and_refine(xi, d):
     reference's ``if (dt[j] > 0.0)`` guard).
     """
     xi = np.asarray(xi)
-    d = np.asarray(d)
+    # Smooth in f64 and sanitize: the device histogram is f32 and can
+    # arrive saturated near f32 max on huge-magnitude integrands
+    # (vegas._HIST_CAP) -- smoothing (left+d+right) in f32 overflowed
+    # to inf and NaN'd the grid (f2 10D).  The f32->f64 cast is exact,
+    # so in-range runs are bit-identical.
+    d = np.nan_to_num(np.asarray(d, np.float64), nan=0.0,
+                      posinf=1e300, neginf=0.0)
     ndim, nbins = d.shape
     if nbins < 2:
         return xi.copy()          # nothing to redistribute

@@ -240,9 +240,12 @@ def hist_pallas(ia, f2, nbins: int, *, interpret: bool = False):
     n_bc = -(-nbins // _BC)
     n_pad = -(-n // _HBN) * _HBN
     ia_t = jnp.pad(ia_t.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
-    # padding lands in bin 0 with weight 0: contributes nothing
-    f2_t = jnp.pad(f2.astype(jnp.float32).reshape(1, -1),
-                   ((0, 0), (0, n_pad - n)))
+    # padding lands in bin 0 with weight 0: contributes nothing.
+    # Clamp huge-magnitude samples to the f32-safe cap (vegas._HIST_CAP
+    # note: f2 10D per-sample f^2 ~1e44 casts to f32 inf and poisons
+    # the accumulator); the histogram only steers adaptation.
+    f2_t = jnp.pad(jnp.minimum(f2.astype(jnp.float32), 3.0e37)
+                   .reshape(1, -1), ((0, 0), (0, n_pad - n)))
 
     with jax.enable_x64(False):
         out = pl.pallas_call(

@@ -90,6 +90,27 @@ def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
     return ncall * 10.0, total_iters, True
 
 
+# f32-safe saturation for the adaptation histogram.  The histogram is
+# f32 by design (it only steers adaptation; the MXU one-hot contraction
+# and the VMEM Pallas kernel both want f32) but huge-magnitude
+# integrands overflow it: f2 10D has values ~1e22, so per-sample f^2
+# ~1e44 casts to f32 inf, and inf * a one-hot ZERO inside the matmul is
+# NaN -- which poisoned the whole grid and returned a NaN estimate
+# (mcubes_ladders_10d.csv first attempt).  The reference's d[] is
+# double (vegasT.cuh:309) so it never sees this.  Clamping per-sample
+# values and saturating the accumulation keeps every bin finite:
+# saturated bins read as equally-maximally important, a graceful
+# adaptation degradation instead of a poisoned grid; the rebin itself
+# is scale-invariant and renormalizes in f64 (grid.smooth_and_refine).
+_HIST_CAP = 3.0e37
+
+
+def _hist_accum(d, ia, f2, nbins: int):
+    """Accumulate one chunk's adaptation histogram, saturating at
+    _HIST_CAP (see the note above)."""
+    return jnp.minimum(d + _hist(ia, f2, nbins), _HIST_CAP)
+
+
 def _onehot_hist(ia, f2, nbins: int):
     """(ndim, nbins) histogram of f2 over per-dim bin ids, scatter-free.
 
@@ -103,7 +124,9 @@ def _onehot_hist(ia, f2, nbins: int):
     """
     dims_major = ia.ndim == 2
     ndim = ia.shape[0] if dims_major else ia.shape[-1]
-    f2f = f2.astype(jnp.float32).reshape(-1)
+    # clamp BEFORE the matmul: an inf would meet one-hot zeros (inf*0 =
+    # NaN) and poison every bin of the dim (_HIST_CAP note above)
+    f2f = jnp.minimum(f2.astype(jnp.float32), _HIST_CAP).reshape(-1)
     bins = jnp.arange(nbins, dtype=jnp.int32)
     rows = []
     for dim in range(ndim):
@@ -380,8 +403,8 @@ def _vegas_iteration(
             # bins (32 ms vs 120 ms per chunk).  The histogram only steers
             # grid adaptation, so f32 suffices.  Vector integrands adapt
             # on component 0 (CUBA semantics).
-            d = d + _hist(hist_ids - 1,
-                          f2 if ncomp == 1 else f2[0], nbins)
+            d = _hist_accum(d, hist_ids - 1,
+                            f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)
@@ -478,7 +501,7 @@ def _vegas_iteration_poly(
         ti = ti + jnp.sum(acc[:, 0, :].astype(dtype))
         tsi = tsi + jnp.sum(acc[:, 1, :].astype(dtype))
         if accumulate_hist:
-            d = d + _hist(outs[1], outs[2], nbins)
+            d = _hist_accum(d, outs[1], outs[2], nbins)
         return ti, tsi, d
 
     def chunk_body_hybrid(c, carry):
@@ -558,8 +581,8 @@ def _vegas_iteration_poly(
             # the histogram only steers adaptation) in the same flat
             # sample order as the fused kernel's outputs; vector runs
             # adapt on component 0 (CUBA semantics)
-            d = d + _hist(outs[2],
-                          hist_f2.astype(f32).reshape(-1), nbins)
+            d = _hist_accum(d, outs[2],
+                            hist_f2.astype(f32).reshape(-1), nbins)
         return ti, tsi, d
 
     def chunk_body(c, carry):
@@ -604,7 +627,7 @@ def _vegas_iteration_poly(
 
         if accumulate_hist:
             ia = jnp.clip((s * nbins).astype(jnp.int32), 0, nbins - 1)
-            d = d + _hist(ia, f2 if ncomp == 1 else f2[0], nbins)
+            d = _hist_accum(d, ia, f2 if ncomp == 1 else f2[0], nbins)
         return ti, tsi, d
 
     d0 = jnp.zeros((ndim, nbins), jnp.float32)

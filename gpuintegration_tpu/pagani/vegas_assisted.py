@@ -36,6 +36,10 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     rebin (the device-side rebin of Sample.cuh:299-326, 483-523),
     vectorised over (R, ndim) in f32, scatter/gather/sort-free."""
     nb = hist.shape[-1]
+    # Inputs are capped at vegas._HIST_CAP (3e37), so the 3-bin smooth
+    # stays finite in f32; a saturated row can still overflow the dts
+    # reduction to inf, which degrades to frac=0 (uniform-ish rebin)
+    # rather than NaN -- acceptable for an adaptation-only quantity.
     left = jnp.concatenate([hist[..., :1], hist[..., :-1]], axis=-1)
     right = jnp.concatenate([hist[..., 1:], hist[..., -1:]], axis=-1)
     sm = (left + hist + right) / 3.0

@@ -475,3 +475,33 @@ class TestStateResume:
             return float(np.asarray(st.si)), float(np.asarray(st.swgt))
 
         assert run_two_segments() == run_two_segments()
+
+
+class TestHugeMagnitudeHistogram:
+    def test_no_nan_from_f32_histogram_overflow(self):
+        """f2-10D class regression: per-sample f^2 past f32 max used to
+        cast to inf and meet one-hot ZEROS inside the histogram matmul
+        (inf*0 = NaN), poisoning the grid and the estimate (the first
+        mcubes_ladders_10d f2 row was NaN).  The per-sample clamp +
+        saturating accumulation (vegas._HIST_CAP) and the f64 sanitize
+        in grid.smooth_and_refine must keep everything finite on BOTH
+        importance paths."""
+        def big(x):
+            return (1e25 * jnp.exp(-50.0 * jnp.sum((x - 0.5) ** 2,
+                                                   axis=-1)) + 1e22)
+        big.ndim = 4
+        for imp in ("grid", "poly"):
+            r = V.vegas(big, epsrel=1e-2, epsabs=0.0, ncall=2e4, ndim=4,
+                        total_iters=8, adjust_iters=5, seed=3,
+                        importance=imp)
+            assert np.isfinite(r.estimate), imp
+            assert np.isfinite(r.errorest), imp
+            assert r.estimate > 1e22, (imp, r.estimate)
+
+    def test_smooth_and_refine_sanitizes_saturated_hist(self):
+        xi = np.asarray(vgrid.uniform_grid(2, 16))
+        d = np.full((2, 16), np.float32(3.0e37))
+        d[0, 3] = np.inf                    # saturated accumulator relic
+        out = vgrid.smooth_and_refine(xi, d)
+        assert np.isfinite(out).all()
+        assert (np.diff(out, axis=1) > 0).all()
