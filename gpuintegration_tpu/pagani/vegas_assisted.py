@@ -89,7 +89,8 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
 
 
 def _sample_regions_pass(f, pk, grids, lows, lengths, global_lo,
-                         global_range, nbins: int, spp: int, dtype):
+                         global_range, nbins: int, spp: int, dtype,
+                         ncomp: int = 1):
     """One importance-sampled pass over EVERY region (traced helper
     shared by the vegas-assisted hybrid and Suave -- keeping the two
     bit-aligned): draw (bin, in-bin position) pairs, fetch bin edges with
@@ -97,7 +98,10 @@ def _sample_regions_pass(f, pk, grids, lows, lengths, global_lo,
     refine each region's grid on this pass's f^2 histogram.
 
     Returns (u (R, spp, ndim) f32 unit-region coordinates, wf (R, spp)
-    importance-weighted integrand values, grids' refined)."""
+    importance-weighted integrand values, grids' refined).  ``ncomp`` >
+    1: f maps to (..., ncomp), wf comes back component-major
+    (ncomp, R, spp) and the per-region grids adapt on component 0
+    (CUBA's multi-component semantics, like mcubes.vegas)."""
     f32 = jnp.float32
     ndim, R = lows.shape
     jac = jnp.prod(global_range).astype(dtype)
@@ -126,14 +130,21 @@ def _sample_regions_pass(f, pk, grids, lows, lengths, global_lo,
     x = (global_lo
          + (lows.T[:, None, :] + u.astype(dtype) * lengths.T[:, None, :])
          * global_range)
-    fx = f(x).astype(dtype) * jac                   # (R, spp)
-    wf = wprod * fx
+    fx = f(x).astype(dtype) * jac                   # (R, spp[, ncomp])
+    if ncomp == 1:
+        wf = wprod * fx
+        hist_wf = wf
+    else:
+        # component-major (a component-minor buffer lane-pads ncomp ->
+        # 128 on TPU, the pool-layout invariant)
+        wf = jnp.moveaxis(fx, -1, 0) * wprod[None]  # (ncomp, R, spp)
+        hist_wf = wf[0]
 
     # per-(region, dim) f^2 histogram, scatter-free: one fused one-hot
     # contraction per dim (vegas._onehot_hist pattern; the previous
     # segment_sum version also overflowed its int32 segment ids at
     # R*ndim*nbins > 2^31)
-    f2 = (wf * wf).astype(f32)
+    f2 = (hist_wf * hist_wf).astype(f32)
     hist = jnp.stack(
         [jnp.einsum('rs,rsb->rb', f2,
                     (bins[..., d][..., None] == bins_ax).astype(f32),

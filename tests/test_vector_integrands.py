@@ -250,3 +250,31 @@ def test_split_starved_vector_continuation_slices():
         assert r.errorests[i] <= eps * abs(r.estimates[i]) * (1 + 1e-12)
         rel = abs(r.estimates[i] - truths[i]) / abs(truths[i])
         assert rel < 10 * eps, (i, rel)
+
+
+def test_suave_vector_integrands():
+    """Round 4: Suave's vector surface (cubacpp SuaveIntegrate deduces
+    array<double,N> like the rest of its API).  Components share one
+    point set / region tree / per-region grid; convergence is
+    all-components; the result carries per-component arrays."""
+    from gpuintegration_tpu.pagani.suave import suave
+    g1 = genz.f4_gaussian(ND, a=6.0)
+    g2 = genz.f2_product_peak(ND)
+
+    def fv(x):
+        return jnp.stack([g1(x), g2(x)], axis=-1)
+
+    fv.ndim = ND
+    r = suave(fv, epsrel=5e-3, epsabs=1e-40, nnew=1024, nmin=2,
+              max_regions=512, seed=3)
+    assert r.estimates is not None and r.estimates.shape == (2,)
+    assert r.errorests.shape == (2,) and r.probs is not None
+    truths = np.array([g1.true_value, g2.true_value])
+    for k in range(2):
+        band = 5 * max(r.errorests[k] / abs(truths[k]), 5e-3)
+        rel = abs(r.estimates[k] - truths[k]) / abs(truths[k])
+        assert rel < band, (k, rel, band)
+    # scalar runs keep their scalar surface (estimates stays None)
+    rs = suave(g1, epsrel=5e-3, epsabs=1e-40, nnew=1024, nmin=2,
+               max_regions=256, seed=3)
+    assert rs.estimates is None and np.isfinite(rs.estimate)
