@@ -33,6 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Single source of truth for the f32 adaptation-histogram saturation cap
+# (the RANGE CONTRACT in mcubes.vegas aliases this; keeping one literal
+# prevents the Pallas and XLA paths from silently desynchronizing).
+HIST_CAP = 3.0e37
+
 _L = 32          # level-2 fan-out (lane group)
 _BN = 4096       # samples per program (lane-axis block; swept 512..16k on
                  # v5e -- 284..306M samples/s, plateau at 4096)
@@ -244,7 +249,7 @@ def hist_pallas(ia, f2, nbins: int, *, interpret: bool = False):
     # Clamp huge-magnitude samples to the f32-safe cap (vegas._HIST_CAP
     # note: f2 10D per-sample f^2 ~1e44 casts to f32 inf and poisons
     # the accumulator); the histogram only steers adaptation.
-    f2_t = jnp.pad(jnp.minimum(f2.astype(jnp.float32), 3.0e37)
+    f2_t = jnp.pad(jnp.minimum(f2.astype(jnp.float32), HIST_CAP)
                    .reshape(1, -1), ((0, 0), (0, n_pad - n)))
 
     with jax.enable_x64(False):

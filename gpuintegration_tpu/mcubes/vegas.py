@@ -102,7 +102,7 @@ def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
 # saturated bins read as equally-maximally important, a graceful
 # adaptation degradation instead of a poisoned grid; the rebin itself
 # is scale-invariant and renormalizes in f64 (grid.smooth_and_refine).
-_HIST_CAP = 3.0e37
+from gpuintegration_tpu.mcubes.pallas_lookup import HIST_CAP as _HIST_CAP  # noqa: E402,E501  (single source; hist_pallas saturates at the same value)
 
 
 def _hist_accum(d, ia, f2, nbins: int):

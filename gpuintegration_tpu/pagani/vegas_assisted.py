@@ -36,10 +36,12 @@ def _refine_grids(grids: jax.Array, hist: jax.Array) -> jax.Array:
     rebin (the device-side rebin of Sample.cuh:299-326, 483-523),
     vectorised over (R, ndim) in f32, scatter/gather/sort-free."""
     nb = hist.shape[-1]
-    # Inputs are capped at vegas._HIST_CAP (3e37), so the 3-bin smooth
-    # stays finite in f32; a saturated row can still overflow the dts
-    # reduction to inf, which degrades to frac=0 (uniform-ish rebin)
-    # rather than NaN -- acceptable for an adaptation-only quantity.
+    # Inputs are per-region max-normalized f^2 sums in [0, spp]
+    # (_sample_regions_pass divides |wf| by its per-region max before
+    # squaring -- the scale-invariant analogue of vegas._HIST_CAP's
+    # clamp, exact for these self-contained per-pass histograms), so
+    # the 3-bin smooth and the dt/dts reductions stay finite in f32 at
+    # any integrand magnitude (keep the guards in sync -- CLAUDE.md).
     left = jnp.concatenate([hist[..., :1], hist[..., :-1]], axis=-1)
     right = jnp.concatenate([hist[..., 1:], hist[..., -1:]], axis=-1)
     sm = (left + hist + right) / 3.0
@@ -144,7 +146,23 @@ def _sample_regions_pass(f, pk, grids, lows, lengths, global_lo,
     # contraction per dim (vegas._onehot_hist pattern; the previous
     # segment_sum version also overflowed its int32 segment ids at
     # R*ndim*nbins > 2^31)
-    f2 = (hist_wf * hist_wf).astype(f32)
+    # RANGE CONTRACT (vegas._HIST_CAP note): raw f^2 of a huge-magnitude
+    # integrand (f2-10D scale, |f|~1e22) casts to f32 inf, and inf * a
+    # one-hot ZERO is NaN -- poisoning every bin of the dim.  The global
+    # VEGAS histogram clamps (it must accumulate consistently across
+    # chunks), but these per-region histograms are self-contained per
+    # pass AND the rebin is scale-invariant (frac = sm/dts), so the
+    # exact fix is normalization: divide |wf| by its per-region max
+    # BEFORE squaring.  Samples land in [0, 1] -- no overflow, no
+    # saturation, adaptation stays exact at any magnitude (a raw clamp
+    # would flatten every bin of a huge integrand to the cap, degrading
+    # its grids to uniform -- measured as a pool explosion on the 1e22
+    # Gaussian).  The einsum's spp-sample sums are then <= spp.
+    absf = jnp.abs(hist_wf)                         # (R, spp)
+    scale = jnp.max(absf, axis=1, keepdims=True)
+    f2n = (absf / jnp.maximum(scale, 1e-300)) if dtype == jnp.float64 \
+        else (absf / jnp.maximum(scale, 1e-30))
+    f2 = (f2n * f2n).astype(f32)                    # in [0, 1]
     hist = jnp.stack(
         [jnp.einsum('rs,rsb->rb', f2,
                     (bins[..., d][..., None] == bins_ax).astype(f32),

@@ -1490,8 +1490,11 @@ class Workspace:
         fused_gate = int(0.1 * self.max_pool_regions)
         # vector fused phase has no mesh form yet (see the docstring)
         fused_ok = fused and recorder is None and not vec
-        inflight_est = np.zeros(ncomp)
-        inflight_err = np.zeros(ncomp)
+        # scalar path keeps plain floats: an exhausted exit before the
+        # first sweep folds these into cum.estimate, and a (1,) ndarray
+        # there would turn the result's scalar fields into arrays
+        inflight_est = np.zeros(ncomp) if vec else 0.0
+        inflight_err = np.zeros(ncomp) if vec else 0.0
         exhausted = False
 
         def all_accuracy(ests, errs):
