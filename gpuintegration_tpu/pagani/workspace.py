@@ -1842,6 +1842,7 @@ class Workspace:
         min_err_reduction: float = 0.99,
         max_wall_s: float | None = None,
         stage_timer=None,
+        state_path: str | None = None,
         **kw,
     ) -> IntegrationResult:
         """``integrate`` + checkpoint-resume continuation.
@@ -1888,11 +1889,42 @@ class Workspace:
         empty pool, or when a round fails to shrink the total error
         below ``min_err_reduction`` times the previous round's
         (no-progress guard).
+
+        ``state_path``: disk-resumable continuation (round 5).  When the
+        run ends unconverged (status 1) with surviving regions, the
+        banked ledger + remaining slice queue are written there
+        (utils.checkpoint.ContinuationState, atomic replace); a later
+        call with the same ``state_path`` (file exists) skips round 1
+        and resumes the queue exactly -- integral additivity makes the
+        recombination identical to an uninterrupted run.  On
+        certification the file is removed.  This is what lets a
+        multi-hour certificate (physics at 1e-6) accumulate across
+        processes instead of restarting from scratch.
         """
         import contextlib
+        import os as _os
         import time as _time
         deadline = (_time.monotonic() + max_wall_s
                     if max_wall_s is not None else None)
+
+        if state_path is not None:
+            from gpuintegration_tpu.utils.checkpoint import (
+                ContinuationState, PaganiCheckpoint)
+            if _os.path.exists(PaganiCheckpoint._norm(state_path)):
+                state = ContinuationState.load(state_path)
+                if not (state.epsrel == epsrel and state.epsabs == epsabs):
+                    raise ValueError(
+                        f"state at {state_path} was built for "
+                        f"(epsrel={state.epsrel:g}, epsabs={state.epsabs:g})"
+                        f", not ({epsrel:g}, {epsabs:g})")
+                kw.pop("initial_regions", None)
+                kw.pop("ledger", None)
+                return self._partitioned_continuation(
+                    integrand, epsrel, epsabs, vol, None, None,
+                    max_rounds, deadline,
+                    min_err_reduction=min_err_reduction,
+                    stage_timer=stage_timer, state_path=state_path,
+                    resume_state=state, **kw)
 
         def _stage(name):
             return (stage_timer.stage(name) if stage_timer is not None
@@ -1933,7 +1965,7 @@ class Workspace:
                     integrand, epsrel, epsabs, vol, ckpt, res,
                     max_rounds - rounds, deadline,
                     min_err_reduction=min_err_reduction,
-                    stage_timer=stage_timer, **kw)
+                    stage_timer=stage_timer, state_path=state_path, **kw)
 
             def worst_err(r):
                 # progress guard on the WORST component for vector runs
@@ -1950,6 +1982,37 @@ class Workspace:
             rounds += 1
             if res.status == 1 and worst_err(res) > min_err_reduction * prev_err:
                 break   # no meaningful progress; stop burning evals
+        if (state_path is not None and res.status == 1
+                and getattr(self, "final_pool", None) is not None):
+            # the run ended unconverged in the whole-pool phase (deadline
+            # / max_rounds before split starvation): persist the survivors
+            # as a fresh slice queue so a later process resumes here
+            from gpuintegration_tpu.utils.checkpoint import (
+                ContinuationState)
+            ckpt = self.make_checkpoint()
+            if ckpt.lows.shape[0]:
+                self.final_pool = None
+                self.final_pool_errors = None
+                slice_cap = max(self.max_pool_regions // 16,
+                                2 * self.chunk_size)
+
+                def _A(x):
+                    return np.atleast_1d(np.asarray(x, np.float64))
+
+                tot_est = _A(res.estimates if getattr(res, "estimates",
+                             None) is not None else res.estimate)
+                tot_err = _A(res.errorests if getattr(res, "errorests",
+                             None) is not None else res.errorest)
+                work = self._make_slices(
+                    ckpt.lows, ckpt.lengths,
+                    ckpt.region_estimates, ckpt.region_errorests,
+                    tot_est - _A(ckpt.estimate),
+                    tot_err - _A(ckpt.errorest), slice_cap, 0)
+                ContinuationState.from_queue(
+                    work, _A(ckpt.estimate), _A(ckpt.errorest),
+                    ckpt.iters, ckpt.neval, ckpt.nregions, ckpt.nregions,
+                    np.ndim(ckpt.estimate) == 1, epsrel, epsabs,
+                ).save(state_path)
         return res
 
     @staticmethod
@@ -1995,7 +2058,7 @@ class Workspace:
     def _partitioned_continuation(
         self, integrand, epsrel, epsabs, vol, ckpt, last_res,
         rounds_left, deadline=None, min_err_reduction=0.99,
-        stage_timer=None, **kw,
+        stage_timer=None, state_path=None, resume_state=None, **kw,
     ) -> IntegrationResult:
         """Divide-and-conquer continuation for split-starved pools.
 
@@ -2032,7 +2095,6 @@ class Workspace:
         # error) while banking and certifying EVERY component -- the
         # all-components semantics of the vector loop itself
         # (cubacpp integrand_traits.hh:81-93).
-        vec = np.ndim(ckpt.estimate) == 1
 
         def A(x):
             return np.atleast_1d(np.asarray(x, np.float64))
@@ -2047,14 +2109,28 @@ class Workspace:
 
         slice_cap = max(self.max_pool_regions // 16, 2 * self.chunk_size)
         max_depth = 12
-        fin_est, fin_err = A(ckpt.estimate).copy(), A(ckpt.errorest).copy()
-        iters, neval = ckpt.iters, ckpt.neval
-        nregions = nfinished = ckpt.nregions
-        work = self._make_slices(
-            ckpt.lows, ckpt.lengths,
-            ckpt.region_estimates, ckpt.region_errorests,
-            rest(last_res) - fin_est,
-            rerr(last_res) - fin_err, slice_cap, 0)
+        if resume_state is not None:
+            # disk resume (integrate_to_convergence(state_path=...)): the
+            # banked ledger and the error-sorted queue pick up exactly
+            # where the previous process's budget ended
+            vec = resume_state.vec
+            fin_est = resume_state.fin_est.copy()
+            fin_err = resume_state.fin_err.copy()
+            iters, neval = resume_state.iters, resume_state.neval
+            nregions = resume_state.nregions
+            nfinished = resume_state.nfinished
+            work = resume_state.to_queue()
+        else:
+            vec = np.ndim(ckpt.estimate) == 1
+            fin_est = A(ckpt.estimate).copy()
+            fin_err = A(ckpt.errorest).copy()
+            iters, neval = ckpt.iters, ckpt.neval
+            nregions = nfinished = ckpt.nregions
+            work = self._make_slices(
+                ckpt.lows, ckpt.lengths,
+                ckpt.region_estimates, ckpt.region_errorests,
+                rest(last_res) - fin_est,
+                rerr(last_res) - fin_err, slice_cap, 0)
         zero = np.zeros_like(fin_est)
 
         def _qsum(col):
@@ -2185,6 +2261,18 @@ class Workspace:
                       f"stored={s_err_i[wc]:.3e} requeued={requeued} "
                       f"queued={len(work)} banked_err={fin_err[wc]:.3e}",
                       file=_sys.stderr, flush=True)
+        if state_path is not None:
+            from gpuintegration_tpu.utils.checkpoint import (
+                ContinuationState, PaganiCheckpoint)
+            _p = PaganiCheckpoint._norm(state_path)
+            if status == 0 or not work:
+                # certified (or fully drained): the state is spent
+                if _os.path.exists(_p):
+                    _os.remove(_p)
+            else:
+                ContinuationState.from_queue(
+                    work, fin_est, fin_err, iters, neval, nregions,
+                    nfinished, vec, epsrel, epsabs).save(state_path)
         # fold the untouched queue's stored sums so the estimate is the
         # complete integral either way
         total_est = fin_est + _qsum(2)

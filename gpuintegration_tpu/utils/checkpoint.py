@@ -91,6 +91,109 @@ class PaganiCheckpoint:
                                      if "region_errorests" in z else None))
 
 
+@dataclasses.dataclass
+class ContinuationState:
+    """Disk-resumable state of Workspace's partitioned continuation.
+
+    A deep-tolerance run (the 6D physics model at 1e-6, 8D Genz at 1e-7)
+    spends hours in ``_partitioned_continuation``'s slice queue; this
+    packages the banked ledger plus the remaining (error-sorted) work
+    queue so the run can stop at a wall-clock budget and resume in a
+    later process exactly where it left off -- integral additivity makes
+    the recombination exact, so a resumed run certifies the identical
+    global test it would have reached in one sitting.  The reference has
+    no analogue (its 700-iteration exit just returns unconverged,
+    Workspace.cuh:354-357); pass ``state_path=`` to
+    ``Workspace.integrate_to_convergence``.
+
+    The queue is stored flattened: region blocks concatenated with
+    per-slice counts, plus per-slice stored (est, err) sums -- always
+    (nw, ncomp) with ncomp=1 for scalar runs -- depth and exactness
+    flags (inexact slices carry apportioned totals the global
+    certificate must never fire off).
+    """
+
+    fin_est: np.ndarray       # (ncomp,) banked ledger (f64)
+    fin_err: np.ndarray       # (ncomp,)
+    iters: int
+    neval: int
+    nregions: int
+    nfinished: int
+    vec: bool                 # vector-integrand run (result gains
+                              #   estimates/errorests arrays)
+    epsrel: float             # tolerances the state was built under --
+    epsabs: float             #   resume sanity-checks these
+    work_lows: np.ndarray     # (sum n_i, ndim) concatenated slice blocks
+    work_lengths: np.ndarray  # (sum n_i, ndim)
+    work_counts: np.ndarray   # (nw,) regions per slice, queue order
+                              #   (COLDEST FIRST -- work.pop() takes the
+                              #   hottest, matching the live queue)
+    work_est: np.ndarray      # (nw, ncomp) stored slice estimate sums
+    work_err: np.ndarray      # (nw, ncomp)
+    work_depth: np.ndarray    # (nw,) int
+    work_exact: np.ndarray    # (nw,) bool
+
+    @classmethod
+    def from_queue(cls, work: list, fin_est, fin_err, iters, neval,
+                   nregions, nfinished, vec, epsrel, epsabs
+                   ) -> "ContinuationState":
+        """Package the live queue (list of (lows, lengths, s_est, s_err,
+        depth, exact), queue order preserved)."""
+        ncomp = np.atleast_1d(np.asarray(fin_est)).shape[0]
+        ndim = (work[0][0].shape[1] if work else 0)
+        def cat(i):
+            return (np.concatenate([np.asarray(w[i]) for w in work])
+                    if work else np.zeros((0, ndim)))
+        return cls(
+            fin_est=np.atleast_1d(np.asarray(fin_est, np.float64)).copy(),
+            fin_err=np.atleast_1d(np.asarray(fin_err, np.float64)).copy(),
+            iters=int(iters), neval=int(neval), nregions=int(nregions),
+            nfinished=int(nfinished), vec=bool(vec),
+            epsrel=float(epsrel), epsabs=float(epsabs),
+            work_lows=cat(0), work_lengths=cat(1),
+            work_counts=np.array([w[0].shape[0] for w in work], np.int64),
+            work_est=np.array([np.atleast_1d(np.asarray(w[2], np.float64))
+                               for w in work],
+                              np.float64).reshape(len(work), ncomp),
+            work_err=np.array([np.atleast_1d(np.asarray(w[3], np.float64))
+                               for w in work],
+                              np.float64).reshape(len(work), ncomp),
+            work_depth=np.array([w[4] for w in work], np.int64),
+            work_exact=np.array([w[5] for w in work], bool))
+
+    def to_queue(self) -> list:
+        """Rebuild the live work-queue list (queue order preserved)."""
+        out, off = [], 0
+        for i, n in enumerate(self.work_counts.tolist()):
+            lo = self.work_lows[off:off + n]
+            ln = self.work_lengths[off:off + n]
+            est, err = self.work_est[i], self.work_err[i]
+            if not self.vec:
+                est, err = float(est[0]), float(err[0])
+            out.append((lo, ln, est, err, int(self.work_depth[i]),
+                        bool(self.work_exact[i])))
+            off += n
+        return out
+
+    def save(self, path: str):
+        path = PaganiCheckpoint._norm(path)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:   # atomic: a mid-write crash must
+            np.savez(fh, **dataclasses.asdict(self))   # not corrupt the
+        import os
+        os.replace(tmp, path)                          # resumable state
+
+    @classmethod
+    def load(cls, path: str) -> "ContinuationState":
+        z = np.load(PaganiCheckpoint._norm(path))
+        kw = {f.name: z[f.name] for f in dataclasses.fields(cls)}
+        for k in ("iters", "neval", "nregions", "nfinished"):
+            kw[k] = int(kw[k])
+        kw["vec"] = bool(kw["vec"])
+        kw["epsrel"], kw["epsabs"] = float(kw["epsrel"]), float(kw["epsabs"])
+        return cls(**kw)
+
+
 def save_vegas_state(state: VegasState, path: str):
     path = PaganiCheckpoint._norm(path)
     np.savez(path, xi=np.asarray(state.xi), si=state.si, swgt=state.swgt,

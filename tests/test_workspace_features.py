@@ -451,6 +451,103 @@ class TestContinuation:
         rel = abs(r.estimate - g.true_value) / abs(g.true_value)
         assert rel <= max(cert, 1e-7), (rel, cert)
 
+    def test_continuation_state_roundtrip(self, tmp_path):
+        """ContinuationState must round-trip the live queue exactly
+        (region blocks, stored sums, depth/exact flags, queue order)."""
+        from gpuintegration_tpu.utils.checkpoint import ContinuationState
+        rng = np.random.default_rng(3)
+        work = [
+            (rng.random((5, 3)), rng.random((5, 3)), 1.5, 0.25, 0, True),
+            (rng.random((2, 3)), rng.random((2, 3)), -0.5, 0.125, 2,
+             False),
+        ]
+        st = ContinuationState.from_queue(
+            work, 2.0, 0.5, 7, 1000, 64, 60, False, 1e-6, 1e-40)
+        st.save(str(tmp_path / "st"))
+        st2 = ContinuationState.load(str(tmp_path / "st"))
+        back = st2.to_queue()
+        assert len(back) == 2 and not st2.vec
+        for (a, b) in zip(work, back):
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+            assert a[2] == b[2] and a[3] == b[3]
+            assert a[4] == b[4] and a[5] == b[5]
+        assert st2.iters == 7 and st2.neval == 1000
+        assert st2.nregions == 64 and st2.nfinished == 60
+        # vector queue: (ncomp,) sums survive
+        workv = [(rng.random((4, 2)), rng.random((4, 2)),
+                  np.array([1.0, 2.0]), np.array([0.1, 0.2]), 1, True)]
+        stv = ContinuationState.from_queue(
+            workv, np.array([3.0, 4.0]), np.array([0.3, 0.4]),
+            1, 10, 8, 8, True, 1e-5, 1e-40)
+        stv.save(str(tmp_path / "stv"))
+        b = ContinuationState.load(str(tmp_path / "stv")).to_queue()[0]
+        np.testing.assert_array_equal(b[2], workv[0][2])
+        np.testing.assert_array_equal(b[3], workv[0][3])
+
+    def test_state_path_interrupt_resume_bit_identical(self, tmp_path):
+        """A continuation interrupted at a deadline and resumed from its
+        disk state must certify the IDENTICAL result as an uninterrupted
+        run: the saved queue/banked ledger pin the whole remaining
+        trajectory (integral additivity + deterministic slice runs)."""
+        import time as _time
+        g = genz.f4_gaussian(4, a=15.0)
+        sp = str(tmp_path / "cont_state")
+        ws = Workspace(4, max_pool_regions=4096, chunk_size=128)
+        r1 = ws.integrate(g, epsrel=1e-6, epsabs=1e-40)
+        assert r1.status == 1
+        ckpt = ws.make_checkpoint()
+        ws.final_pool = None
+        ws.final_pool_errors = None
+        assert 4 * ckpt.lows.shape[0] > ws.max_pool_regions  # starved
+        # interrupted leg: deadline already passed -> saves the queue
+        # untouched and returns the stored-sum composition
+        r_cut = ws._partitioned_continuation(
+            g, 1e-6, 1e-40, None, ckpt, r1, 15,
+            deadline=_time.monotonic() - 1.0, state_path=sp)
+        assert r_cut.status == 1
+        import os
+        assert os.path.exists(sp + ".npz")
+        # resume through the PUBLIC path; compare against the same ckpt
+        # run uninterrupted
+        r_resumed = ws.integrate_to_convergence(
+            g, epsrel=1e-6, epsabs=1e-40, state_path=sp)
+        ws2 = Workspace(4, max_pool_regions=4096, chunk_size=128)
+        r_full = ws2._partitioned_continuation(
+            g, 1e-6, 1e-40, None, ckpt, r1, 15)
+        assert r_resumed.status == 0 == r_full.status
+        assert r_resumed.estimate == r_full.estimate
+        assert r_resumed.errorest == r_full.errorest
+        assert r_resumed.nregions == r_full.nregions
+        assert r_resumed.neval == r_full.neval
+        # certified: the state file is spent
+        assert not os.path.exists(sp + ".npz")
+        rel = abs(r_resumed.estimate - g.true_value) / abs(g.true_value)
+        assert rel <= max(r_resumed.errorest / abs(r_resumed.estimate),
+                          1e-7)
+
+    def test_state_path_saves_from_whole_pool_exit(self, tmp_path):
+        """A deadline exit BEFORE split starvation (whole-pool phase)
+        must also persist a resumable state, and resuming must certify."""
+        import os
+        g = genz.f4_gaussian(4, a=15.0)
+        sp = str(tmp_path / "wp_state")
+        ws = Workspace(4, max_pool_regions=1 << 15, chunk_size=128)
+        # iteration-starved first leg: exits in the whole-pool phase
+        # (pool NOT split-starved) with survivors -> state must be saved
+        r = ws.integrate_to_convergence(
+            g, epsrel=1e-6, epsabs=1e-40, max_rounds=2, max_iterations=6,
+            state_path=sp)
+        assert r.status == 1
+        assert os.path.exists(sp + ".npz")
+        # resume with full budgets: certifies through the queue
+        r = ws.integrate_to_convergence(
+            g, epsrel=1e-6, epsabs=1e-40, state_path=sp)
+        assert r.status == 0
+        assert not os.path.exists(sp + ".npz")
+        rel = abs(r.estimate - g.true_value) / abs(g.true_value)
+        assert rel <= max(r.errorest / abs(r.estimate), 1e-7)
+
     def test_errorest_never_negative(self):
         """The classifier's banked error must be the EXACT refined-error
         sum of dropped regions.  The reference's extra_f_errorest
