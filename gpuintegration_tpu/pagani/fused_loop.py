@@ -347,7 +347,7 @@ def fused_adaptive_phase(
 
 @functools.partial(jax.jit, static_argnames=(
     "f", "ndim", "ncomp", "dtype_name", "chunk_size",
-    "relerr_classification", "gate", "feval"))
+    "relerr_classification", "gate", "feval", "mesh"))
 def fused_adaptive_phase_vector(
     f,
     ndim: int,
@@ -358,7 +358,7 @@ def fused_adaptive_phase_vector(
     gate: int,
     feval: int,
     lows, lengths,            # (ndim, cap) BLOCKED pool (post-split layout)
-    n,                        # int32 region count
+    n,                        # int32: region count (mesh: (D,) per-shard)
     parent_est,               # (ncomp, cap//2) compacted parent estimates
     global_lo, global_range,
     epsrel_pool,              # pool-dtype epsrel (two-level classification)
@@ -371,18 +371,28 @@ def fused_adaptive_phase_vector(
     max_iters,                # int32
     abs_per_vol=None,
     neval_cap=None,
+    *,
+    mesh=None,
 ):
-    """Vector twin of ``fused_adaptive_phase`` (single-chip, XLA backend
-    only -- the mesh and Pallas exclusions are documented on
-    Workspace.integrate).  Same exit protocol; the per-region pipeline is
-    workspace.iteration_math_vector (the SAME traced code as the host
-    vector loop), the accuracy test is all-components, the error-budget
-    rollback fires when ANY component's banked error overflows
-    max(epsrel*|est|, epsabs), and the estimate history tracks the WORST
-    component (max relative error) for the host classifier.
+    """Vector twin of ``fused_adaptive_phase`` (XLA backend only -- the
+    Pallas exclusion is documented on Workspace.integrate).  Same exit
+    protocol; the per-region pipeline is workspace.iteration_math_vector
+    (the SAME traced code as the host vector loop), the accuracy test is
+    all-components, the error-budget rollback fires when ANY component's
+    banked error overflows max(epsrel*|est|, epsabs), and the estimate
+    history tracks the WORST component (max relative error) for the host
+    classifier.
 
-    Returns (lows, lengths, parent_est, sdim, packed) with ``packed`` ONE
-    f64 vector:
+    ``mesh`` (round 5): run the phase SPMD exactly like the scalar
+    phase's mesh form -- shard-local eval/refine/compact/split on each
+    device's BLOCKED sub-pool, (ncomp,) f64 iteration partials psum'd
+    into replicated globals that drive every ledger/exit decision
+    identically on all devices; a grow exit fires when ANY shard's split
+    would overflow its local bucket.  Returns the per-shard count vector
+    ``ns`` before ``packed`` in mesh mode.
+
+    Returns (lows, lengths, parent_est, sdim[, ns], packed) with
+    ``packed`` ONE f64 vector:
 
       [n, result_nregions, iters_done, neval, status,
        prev_nregions, prev_iters, prev_neval, est_hist(3),
@@ -394,112 +404,165 @@ def fused_adaptive_phase_vector(
     f64 = jnp.float64
     tables = rule_eval.rule_tables(ndim, dtype_name)
     zero_v = jnp.zeros((ncomp,), f64)
-    cap = lows.shape[1]
-    if parent_est.shape[1] < cap:
-        parent_est = jnp.pad(
-            parent_est, ((0, 0), (0, cap - parent_est.shape[1])))
     cap_nev = (jnp.asarray(jnp.inf, f64) if neval_cap is None
                else jnp.asarray(neval_cap, f64))
 
-    def eval_pool(lo_c, ln_c, n_loc):
-        return rule_eval.apply_rule(
-            f, tables, lo_c, ln_c, global_lo, global_range,
-            chunk_size=chunk_size, n=n_loc, blocked=True, ncomp=ncomp)
+    if mesh is not None:
+        from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+        ps = functools.partial(jax.lax.psum, axis_name=REGION_AXIS)
+    else:
+        ps = lambda x: x  # noqa: E731 - single-chip: psum is identity
 
-    def cond(carry):
-        (_, _, n_c, _, _, _, _, iters_c, nev_c, _, status_c,
-         _, _, _, _, _, _, _, _) = carry
-        return ((status_c == -1)
-                & (2 * n_c <= gate)
-                & (iters_c < max_iters)
-                & (nev_c < cap_nev))
+    def run(lows, lengths, n_loc0, n_glob0, parent_est,
+            global_lo, global_range, epsrel_pool, epsrel, epsabs,
+            cum_est, cum_err, result_nregions, iters_done, neval,
+            est_hist, max_iters, abs_per_vol, cap_nev):
+        cap = lows.shape[1]       # per-shard capacity in mesh mode
+        if parent_est.shape[1] < cap:
+            parent_est = jnp.pad(
+                parent_est, ((0, 0), (0, cap - parent_est.shape[1])))
 
-    def body(carry):
-        (lo_c, ln_c, n_c, par_c, cum_e, cum_r, res_nreg,
-         iters_c, nev, hist, _status, _lie, _lir,
-         _pe, _pr, _pn, _pi, _pv, _sd) = carry
+        def eval_pool(lo_c, ln_c, n_loc):
+            return rule_eval.apply_rule(
+                f, tables, lo_c, ln_c, global_lo, global_range,
+                chunk_size=chunk_size, n=n_loc, blocked=True, ncomp=ncomp)
 
-        est_raw, err_raw, sdim = eval_pool(lo_c, ln_c, n_c)
-        (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
-         fin_err_d, n_active_d) = iteration_math_vector(
-            relerr_classification, True, est_raw, err_raw, n_c,
-            par_c, jnp.asarray(True), epsrel_pool,
-            lengths=None if abs_per_vol is None else ln_c,
-            abs_per_vol=abs_per_vol)
-        iter_est = iter_est_d.astype(f64)
-        iter_err = iter_err_d.astype(f64)
-        fin_est = fin_est_d.astype(f64)
-        fin_err = fin_err_d.astype(f64)
+        def cond(carry):
+            n_g, iters_c, nev_c, status_c = (carry[3], carry[8],
+                                             carry[9], carry[11])
+            return ((status_c == -1)
+                    & (2 * n_g <= gate)
+                    & (iters_c < max_iters)
+                    & (nev_c < cap_nev))
 
-        tot_est = cum_e + iter_est
-        tot_err = cum_r + iter_err
-        # all-components accuracy (host all_accuracy)
-        comp_ok = jnp.where(
-            jnp.abs(tot_est) > 0,
-            (tot_err / jnp.abs(tot_est) <= epsrel) | (tot_err <= epsabs),
-            tot_err <= epsabs)
-        done = jnp.all(comp_ok)
+        def body(carry):
+            (lo_c, ln_c, n_loc, n_glob, par_c, cum_e, cum_r, res_nreg,
+             iters_c, nev, hist, _status, _lie, _lir,
+             _pe, _pr, _pn, _pi, _pv, _sd) = carry
 
-        # any-component rollback (worst-component generalisation of
-        # Workspace.cuh:121-146, budget max(epsrel*|est|, epsabs))
-        overflow = jnp.any(
-            (cum_r + fin_err) > jnp.maximum(
-                jnp.abs(tot_est) * epsrel, epsabs))
-        mask = region_pool.block_mask(cap, n_c, True)
-        all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
-        active = jnp.where(overflow, all_act, active)
-        fin_est = jnp.where(overflow, zero_v, fin_est)
-        fin_err = jnp.where(overflow, zero_v, fin_err)
-        n_active = jnp.where(overflow, n_c, n_active_d.astype(jnp.int32))
+            est_raw, err_raw, sdim = eval_pool(lo_c, ln_c, n_loc)
+            (est, refined, active, iter_est_d, iter_err_d, fin_est_d,
+             fin_err_d, n_active_d) = iteration_math_vector(
+                relerr_classification, True, est_raw, err_raw, n_loc,
+                par_c, jnp.asarray(True), epsrel_pool,
+                lengths=None if abs_per_vol is None else ln_c,
+                abs_per_vol=abs_per_vol)
+            # (ncomp,) f64 partials -> psum'd replicated globals (mesh)
+            iter_est = ps(iter_est_d.astype(f64))
+            iter_err = ps(iter_err_d.astype(f64))
+            fin_est = ps(fin_est_d.astype(f64))
+            fin_err = ps(fin_err_d.astype(f64))
 
-        all_fin = (~done) & (n_active == 0)
-        grow = (~done) & (~all_fin) & (2 * n_active > cap)
+            tot_est = cum_e + iter_est
+            tot_err = cum_r + iter_err
+            # all-components accuracy (host all_accuracy)
+            comp_ok = jnp.where(
+                jnp.abs(tot_est) > 0,
+                (tot_err / jnp.abs(tot_est) <= epsrel)
+                | (tot_err <= epsabs),
+                tot_err <= epsabs)
+            done = jnp.all(comp_ok)
 
-        n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
-            active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
-        lo2, ln2, _ = region_pool.split(
-            c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
-            n_act_d, out_capacity=cap)
+            # any-component rollback (worst-component generalisation of
+            # Workspace.cuh:121-146, budget max(epsrel*|est|, epsabs)) --
+            # a GLOBAL decision applied to every shard's flags
+            overflow = jnp.any(
+                (cum_r + fin_err) > jnp.maximum(
+                    jnp.abs(tot_est) * epsrel, epsabs))
+            mask = region_pool.block_mask(cap, n_loc, True)
+            all_act = jnp.where(mask, 1.0, 0.0).astype(est.dtype)
+            active = jnp.where(overflow, all_act, active)
+            fin_est = jnp.where(overflow, zero_v, fin_est)
+            fin_err = jnp.where(overflow, zero_v, fin_err)
+            n_active_loc = jnp.where(overflow, n_loc,
+                                     n_active_d.astype(jnp.int32))
+            n_active_glob = ps(n_active_loc)
 
-        add_est = jnp.where(done, iter_est, fin_est)
-        add_err = jnp.where(done, iter_err, fin_err)
-        drop = jnp.where(done, 0.0,
-                         jnp.where(all_fin, n_c.astype(f64),
-                                   (n_c - n_active).astype(f64)))
+            all_fin = (~done) & (n_active_glob == 0)
+            # grow when ANY shard's split would overflow its local bucket
+            grow_any = ps((2 * n_active_loc > cap).astype(jnp.int32)) > 0
+            grow = (~done) & (~all_fin) & grow_any
 
-        keep = done | all_fin
-        lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
-        ln_out = jnp.where(keep, ln_c, jnp.where(grow, c_ln, ln2))
-        par_out = jnp.where(keep, par_c, par_new)
-        n_out = jnp.where(keep, n_c,
-                          jnp.where(grow, n_active, 2 * n_active))
-        status = jnp.where(
-            done, 0,
-            jnp.where(all_fin, 2,
-                      jnp.where(grow, 1, -1))).astype(jnp.int32)
+            n_act_d, c_lo, c_ln, c_sd, par_new, _ = region_pool.compact(
+                active, lo_c, ln_c, sdim, est, refined, out_capacity=cap)
+            lo2, ln2, _ = region_pool.split(
+                c_lo[:, :cap // 2], c_ln[:, :cap // 2], c_sd[:cap // 2],
+                n_act_d, out_capacity=cap)
 
-        # worst component drives the classifier's estimate history
-        w = jnp.argmax(tot_err / jnp.maximum(jnp.abs(tot_est), 1e-300))
-        hist_out = jnp.where(
-            ~done, jnp.concatenate([hist[1:], tot_est[w][None]]), hist)
-        return (lo_out, ln_out, n_out, par_out,
-                cum_e + add_est, cum_r + add_err, res_nreg + drop,
-                iters_c + 1, nev + n_c.astype(f64) * feval,
-                hist_out, status,
-                iter_est - fin_est, iter_err - fin_err,
-                cum_e, cum_r, res_nreg, iters_c, nev, c_sd)
+            add_est = jnp.where(done, iter_est, fin_est)
+            add_err = jnp.where(done, iter_err, fin_err)
+            drop = jnp.where(
+                done, 0.0,
+                jnp.where(all_fin, n_glob.astype(f64),
+                          (n_glob - n_active_glob).astype(f64)))
 
-    carry0 = (lows, lengths, n, parent_est,
-              cum_est, cum_err, result_nregions,
-              iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
-              zero_v, zero_v,
-              cum_est, cum_err, result_nregions, iters_done, neval,
-              jnp.zeros((cap,), jnp.int32))
-    (lo_f, ln_f, n_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
-     hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, pv_f,
-     sd_f) = jax.lax.while_loop(cond, body, carry0)
-    packed = jnp.concatenate([
-        jnp.stack([n_f.astype(f64), rn_f, it_f.astype(f64), nev_f,
-                   st_f.astype(f64), pn_f, pi_f.astype(f64), pv_f]),
-        hist_f, ce_f, cr_f, lie_f, lir_f, pe_f, pr_f])
-    return lo_f, ln_f, par_f, sd_f, packed
+            keep = done | all_fin
+            lo_out = jnp.where(keep, lo_c, jnp.where(grow, c_lo, lo2))
+            ln_out = jnp.where(keep, ln_c, jnp.where(grow, c_ln, ln2))
+            par_out = jnp.where(keep, par_c, par_new)
+            n_out_loc = jnp.where(keep, n_loc,
+                                  jnp.where(grow, n_active_loc,
+                                            2 * n_active_loc))
+            n_out_glob = jnp.where(keep, n_glob,
+                                   jnp.where(grow, n_active_glob,
+                                             2 * n_active_glob))
+            status = jnp.where(
+                done, 0,
+                jnp.where(all_fin, 2,
+                          jnp.where(grow, 1, -1))).astype(jnp.int32)
+
+            # worst component drives the classifier's estimate history
+            w = jnp.argmax(tot_err / jnp.maximum(jnp.abs(tot_est), 1e-300))
+            hist_out = jnp.where(
+                ~done, jnp.concatenate([hist[1:], tot_est[w][None]]), hist)
+            return (lo_out, ln_out, n_out_loc, n_out_glob, par_out,
+                    cum_e + add_est, cum_r + add_err, res_nreg + drop,
+                    iters_c + 1, nev + n_glob.astype(f64) * feval,
+                    hist_out, status,
+                    iter_est - fin_est, iter_err - fin_err,
+                    cum_e, cum_r, res_nreg, iters_c, nev, c_sd)
+
+        carry0 = (lows, lengths, n_loc0, n_glob0, parent_est,
+                  cum_est, cum_err, result_nregions,
+                  iters_done, neval, est_hist, jnp.asarray(-1, jnp.int32),
+                  zero_v, zero_v,
+                  cum_est, cum_err, result_nregions, iters_done, neval,
+                  jnp.zeros((cap,), jnp.int32))
+        (lo_f, ln_f, nl_f, ng_f, par_f, ce_f, cr_f, rn_f, it_f, nev_f,
+         hist_f, st_f, lie_f, lir_f, pe_f, pr_f, pn_f, pi_f, pv_f,
+         sd_f) = jax.lax.while_loop(cond, body, carry0)
+        packed = jnp.concatenate([
+            jnp.stack([ng_f.astype(f64), rn_f, it_f.astype(f64), nev_f,
+                       st_f.astype(f64), pn_f, pi_f.astype(f64), pv_f]),
+            hist_f, ce_f, cr_f, lie_f, lir_f, pe_f, pr_f])
+        return lo_f, ln_f, par_f, sd_f, nl_f, packed
+
+    scalars = (global_lo, global_range, epsrel_pool, epsrel, epsabs,
+               cum_est, cum_err, result_nregions, iters_done, neval,
+               est_hist, max_iters, abs_per_vol, cap_nev)
+    if mesh is None:
+        lo_f, ln_f, par_f, sd_f, _nl, packed = run(
+            lows, lengths, n, n, parent_est, *scalars)
+        return lo_f, ln_f, par_f, sd_f, packed
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gpuintegration_tpu.parallel.mesh import REGION_AXIS
+    R = REGION_AXIS
+
+    def local(lo, ln, ns, par, *rest):
+        n_loc = ns[0]
+        n_glob = jax.lax.psum(n_loc, R)
+        lo_f, ln_f, par_f, sd_f, nl_f, packed = run(
+            lo, ln, n_loc, n_glob, par, *rest)
+        return lo_f, ln_f, par_f, sd_f, nl_f[None], packed
+
+    pool_s, vec_s, rep = P(None, R), P(R), P()
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(pool_s, pool_s, vec_s, pool_s) + (rep,) * len(scalars),
+        out_specs=(pool_s, pool_s, pool_s, vec_s, vec_s, rep),
+        check_vma=False)
+    # (lows, lengths, parent_est, sdim, ns, packed): pools + the (ncomp,
+    # D*cap_s) parents keep the region-axis sharding on their last axis
+    return fn(lows, lengths, n, parent_est, *scalars)

@@ -656,7 +656,8 @@ class Workspace:
                 # ops/pallas_rule.py).  vegas_assisted / predict_split --
                 # scalar per-region MC overwrite and scalar snapshot
                 # heuristics (Phases.cuh:479-518, Workspace.cuh:206-211).
-                # Vector runs get the host loop, the fused vector phase,
+                # Vector runs get the host loop, the fused vector phase
+                # (single-chip AND, round 5, on the mesh),
                 # checkpoint/ledger resume, continuation slicing and
                 # (round 4) the mesh host loop.
                 raise ValueError(
@@ -1401,8 +1402,8 @@ class Workspace:
         sharded_post_stage_vector.  The classifier keys on the worst
         component with the per-component budget guard of the
         single-chip vector loop; the fused phase stays scalar-only
-        (the vector fused carry has no mesh form yet -- host-loop
-        iterations here), documented on Workspace.integrate.
+        (vector runs use the fused vector phase's mesh form since
+        round 5), documented on Workspace.integrate.
 
         Each device owns a BLOCKED sub-pool of per-shard capacity
         ``cap_s`` with its OWN region count; eval, two-level refinement,
@@ -1488,8 +1489,7 @@ class Workspace:
         cum.estimate, cum.errorest = float(cum_est[0]), float(cum_err[0])
         blocked = False
         fused_gate = int(0.1 * self.max_pool_regions)
-        # vector fused phase has no mesh form yet (see the docstring)
-        fused_ok = fused and recorder is None and not vec
+        fused_ok = fused and recorder is None
         # scalar path keeps plain floats: an exhausted exit before the
         # first sweep folds these into cum.estimate, and a (1,) ndarray
         # there would turn the result's scalar fields into arrays
@@ -1516,40 +1516,97 @@ class Workspace:
 
             if fused_ok and blocked and 2 * n <= fused_gate:
                 from gpuintegration_tpu.pagani import fused_loop
-                (lows, lengths, parent_est, sdim_f, ns, packed_d) = \
-                    fused_loop.fused_adaptive_phase(
-                        f, ndim, dtype_name, _chunk(cap_s),
-                        relerr_classification, fused_gate, feval,
-                        lows, lengths, ns, parent_est,
-                        global_lo, global_range, eps_dev,
-                        jnp.asarray(epsrel, jnp.float64),
-                        jnp.asarray(epsabs, jnp.float64),
-                        jnp.asarray(cum.estimate, jnp.float64),
-                        jnp.asarray(cum.errorest, jnp.float64),
-                        jnp.asarray(float(result_nregions), jnp.float64),
-                        jnp.asarray(cum.iters, jnp.int32),
-                        jnp.asarray(float(cum.neval), jnp.float64),
-                        jnp.asarray(classifier._estimates, jnp.float64),
-                        jnp.asarray(max_iterations, jnp.int32),
-                        apv_dev,
-                        jnp.asarray(float(cum.neval) + _burst_evals()
-                                    / max(self.eval_cost, 1.0),
-                                    jnp.float64),
-                        mesh=mesh)
-                packed = np.asarray(packed_d)     # ONE sync for the burst
-                n = int(packed[0])
-                fused_iters = int(packed[4]) - cum.iters
-                status = int(packed[6])
-                cum.estimate, cum.errorest = float(packed[1]), float(packed[2])
-                result_nregions = int(packed[3])
-                cum.nFinishedRegions = result_nregions
-                cum.iters = int(packed[4])
-                cum.neval = int(packed[5])
-                classifier._estimates = [float(packed[13]),
-                                         float(packed[14]),
-                                         float(packed[15])]
+                nev_cap = jnp.asarray(
+                    float(cum.neval) + _burst_evals()
+                    / max(self.eval_cost, 1.0), jnp.float64)
+                if vec:
+                    (lows, lengths, parent_est, sdim_f, ns, packed_d) = \
+                        fused_loop.fused_adaptive_phase_vector(
+                            f, ndim, ncomp, dtype_name, _chunk(cap_s),
+                            relerr_classification, fused_gate, feval,
+                            lows, lengths, ns, parent_est,
+                            global_lo, global_range, eps_dev,
+                            jnp.asarray(epsrel, jnp.float64),
+                            jnp.asarray(epsabs, jnp.float64),
+                            jnp.asarray(cum_est, jnp.float64),
+                            jnp.asarray(cum_err, jnp.float64),
+                            jnp.asarray(float(result_nregions),
+                                        jnp.float64),
+                            jnp.asarray(cum.iters, jnp.int32),
+                            jnp.asarray(float(cum.neval), jnp.float64),
+                            jnp.asarray(classifier._estimates,
+                                        jnp.float64),
+                            jnp.asarray(max_iterations, jnp.int32),
+                            apv_dev, nev_cap, mesh=mesh)
+                    packed = np.asarray(packed_d)   # ONE sync per burst
+                    n = int(packed[0])
+                    fused_iters = int(packed[2]) - cum.iters
+                    result_nregions = int(packed[1])
+                    cum.nFinishedRegions = result_nregions
+                    cum.iters = int(packed[2])
+                    cum.neval = int(packed[3])
+                    status = int(packed[4])
+                    prev_nreg = int(packed[5])
+                    prev_iters = int(packed[6])
+                    prev_neval = int(packed[7])
+                    classifier._estimates = [float(packed[8]),
+                                             float(packed[9]),
+                                             float(packed[10])]
+                    o = 11
+                    cum_est = packed[o:o + ncomp].copy(); o += ncomp
+                    cum_err = packed[o:o + ncomp].copy(); o += ncomp
+                    inflight_est = packed[o:o + ncomp].copy(); o += ncomp
+                    inflight_err = packed[o:o + ncomp].copy(); o += ncomp
+                    prev_est = packed[o:o + ncomp].copy(); o += ncomp
+                    prev_err = packed[o:o + ncomp].copy()
+                    cum.estimate = float(cum_est[0])
+                    cum.errorest = float(cum_err[0])
+                    ledger_excl = (
+                        (prev_est, prev_err, prev_nreg, prev_iters,
+                         prev_neval) if status in (0, 2) else
+                        (cum_est.copy(), cum_err.copy(), result_nregions,
+                         cum.iters, cum.neval))
+                else:
+                    (lows, lengths, parent_est, sdim_f, ns, packed_d) = \
+                        fused_loop.fused_adaptive_phase(
+                            f, ndim, dtype_name, _chunk(cap_s),
+                            relerr_classification, fused_gate, feval,
+                            lows, lengths, ns, parent_est,
+                            global_lo, global_range, eps_dev,
+                            jnp.asarray(epsrel, jnp.float64),
+                            jnp.asarray(epsabs, jnp.float64),
+                            jnp.asarray(cum.estimate, jnp.float64),
+                            jnp.asarray(cum.errorest, jnp.float64),
+                            jnp.asarray(float(result_nregions),
+                                        jnp.float64),
+                            jnp.asarray(cum.iters, jnp.int32),
+                            jnp.asarray(float(cum.neval), jnp.float64),
+                            jnp.asarray(classifier._estimates,
+                                        jnp.float64),
+                            jnp.asarray(max_iterations, jnp.int32),
+                            apv_dev, nev_cap, mesh=mesh)
+                    packed = np.asarray(packed_d)   # ONE sync per burst
+                    n = int(packed[0])
+                    fused_iters = int(packed[4]) - cum.iters
+                    status = int(packed[6])
+                    cum.estimate, cum.errorest = (float(packed[1]),
+                                                  float(packed[2]))
+                    result_nregions = int(packed[3])
+                    cum.nFinishedRegions = result_nregions
+                    cum.iters = int(packed[4])
+                    cum.neval = int(packed[5])
+                    classifier._estimates = [float(packed[13]),
+                                             float(packed[14]),
+                                             float(packed[15])]
+                    inflight_est, inflight_err = (float(packed[7]),
+                                                  float(packed[8]))
+                    ledger_excl = (
+                        (float(packed[9]), float(packed[10]),
+                         int(packed[11]), int(packed[12]),
+                         int(packed[16])) if status in (0, 2) else
+                        (cum.estimate, cum.errorest, result_nregions,
+                         cum.iters, cum.neval))
                 classifier._iters_collected += fused_iters
-                inflight_est, inflight_err = float(packed[7]), float(packed[8])
                 it = cum.iters
                 if status == 1:
                     # bucket overflow: shard-local split of the compacted
@@ -1564,22 +1621,14 @@ class Workspace:
                                    np.asarray(ns), cap_s, True)
                 self.final_pool_errors = None   # fused exits carry no
                 # per-region stash (status-1 pools are post-split)
+                self._ledger_excl_pool = ledger_excl
                 if status in (0, 2):
-                    self._ledger_excl_pool = (float(packed[9]),
-                                              float(packed[10]),
-                                              int(packed[11]),
-                                              int(packed[12]),
-                                              int(packed[16]))
-                else:
-                    self._ledger_excl_pool = (cum.estimate, cum.errorest,
-                                              result_nregions, cum.iters,
-                                              cum.neval)
-                if status == 0:
-                    cum.status = 0
-                    cum.nregions = result_nregions + n
-                    return cum
-                if status == 2:
-                    cum.nregions = result_nregions
+                    cum.status = 0 if status == 0 else cum.status
+                    cum.nregions = (result_nregions + n if status == 0
+                                    else result_nregions)
+                    if vec:
+                        cum.estimates = cum_est.copy()
+                        cum.errorests = cum_err.copy()
                     return cum
                 if it >= max_iterations:
                     exhausted = True

@@ -267,6 +267,33 @@ def test_mesh_vector_matches_single_chip(mesh):
     assert np.all(rel < 1e-5), rel
 
 
+def test_mesh_vector_fused_matches_host_loop(mesh):
+    """Round-5 item: the vector fused phase runs under shard_map
+    ((ncomp,) psum'd carries through the SAME iteration_math_vector).
+    Fused and host-loop mesh runs must be iteration-equivalent at the
+    scalar discipline's tolerances: same iterations/regions/evals,
+    estimates to f64-reassociation roundoff per component."""
+    from gpuintegration_tpu import Workspace
+    comps = [genz.f4_gaussian(3, a=5.0), genz.f1_oscillatory(3)]
+
+    def fv(x):
+        return jnp.stack([c(x) for c in comps], axis=-1)
+
+    fv.ndim = 3
+    kw = dict(epsrel=1e-6, epsabs=1e-40)
+    rh = Workspace(3, chunk_size=256, mesh=mesh).integrate(
+        fv, fused=False, **kw)
+    rf = Workspace(3, chunk_size=256, mesh=mesh).integrate(fv, **kw)
+    assert rh.status == 0 and rf.status == 0
+    assert rh.iters == rf.iters
+    assert rh.nregions == rf.nregions
+    assert rh.neval == rf.neval
+    np.testing.assert_allclose(np.asarray(rf.estimates),
+                               np.asarray(rh.estimates), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(rf.errorests),
+                               np.asarray(rh.errorests), rtol=1e-9)
+
+
 def test_mesh_vector_checkpoint_and_continuation(mesh):
     """Vector mesh runs checkpoint with the (n, ncomp) stash (the mesh
     keep-indexing transposes the component-major device layout) and the
@@ -279,7 +306,11 @@ def test_mesh_vector_checkpoint_and_continuation(mesh):
 
     fv.ndim = 3
     ws = Workspace(3, chunk_size=256, mesh=mesh)
-    r = ws.integrate(fv, epsrel=1e-8, epsabs=1e-40, max_iterations=4)
+    # fused=False: the per-region (est, refined) stash is a host-loop
+    # sweep artifact -- fused exits carry none (scalar discipline), and
+    # since round 5 vector mesh runs take the fused phase by default
+    r = ws.integrate(fv, epsrel=1e-8, epsabs=1e-40, max_iterations=4,
+                     fused=False)
     assert r.status == 1
     ck = ws.make_checkpoint()
     assert ck.lows.shape[0] > 0
