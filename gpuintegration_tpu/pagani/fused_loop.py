@@ -80,10 +80,12 @@ def fused_adaptive_phase(
     interpret: bool = False,  # pallas interpret mode (non-TPU backends)
     with_split_frac: bool = False,  # crease-aware splitting: thread the
                               # per-region cut fraction through the carry
-                              # (rule_eval._split_fraction; single-chip
-                              # XLA only).  Adds a sixth return slot with
-                              # the compacted fraction vector so a grow
-                              # exit's host split stays crease-aware.
+                              # (rule_eval._split_fraction; XLA backend
+                              # only -- the stencil is shard-local, so
+                              # the mesh form works too, round 5).  Adds
+                              # a return slot after sdim with the
+                              # compacted fraction vector so a grow
+                              # exit's split stays crease-aware.
 ):
     """Returns (lows, lengths, parent_est, sdim, packed) -- plus a
     per-shard count vector ``ns`` before ``packed`` in mesh mode -- where
@@ -131,9 +133,9 @@ def fused_adaptive_phase(
     tables = rule_eval.rule_tables(ndim, dtype_name)
     zero = jnp.zeros((), f64)
 
-    if with_split_frac and (mesh is not None or rule_backend != "xla"):
-        raise ValueError("with_split_frac (crease_split) runs single-chip "
-                         "on the XLA rule backend only")
+    if with_split_frac and rule_backend != "xla":
+        raise ValueError("with_split_frac (crease_split) runs on the XLA "
+                         "rule backend only")
 
     if rule_backend == "pallas":
         # the f32 VMEM-fused kernel drives the whole loop body (VERDICT
@@ -327,21 +329,32 @@ def fused_adaptive_phase(
     from gpuintegration_tpu.parallel.mesh import REGION_AXIS
     R = REGION_AXIS
 
-    def local(lo, ln, ns, par, *rest):
-        n_loc = ns[0]
-        n_glob = jax.lax.psum(n_loc, R)
-        lo_f, ln_f, par_f, sd_f, nl_f, packed = run(
-            lo, ln, n_loc, n_glob, par, *rest)
-        return lo_f, ln_f, par_f, sd_f, nl_f[None], packed
+    if with_split_frac:
+        def local(lo, ln, ns, par, *rest):
+            n_loc = ns[0]
+            n_glob = jax.lax.psum(n_loc, R)
+            lo_f, ln_f, par_f, sd_f, fr_f, nl_f, packed = run(
+                lo, ln, n_loc, n_glob, par, *rest)
+            return lo_f, ln_f, par_f, sd_f, fr_f, nl_f[None], packed
+        out_specs = (P(None, R), P(None, R), P(R), P(R), P(R), P(R), P())
+    else:
+        def local(lo, ln, ns, par, *rest):
+            n_loc = ns[0]
+            n_glob = jax.lax.psum(n_loc, R)
+            lo_f, ln_f, par_f, sd_f, nl_f, packed = run(
+                lo, ln, n_loc, n_glob, par, *rest)
+            return lo_f, ln_f, par_f, sd_f, nl_f[None], packed
+        out_specs = (P(None, R), P(None, R), P(R), P(R), P(R), P())
 
     pool_s, vec_s, rep = P(None, R), P(R), P()
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(pool_s, pool_s, vec_s, vec_s) + (rep,) * len(scalars),
-        out_specs=(pool_s, pool_s, vec_s, vec_s, vec_s, rep),
+        out_specs=out_specs,
         check_vma=False)
-    # returns (lows, lengths, parent_est, sdim, ns, packed): pools/parents/
-    # sdim keep the region-axis sharding, ns is the (D,) per-shard count
+    # returns (lows, lengths, parent_est, sdim[, frac], ns, packed):
+    # pools/parents/sdim/frac keep the region-axis sharding, ns is the
+    # (D,) per-shard count
     return fn(lows, lengths, n, parent_est, *scalars)
 
 

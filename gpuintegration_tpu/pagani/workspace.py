@@ -597,12 +597,15 @@ class Workspace:
         crease instead of the midpoint, making both children smooth and
         restoring the rule's full convergence order in one cut
         (rule_eval._split_fraction; regions with no confident kink
-        split at the midpoint bit-identically).  Scalar XLA single-chip
-        only (incompatible with mesh, the Pallas rule backend, vector
-        integrands and vegas_assisted); runs both the host loop and the
-        fused on-device phase (the cut-fraction vector is threaded
-        through the fused carry, host/fused equivalence tested in
-        tests/test_crease_split.py).  Beyond-reference: the reference
+        split at the midpoint bit-identically).  Scalar XLA only
+        (incompatible with the Pallas rule backend, vector integrands
+        and vegas_assisted); runs the host loop, the fused on-device
+        phase (the cut-fraction vector is threaded through the fused
+        carry) AND, since round 5, the mesh (the fraction rides
+        sharded_compact_split's ``extra=`` payload -- the stencil and
+        the split are shard-local, so nothing crosses chips);
+        host/fused and mesh/single-chip equivalence tested in
+        tests/test_crease_split.py.  Beyond-reference: the reference
         splits at midpoints only (Sub_region_splitter.cuh:56-87).
 
         ``predict_split``: the reference's split-prediction heuristic
@@ -642,11 +645,12 @@ class Workspace:
 
         from gpuintegration_tpu.integrand import deduce_ncomp
         ncomp = deduce_ncomp(f, ndim, dtype_name)
-        if crease_split and (self.mesh is not None or vegas_assisted
-                             or self.rule_backend != "xla" or ncomp > 1):
+        if crease_split and (vegas_assisted or self.rule_backend != "xla"
+                             or ncomp > 1):
             raise ValueError(
-                "crease_split runs on the single-chip scalar XLA host "
-                "loop (see the docstring note)")
+                "crease_split runs on the scalar XLA path (single-chip "
+                "or mesh, round 5); vegas_assisted / pallas / vector "
+                "runs keep midpoint splits (see the docstring note)")
         if ncomp > 1:
             if (vegas_assisted or predict_split
                     or self.rule_backend != "xla"):
@@ -698,7 +702,8 @@ class Workspace:
                 partitions_per_axis, relerr_classification,
                 max_iterations, initial_regions, recorder, fused, ledger,
                 finish_scale=finish_epsrel_scale,
-                abs_per_vol=finish_abs_per_vol, deadline=deadline)
+                abs_per_vol=finish_abs_per_vol, deadline=deadline,
+                crease_split=crease_split)
 
         # -- initial pool (capacity floored at chunk_size so the hot rule
         # kernel compiles exactly once per run) -------------------------------
@@ -1391,7 +1396,7 @@ class Workspace:
         self, f, epsrel, epsabs, global_lo, global_range,
         partitions_per_axis, relerr_classification, max_iterations,
         initial_regions, recorder, fused, ledger=None, finish_scale=1.0,
-        abs_per_vol=0.0, deadline=None, ncomp=1,
+        abs_per_vol=0.0, deadline=None, ncomp=1, crease_split=False,
     ) -> IntegrationResult:
         """Multi-chip adaptive loop: D independent shard-local sub-pools.
 
@@ -1538,6 +1543,7 @@ class Workspace:
                                         jnp.float64),
                             jnp.asarray(max_iterations, jnp.int32),
                             apv_dev, nev_cap, mesh=mesh)
+                    frac_f = None
                     packed = np.asarray(packed_d)   # ONE sync per burst
                     n = int(packed[0])
                     fused_iters = int(packed[2]) - cum.iters
@@ -1567,8 +1573,7 @@ class Workspace:
                         (cum_est.copy(), cum_err.copy(), result_nregions,
                          cum.iters, cum.neval))
                 else:
-                    (lows, lengths, parent_est, sdim_f, ns, packed_d) = \
-                        fused_loop.fused_adaptive_phase(
+                    fout = fused_loop.fused_adaptive_phase(
                             f, ndim, dtype_name, _chunk(cap_s),
                             relerr_classification, fused_gate, feval,
                             lows, lengths, ns, parent_est,
@@ -1584,7 +1589,15 @@ class Workspace:
                             jnp.asarray(classifier._estimates,
                                         jnp.float64),
                             jnp.asarray(max_iterations, jnp.int32),
-                            apv_dev, nev_cap, mesh=mesh)
+                            apv_dev, nev_cap, mesh=mesh,
+                            with_split_frac=crease_split)
+                    if crease_split:
+                        (lows, lengths, parent_est, sdim_f, frac_f, ns,
+                         packed_d) = fout
+                    else:
+                        (lows, lengths, parent_est, sdim_f, ns,
+                         packed_d) = fout
+                        frac_f = None
                     packed = np.asarray(packed_d)   # ONE sync per burst
                     n = int(packed[0])
                     fused_iters = int(packed[4]) - cum.iters
@@ -1611,8 +1624,10 @@ class Workspace:
                 if status == 1:
                     # bucket overflow: shard-local split of the compacted
                     # survivors into the doubled per-shard buckets
+                    # (crease runs carry their compacted cut fractions)
                     ns, lows, lengths = S.sharded_split(
-                        mesh, 2 * cap_s, lows, lengths, sdim_f, ns)
+                        mesh, 2 * cap_s, lows, lengths, sdim_f, ns,
+                        frac=frac_f)
                     cap_s *= 2
                     n *= 2
                     use_refine = jnp.asarray(True)
@@ -1638,10 +1653,15 @@ class Workspace:
                 # gate crossing (status -1): host iteration w/ classifier
 
             t_iter = _time.perf_counter()
-            est_raw, err_raw, sdim = S.sharded_eval_stage(
+            eval_out = S.sharded_eval_stage(
                 f, ndim, dtype_name, mesh, lows, lengths,
                 global_lo, global_range, ns=ns,
-                chunk_size=_chunk(cap_s), blocked=blocked, ncomp=ncomp)
+                chunk_size=_chunk(cap_s), blocked=blocked, ncomp=ncomp,
+                with_split_frac=crease_split)
+            if crease_split:
+                est_raw, err_raw, sdim, sfrac = eval_out
+            else:
+                (est_raw, err_raw, sdim), sfrac = eval_out, None
             if vec:
                 est, refined, active, mask_b, _ns_act, scalars_d = \
                     S.sharded_post_stage_vector(
@@ -1820,7 +1840,7 @@ class Workspace:
                               self.chunk_size)
             ns, lows, lengths, parent_est, _perr = S.sharded_compact_split(
                 mesh, child_cap_s, active, lows, lengths, sdim,
-                est, refined)
+                est, refined, extra=sfrac)
             n = 2 * n_active
             cap_s = child_cap_s
             use_refine = jnp.asarray(True)

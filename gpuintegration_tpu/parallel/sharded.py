@@ -43,10 +43,11 @@ _VEC = P(REGION_AXIS)
 @functools.partial(
     jax.jit,
     static_argnames=("f", "ndim", "dtype_name", "mesh", "chunk_size",
-                     "blocked", "ncomp"))
+                     "blocked", "ncomp", "with_split_frac"))
 def sharded_eval_stage(f, ndim, dtype_name, mesh,
                        lows, lengths, global_lo, global_range,
-                       ns=None, chunk_size=None, blocked=False, ncomp=1):
+                       ns=None, chunk_size=None, blocked=False, ncomp=1,
+                       with_split_frac=False):
     """Rule application with the region axis sharded over the mesh.
 
     Each shard evaluates its own regions -- the multi-chip analogue of the
@@ -61,27 +62,37 @@ def sharded_eval_stage(f, ndim, dtype_name, mesh,
     ``ncomp`` > 1: vector integrands -- est/err come back component-major
     (ncomp, D*cap_s) with the REGION axis sharded (component axis
     replicated like the pools' dims axis).
+
+    ``with_split_frac`` (round 5): crease/jump-aware splitting on the
+    mesh -- the per-region cut fractions (rule_eval._split_fraction, a
+    purely shard-local stencil computation) come back as a fourth
+    region-sharded output for sharded_compact_split's ``extra=``.
     """
     tables = rule_eval.rule_tables(ndim, dtype_name)
     est_spec = _VEC if ncomp == 1 else _POOL
+    out_specs = (est_spec, est_spec, _VEC)
+    if with_split_frac:
+        out_specs += (_VEC,)
 
     if ns is None:
         def local_eval(lo, ln, gl, gr):
-            return rule_eval.apply_rule(f, tables, lo, ln, gl, gr,
-                                        chunk_size=chunk_size, ncomp=ncomp)
+            return rule_eval.apply_rule(
+                f, tables, lo, ln, gl, gr, chunk_size=chunk_size,
+                ncomp=ncomp, with_split_frac=with_split_frac)
         in_specs = (_POOL, _POOL, P(None), P(None))
         args = (lows, lengths, global_lo, global_range)
     else:
         def local_eval(lo, ln, gl, gr, ns_l):
             return rule_eval.apply_rule(
                 f, tables, lo, ln, gl, gr, chunk_size=chunk_size,
-                n=ns_l[0], blocked=blocked, ncomp=ncomp)
+                n=ns_l[0], blocked=blocked, ncomp=ncomp,
+                with_split_frac=with_split_frac)
         in_specs = (_POOL, _POOL, P(None), P(None), _VEC)
         args = (lows, lengths, global_lo, global_range, ns)
 
     fn = shard_map(
         local_eval, mesh=mesh, in_specs=in_specs,
-        out_specs=(est_spec, est_spec, _VEC), check_vma=False,
+        out_specs=out_specs, check_vma=False,
     )
     return fn(*args)
 
@@ -188,7 +199,8 @@ def sharded_post_stage_vector(relerr_classification, blocked, mesh, ncomp,
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
 def sharded_compact_split(mesh, out_capacity,
-                          active, lows, lengths, sdim, est, refined):
+                          active, lows, lengths, sdim, est, refined,
+                          extra=None):
     """Shard-local compaction + bisection split: each device stream-
     compacts ITS surviving regions (the bitwise shift passes never leave
     the shard -- no cross-chip permute) and splits them into its own
@@ -199,46 +211,80 @@ def sharded_compact_split(mesh, out_capacity,
     component-major (ncomp, D*cap_s) est/refined; the compaction's shift
     passes treat the component axis exactly like the pools' dims axis
     (replicated), and the parents come back component-major.
+
+    ``extra`` (round 5): per-region cut fractions for crease/jump-aware
+    splitting -- compacted alongside the pool (the shift passes are
+    payload-agnostic) and consumed by the shard-local split's ``frac=``,
+    exactly like the single-chip host loop.  Beyond-reference either
+    way: the reference splits at midpoints only
+    (Sub_region_splitter.cuh:56-87) and has no multi-GPU mode.
     """
     from gpuintegration_tpu.pagani import region_pool
 
     pe_spec = _POOL if est.ndim == 2 else _VEC
 
-    def local(a, lo, ln, sd, e, r):
-        # compaction is gated by the active MASK alone; per-shard counts
-        # are derived, not consumed
-        n_act, c_lo, c_ln, c_sd, par, perr = region_pool.compact(
-            a, lo, ln, sd, e, r, out_capacity=out_capacity // 2)
-        lo2, ln2, _ = region_pool.split(
-            c_lo, c_ln, c_sd, n_act, out_capacity=out_capacity)
-        return ((2 * n_act)[None].astype(jnp.int32), lo2, ln2, par, perr)
+    if extra is None:
+        def local(a, lo, ln, sd, e, r):
+            # compaction is gated by the active MASK alone; per-shard
+            # counts are derived, not consumed
+            n_act, c_lo, c_ln, c_sd, par, perr = region_pool.compact(
+                a, lo, ln, sd, e, r, out_capacity=out_capacity // 2)
+            lo2, ln2, _ = region_pool.split(
+                c_lo, c_ln, c_sd, n_act, out_capacity=out_capacity)
+            return ((2 * n_act)[None].astype(jnp.int32), lo2, ln2, par,
+                    perr)
+        in_specs = (_VEC, _POOL, _POOL, _VEC, pe_spec, pe_spec)
+        args = (active, lows, lengths, sdim, est, refined)
+    else:
+        def local(a, lo, ln, sd, e, r, fr):
+            n_act, c_lo, c_ln, c_sd, par, perr, c_fr = region_pool.compact(
+                a, lo, ln, sd, e, r, out_capacity=out_capacity // 2,
+                extra=fr)
+            lo2, ln2, _ = region_pool.split(
+                c_lo, c_ln, c_sd, n_act, out_capacity=out_capacity,
+                frac=c_fr)
+            return ((2 * n_act)[None].astype(jnp.int32), lo2, ln2, par,
+                    perr)
+        in_specs = (_VEC, _POOL, _POOL, _VEC, pe_spec, pe_spec, _VEC)
+        args = (active, lows, lengths, sdim, est, refined, extra)
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(_VEC, _POOL, _POOL, _VEC, pe_spec, pe_spec),
+        in_specs=in_specs,
         out_specs=(_VEC, _POOL, _POOL, pe_spec, pe_spec),
         check_vma=False)
-    return fn(active, lows, lengths, sdim, est, refined)
+    return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("out_capacity", "mesh"))
-def sharded_split(mesh, out_capacity, lows, lengths, sdim, ns):
+def sharded_split(mesh, out_capacity, lows, lengths, sdim, ns, frac=None):
     """Shard-local split of already-compacted survivors into a doubled
     per-shard bucket (the fused phase's bucket-overflow exit hands back
-    compacted survivors; this grows them without re-evaluation)."""
+    compacted survivors; this grows them without re-evaluation).
+    ``frac``: their compacted cut fractions (crease/jump runs)."""
     from gpuintegration_tpu.pagani import region_pool
 
-    def local(lo, ln, sd, ns_l):
-        lo2, ln2, _ = region_pool.split(
-            lo, ln, sd, ns_l[0], out_capacity=out_capacity)
-        return (2 * ns_l[0])[None].astype(jnp.int32), lo2, ln2
+    if frac is None:
+        def local(lo, ln, sd, ns_l):
+            lo2, ln2, _ = region_pool.split(
+                lo, ln, sd, ns_l[0], out_capacity=out_capacity)
+            return (2 * ns_l[0])[None].astype(jnp.int32), lo2, ln2
+        in_specs = (_POOL, _POOL, _VEC, _VEC)
+        args = (lows, lengths, sdim, ns)
+    else:
+        def local(lo, ln, sd, ns_l, fr):
+            lo2, ln2, _ = region_pool.split(
+                lo, ln, sd, ns_l[0], out_capacity=out_capacity, frac=fr)
+            return (2 * ns_l[0])[None].astype(jnp.int32), lo2, ln2
+        in_specs = (_POOL, _POOL, _VEC, _VEC, _VEC)
+        args = (lows, lengths, sdim, ns, frac)
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(_POOL, _POOL, _VEC, _VEC),
+        in_specs=in_specs,
         out_specs=(_VEC, _POOL, _POOL),
         check_vma=False)
-    return fn(lows, lengths, sdim, ns)
+    return fn(*args)
 
 
 # ---------------------------------------------------------------------------

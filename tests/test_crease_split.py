@@ -138,6 +138,49 @@ class TestCreaseSplitIntegration:
             Workspace(2, chunk_size=256).integrate(
                 g, epsrel=1e-3, crease_split=True, vegas_assisted=True)
 
+    def test_mesh_matches_single_chip(self):
+        """crease/jump splitting on the mesh (round 5): the cut fraction
+        rides sharded_compact_split's extra= payload and the fused mesh
+        carry; the stencil and the split are shard-local, so an 8-device
+        crease run must reproduce the single-chip trajectory (same
+        iterations/regions/evals, estimates to psum-reassociation
+        roundoff) -- the scalar mesh discipline's tolerances."""
+        import jax
+        from gpuintegration_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device backend")
+        mesh = make_mesh()
+        g = genz.f5_c0_continuous(3, a=10.0, b=0.37)
+        kw = dict(epsrel=1e-7, epsabs=1e-40, crease_split=True,
+                  max_iterations=60)
+        r1 = Workspace(3, chunk_size=256).integrate(g, **kw)
+        r8 = Workspace(3, chunk_size=256, mesh=mesh).integrate(g, **kw)
+        assert (r1.status, r1.iters, r1.neval, r1.nregions) == \
+            (r8.status, r8.iters, r8.neval, r8.nregions)
+        np.testing.assert_allclose(r8.estimate, r1.estimate, rtol=1e-12)
+        np.testing.assert_allclose(r8.errorest, r1.errorest, rtol=1e-9)
+        rel = abs(r8.estimate - g.true_value) / g.true_value
+        assert r8.status == 0 and rel < 3e-7
+
+    def test_mesh_host_loop_crease(self):
+        """Same equivalence through the mesh HOST loop (fused=False):
+        sharded_eval_stage returns the fraction vector and
+        sharded_compact_split consumes it."""
+        import jax
+        from gpuintegration_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device backend")
+        mesh = make_mesh()
+        g = genz.f5_c0_continuous(2, a=10.0, b=0.37)
+        kw = dict(epsrel=1e-8, epsabs=1e-40, crease_split=True,
+                  fused=False, max_iterations=40)
+        r1 = Workspace(2, chunk_size=256).integrate(g, **kw)
+        r8 = Workspace(2, chunk_size=256, mesh=mesh).integrate(g, **kw)
+        assert (r1.status, r1.iters, r1.neval, r1.nregions) == \
+            (r8.status, r8.iters, r8.neval, r8.nregions)
+        np.testing.assert_allclose(r8.estimate, r1.estimate, rtol=1e-12)
+        np.testing.assert_allclose(r8.errorest, r1.errorest, rtol=1e-9)
+
     def test_continuation_inherits_crease_split(self):
         """integrate_to_convergence forwards crease_split through
         resume rounds (kw passthrough)."""
