@@ -81,11 +81,28 @@ def _locate(knots: jax.Array, x: jax.Array) -> jax.Array:
 # serialize (~1 s per 8M-element f64 gather) and the searchsorted/gather
 # integrand path has crashed the axon worker outright; a K-wide dense
 # contraction rides the MXU instead.  Above these ceilings the per-point
-# flop cost of the dense form outgrows the gather cost and the gather
-# path is kept.
+# flop cost of the dense form outgrows the cell cost and the TWO-LEVEL
+# lookup path takes over (round 5, _TWOLEVEL_MAX below) -- still
+# gather-free; the legacy search+gather eval() survives only past
+# _TWOLEVEL_MAX.
 _DENSE_MAX_1D = 4096
 _DENSE_MAX_2D = 16384     # nx * ny cells
 _DENSE_MAX_3D = 65536     # nx * ny * nz cells
+
+# Ceiling for the two-level lookup path that serves tables ABOVE the
+# dense ceilings (round 5).  Flattened tables up to this many entries
+# evaluate via hierarchical one-hot cell location + one-hot row fetches
+# (the vegas._edge_lookup / pallas_lookup mold): no searchsorted, no
+# dynamic gathers anywhere -- the gather path serialized (~1 s per
+# 8M-element f64 gather) and crashed the axon worker at rule-eval batch
+# sizes.  Cost scales as O(K/_PF_L) MXU-contraction per point, so the
+# practical sweet spot is <= ~2^19 entries (a 512x512 Interp2D measures
+# ~a few hundred Genz-equivalents per eval on TPU -- probe with
+# workspace.measure_eval_cost and pass eval_cost=); beyond _TWOLEVEL_MAX
+# the per-point one-hot row grows past useful chunk sizes and the
+# legacy search+gather eval() remains (documented hazard).
+_TWOLEVEL_MAX = 1 << 21
+_PF_L = 128            # fine-level fan-out (one MXU lane tile)
 
 # Per-chunk f32/f64 element budget for dense-path temporaries.  Rule-eval
 # batches reach tens of millions of points; an unchunked (table_axis,
@@ -159,6 +176,103 @@ def _hat_weights_t(knots: jax.Array, x: jax.Array, dt=None) -> jax.Array:
     rising = num_r / den_r[:, None]
     falling = num_f / den_f[:, None]
     return jnp.clip(jnp.minimum(rising, falling), 0.0, 1.0)
+
+
+def _f32_chunks(v: jax.Array, exact: bool) -> list:
+    """Split an f64 array into f32 chunks whose f64 sum reconstructs it
+    EXACTLY (53 mantissa bits <= 3 x 24): selection by one-hot matmul is
+    linear, so fetching each chunk exactly (one-hot rows at HIGHEST make
+    every f32 product exact) and summing in f64 fetches the exact f64
+    value -- the trick that keeps the two-level path gather-free while
+    fetching table values exactly (pinned bitwise in
+    tests/test_interp.py::TestTwoLevelLookup).  ``exact=False`` (the
+    precision='f32' fast path) keeps a single f32(v) chunk."""
+    c1 = v.astype(jnp.float32)
+    if not exact:
+        return [c1]
+    r1 = v - c1.astype(jnp.float64)
+    c2 = r1.astype(jnp.float32)
+    c3 = (r1 - c2.astype(jnp.float64)).astype(jnp.float32)
+    return [c1, c2, c3]
+
+
+def _pair_rows(vals: jax.Array, exact: bool):
+    """Precompute the (H, 2 * L * nchunks) row table for _pair_fetch:
+    row h holds [vals[h*L + j] | vals[h*L + j + 1]] per chunk, with the
+    last entry's right neighbour repeating vals[-1] (so cell K-1 -- a
+    clamped query exactly at the top knot -- lerps to the edge value)."""
+    K = vals.shape[0]
+    L = _PF_L
+    H = -(-K // L)
+    pad = H * L - K
+    right_src = jnp.concatenate([vals[1:], vals[-1:]])
+    parts = []
+    for src in (vals, right_src):
+        for c in _f32_chunks(src, exact):
+            parts.append(jnp.pad(c, (0, pad)).reshape(H, L))
+    return jnp.concatenate(parts, axis=1), H   # (H, 2*L*nc)
+
+
+def _pair_fetch(rows_T, H, idx, exact, out_dtype):
+    """(vals[idx], vals[idx+1]) for flat int32 ``idx`` without gathers:
+    one (N, H) one-hot matmul fetches the L-wide row pair, one L-wide
+    one-hot dot on the VPU picks the entry (vegas._edge_lookup mold,
+    vegasT.cuh:188-235 analogue).  Exact f64 values via _f32_chunks
+    when ``exact`` (every product/sum is exact); single-chunk f32
+    otherwise."""
+    f32 = jnp.float32
+    L = _PF_L
+    nc = 3 if exact else 1
+    hi = idx // L
+    lo = idx - hi * L
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=jnp.int32)).astype(f32)
+    rows = _mm(oh_hi, rows_T)                    # (N, 2*L*nc)
+    oh_lo = (lo[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(f32)
+    out = []
+    for side in range(2):
+        acc = jnp.zeros(idx.shape, out_dtype)
+        for c in range(nc):
+            col = (side * nc + c) * L
+            acc = acc + jnp.sum(
+                rows[:, col:col + L] * oh_lo, axis=1).astype(out_dtype)
+        out.append(acc)
+    return out[0], out[1]
+
+
+def _cell_locate_dense(knots: jax.Array, x: jax.Array) -> jax.Array:
+    """searchsorted-equivalent cell index (knots[i] <= x < knots[i+1],
+    clipped to [0, K-2]) with NO gathers and no (K, N) blowup: a direct
+    count against the (H,) block starts, an exact-f64 one-hot fetch of
+    the block's L knots, and a count within the row.  Equals _locate
+    bitwise for clamped x (counts and fetches are exact; pinned in
+    tests)."""
+    K = knots.shape[0]
+    if K <= 4096:
+        i = jnp.sum((knots[:, None] <= x[None, :]).astype(jnp.int32),
+                    axis=0) - 1
+        return jnp.clip(i, 0, K - 2)
+    L = _PF_L
+    H = -(-K // L)
+    starts = knots[::L]                          # (H,)
+    hi = jnp.clip(jnp.sum(
+        (starts[:, None] <= x[None, :]).astype(jnp.int32), axis=0) - 1,
+        0, H - 1)
+    # fetch the block's knots exactly.  Pad with the TOP knot (finite --
+    # an inf pad would 0*inf-NaN the one-hot matmul): for x < knots[-1]
+    # pads are never counted <= x, and for x == knots[-1] the overcount
+    # lands past K-2 where the final clip restores _locate's answer.
+    pad = H * L - K
+    kp = jnp.pad(knots, (0, pad), mode="edge")
+    parts = [c.reshape(H, L) for c in _f32_chunks(kp, True)]
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=jnp.int32)).astype(
+        jnp.float32)
+    rows = _mm(oh_hi, jnp.concatenate(parts, axis=1))   # (N, 3L)
+    rowk = (rows[:, :L].astype(jnp.float64)
+            + rows[:, L:2 * L].astype(jnp.float64)
+            + rows[:, 2 * L:].astype(jnp.float64))      # exact f64
+    lo = jnp.clip(jnp.sum(
+        (rowk <= x[:, None]).astype(jnp.int32), axis=1) - 1, 0, L - 1)
+    return jnp.clip(hi * L + lo, 0, K - 2)
 
 
 def _chunked_flat_eval(kernel, arrays, per_point_elems):
@@ -240,7 +354,9 @@ class Interp1D:
         range queries to the edge values, Interp1D.cuh clamp/do_clamp).
 
         Small tables evaluate gather-free via the dense hat contraction
-        (see _hat_weights_t); large tables fall back to search + gather."""
+        (see _hat_weights_t); larger tables (up to _TWOLEVEL_MAX knots)
+        via the gather-free two-level lookup: exact cells + fetches,
+        values matching eval() to FMA-contraction roundoff."""
         xc = self.clamp(jnp.asarray(x, jnp.float64))
         nk = self.xs.shape[0]
         if nk <= _DENSE_MAX_1D:
@@ -252,6 +368,30 @@ class Interp1D:
                 return _mm(self.zs.astype(dt), w)
             out = _chunked_flat_eval(kern, (xc,), nk)
             return out.astype(jnp.float64)
+        if nk <= _TWOLEVEL_MAX:
+            # beyond-dense-ceiling tables: gather-free two-level lookup
+            # -- exact cells/fetches, the same lerp arithmetic as eval()
+            # (agrees to FMA-contraction roundoff, ~1 ulp of each term,
+            # since XLA may fuse the two programs' multiply-adds
+            # differently); precision='f32' narrows the
+            # VALUE fetch only (knots stay exact, so the cell and t are
+            # f64 -- the dense path's narrow-differences discipline)
+            exact = self.precision == "f64"
+            vdt = jnp.float64 if exact else jnp.float32
+            kT, Hk = _pair_rows(self.xs, True)
+            zT, Hz = _pair_rows(self.zs, exact)
+
+            def kern(args):
+                (xf,) = args
+                i = _cell_locate_dense(self.xs, xf)
+                x0, x1 = _pair_fetch(kT, Hk, i, True, jnp.float64)
+                y0, y1 = _pair_fetch(zT, Hz, i, exact, vdt)
+                t = (xf - x0) / (x1 - x0)
+                if not exact:
+                    t = t.astype(jnp.float32)
+                return (y0 + t * (y1 - y0)).astype(jnp.float64)
+            return _chunked_flat_eval(
+                kern, (xc,), 4 * Hk + 4 * Hz + 16 * _PF_L)
         return self.eval(xc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
@@ -360,6 +500,36 @@ class Interp2D:
                 return jnp.sum(t * wy, axis=0)        # (N,)
             out = _chunked_flat_eval(kern, (xc, yc), nx + 2 * ny)
             return out.astype(jnp.float64)
+        if nx * ny <= _TWOLEVEL_MAX:
+            # beyond-ceiling tables (e.g. 512x512): gather-free
+            # two-level lookup -- exact cells/fetches, values matching
+            # eval() to FMA roundoff; f32 narrows the corner fetch only
+            exact = self.precision == "f64"
+            vdt = jnp.float64 if exact else jnp.float32
+            xT, Hx = _pair_rows(self.xs, True)
+            yT, Hy = _pair_rows(self.ys, True)
+            zT, Hz = _pair_rows(self.zs.reshape(-1), exact)
+
+            def kern(args):
+                xf, yf = args
+                i = _cell_locate_dense(self.xs, xf)
+                j = _cell_locate_dense(self.ys, yf)
+                x0, x1 = _pair_fetch(xT, Hx, i, True, jnp.float64)
+                y0, y1 = _pair_fetch(yT, Hy, j, True, jnp.float64)
+                base = j * nx + i
+                q00, q01 = _pair_fetch(zT, Hz, base, exact, vdt)
+                q10, q11 = _pair_fetch(zT, Hz, base + nx, exact, vdt)
+                tx = (xf - x0) / (x1 - x0)
+                ty = (yf - y0) / (y1 - y0)
+                if not exact:
+                    tx, ty = (tx.astype(jnp.float32),
+                              ty.astype(jnp.float32))
+                top = q00 + tx * (q01 - q00)
+                bot = q10 + tx * (q11 - q10)
+                return (top + ty * (bot - top)).astype(jnp.float64)
+            return _chunked_flat_eval(
+                kern, (xc, yc),
+                4 * (Hx + Hy) + 8 * Hz + 16 * _PF_L)
         return self.eval(xc, yc)
 
     # -- hexfloat (de)serialisation parity ---------------------------------
@@ -451,6 +621,53 @@ class Interp3D:
             out = _chunked_flat_eval(
                 kern, (x, y, z), nx + ny + nz + 2 * nz * ny)
             return out.astype(jnp.float64)
+        if nx * ny * nz <= _TWOLEVEL_MAX:
+            # beyond-ceiling tables: gather-free two-level lookup --
+            # exact cells/fetches, eval()'s lerp order (agrees to FMA
+            # roundoff); f32 narrows the 8 corner-value fetches only
+            exact = self.precision == "f64"
+            vdt = jnp.float64 if exact else jnp.float32
+            xT, Hx = _pair_rows(self.xs, True)
+            yT, Hy = _pair_rows(self.ys, True)
+            zT, Hz = _pair_rows(self.zs, True)
+            vT, Hv = _pair_rows(self.vals.reshape(-1), exact)
+
+            def kern(args):
+                xf, yf, zf = args
+                i = _cell_locate_dense(self.xs, xf)
+                j = _cell_locate_dense(self.ys, yf)
+                k = _cell_locate_dense(self.zs, zf)
+                x0, x1 = _pair_fetch(xT, Hx, i, True, jnp.float64)
+                y0, y1 = _pair_fetch(yT, Hy, j, True, jnp.float64)
+                z0, z1 = _pair_fetch(zT, Hz, k, True, jnp.float64)
+                base = (k * ny + j) * nx + i
+                v000, v001 = _pair_fetch(vT, Hv, base, exact, vdt)
+                v010, v011 = _pair_fetch(vT, Hv, base + nx, exact, vdt)
+                v100, v101 = _pair_fetch(vT, Hv, base + nx * ny, exact,
+                                         vdt)
+                v110, v111 = _pair_fetch(vT, Hv, base + nx * ny + nx,
+                                         exact, vdt)
+                tx = (xf - x0) / (x1 - x0)
+                ty = (yf - y0) / (y1 - y0)
+                tz = (zf - z0) / (z1 - z0)
+                if not exact:
+                    tx, ty, tz = (tx.astype(jnp.float32),
+                                  ty.astype(jnp.float32),
+                                  tz.astype(jnp.float32))
+
+                def lerp(a, b, t):
+                    return a + t * (b - a)
+
+                c00 = lerp(v000, v001, tx)
+                c01 = lerp(v010, v011, tx)
+                c10 = lerp(v100, v101, tx)
+                c11 = lerp(v110, v111, tx)
+                c0 = lerp(c00, c01, ty)
+                c1 = lerp(c10, c11, ty)
+                return lerp(c0, c1, tz).astype(jnp.float64)
+            return _chunked_flat_eval(
+                kern, (x, y, z),
+                4 * (Hx + Hy + Hz) + 16 * Hv + 16 * _PF_L)
         return self.eval(x, y, z)
 
     def eval(self, x, y, z):
