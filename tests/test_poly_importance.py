@@ -1,6 +1,7 @@
 """Polynomial inverse-CDF importance sampling (the gather-free VEGAS
 path).  Unbiasedness holds for ANY monotone map -- these tests check the
 map construction and end-to-end statistics."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -82,3 +83,24 @@ def test_vegas_poly_deterministic():
     r2 = V.integrate(g, ncall=1e4, total_iters=6, adjust_iters=4, seed=42,
                      importance="poly")
     assert r1.estimate == r2.estimate
+
+
+def test_device_fit_matches_host_fit():
+    """fit_importance_poly_device (the fixed-linear-map fit that lets
+    refine='device' re-fit inside the fused loop, round 5) must equal
+    the host least-squares fit to lstsq roundoff on a realistic
+    nonuniform refined grid."""
+    from gpuintegration_tpu.mcubes.poly_importance import (
+        fit_importance_poly, fit_importance_poly_device)
+    rng = np.random.default_rng(0)
+    ndim, nbins = 4, 500
+    w = rng.dirichlet(np.full(nbins, 0.7), size=ndim)
+    xi = np.concatenate([np.zeros((ndim, 1)), np.cumsum(w, axis=1)],
+                        axis=1)
+    xi[:, -1] = 1.0
+    p_h, q_h = fit_importance_poly(xi)
+    p_d, q_d = (np.asarray(a)
+                for a in fit_importance_poly_device(jnp.asarray(xi)))
+    assert p_h.shape == p_d.shape and q_h.shape == q_d.shape
+    np.testing.assert_allclose(p_d, p_h, atol=1e-10)
+    np.testing.assert_allclose(q_d, q_h, atol=1e-10)
