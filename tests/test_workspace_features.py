@@ -109,6 +109,34 @@ class TestVegasAssisted:
         # MC error bars: within 5 combined sigma of truth
         assert abs(r.estimate - g.true_value) < 5 * max(r.errorest, 1e-6)
 
+    def test_huge_magnitude_keeps_adaptation(self):
+        """Round-5 advisor fix: per-region max-NORMALIZED f^2 histograms
+        keep grid adaptation exact for |f|~1e22 integrands (raw f^2
+        overflows f32 to inf and one-hot inf*0 NaN-poisoned the grids;
+        a raw clamp saturates every bin -> uniform grids -> pool
+        explosion, measured on TPU).  The scaled run must match the
+        unit-scale run's estimate exactly up to the factor (identical
+        streams, scale-invariant rebin)."""
+        g = genz.f4_gaussian(2, a=5.0)
+        scale = 2.0 ** 73          # ~9.4e21; a power of two scales f64
+                                   # EXACTLY, so the normalized
+                                   # histograms (and hence grids and
+                                   # streams) are bit-identical
+
+        def gs(x, y):
+            return scale * g(jnp.stack([x, y], axis=-1))
+
+        kw = dict(epsrel=5e-3, epsabs=1e-40, vegas_assisted=True,
+                  max_iterations=8, vegas_passes=4,
+                  vegas_samples_per_pass=256, seed=3)
+        r1 = Workspace(2, chunk_size=1024).integrate(g, **kw)
+        r2 = Workspace(2, chunk_size=1024).integrate(gs, **kw)
+        assert math.isfinite(r2.estimate) and r2.estimate != 0.0
+        assert r2.estimate / scale == pytest.approx(r1.estimate,
+                                                    rel=1e-12)
+        assert r2.errorest / scale == pytest.approx(r1.errorest,
+                                                    rel=1e-9)
+
 
 class TestMaxIterExit:
     def test_estimate_complete_on_nonconvergence(self):
