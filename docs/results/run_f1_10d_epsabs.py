@@ -16,8 +16,13 @@ Either outcome is recorded in pagani_ladders_10d.csv: the first 10D
 oscillatory certification in this lineage, or a measured wall with the
 absolute-target anatomy.
 
+Round 5: disk-resumable (state_path= + a cumulative-wall sidecar, the
+run_physics_resume.py pattern) so the projected 7-12k s certification
+accumulates across budgeted legs.
+
 Usage:  python docs/results/run_f1_10d_epsabs.py [budget_s]
 """
+import json
 import os
 import sys
 import time
@@ -28,18 +33,27 @@ os.environ.setdefault("GPUINT_TPU_CONTINUATION_LOG", "1")
 from gpuintegration_tpu import Workspace               # noqa: E402
 from gpuintegration_tpu.models import genz             # noqa: E402
 
+HERE = os.path.dirname(__file__)
+
 
 def main(out_path=None, budget_s=2400.0):
-    out_path = out_path or os.path.join(
-        os.path.dirname(__file__), "pagani_ladders_10d.csv")
+    out_path = out_path or os.path.join(HERE, "pagani_ladders_10d.csv")
+    state_path = os.path.join(HERE, "f1_10d_epsabs.state")
+    meta_path = os.path.join(HERE, "f1_10d_epsabs.meta.json")
+    meta = {"legs": 0, "wall_s": 0.0}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
     g = genz.f1_oscillatory(10)
     epsabs = 1e-3 * abs(g.true_value)          # ~1.55e-9
     ws = Workspace(10)
     t0 = time.time()
     res = ws.integrate_to_convergence(
         g, epsrel=0.0, epsabs=epsabs, max_wall_s=budget_s,
-        finish_abs_per_vol=0.25 * epsabs)
-    wall = time.time() - t0
+        finish_abs_per_vol=0.25 * epsabs, state_path=state_path)
+    meta["legs"] += 1
+    meta["wall_s"] += time.time() - t0
+    wall = meta["wall_s"]
     rel = abs(res.estimate - g.true_value) / abs(g.true_value)
     with open(out_path, "a") as fh:
         print(f"f1_oscillatory_10d_epsabs,10,xla,{g.true_value:.15e},"
@@ -48,10 +62,17 @@ def main(out_path=None, budget_s=2400.0):
               f"{res.status},{wall * 1e3}", file=fh, flush=True)
         print(f"# f1 10D epsabs-driven (VALIDATION 2b-10D prescription): "
               f"true_rel_err={rel:.3e} target=1e-3 "
-              f"budget={budget_s:.0f}s", file=fh, flush=True)
+              f"legs={meta['legs']} cumulative_wall={wall:.0f}s",
+              file=fh, flush=True)
+    if res.status == 0 and os.path.exists(meta_path):
+        os.remove(meta_path)
+    elif res.status != 0:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
     print(f"status={res.status} est={res.estimate:.9e} "
           f"err={res.errorest:.3e} target_abs={epsabs:.3e} "
-          f"true_rel={rel:.3e} wall={wall:.0f}s")
+          f"true_rel={rel:.3e} total_wall={wall:.0f}s "
+          f"legs={meta['legs']}")
     print(f"wrote {out_path}")
 
 

@@ -2324,11 +2324,14 @@ class Workspace:
                 nregions += r_i.nregions
                 nfinished += r_i.nFinishedRegions
             if _log:
+                q_now = _qsum(3)
                 print(f"[continuation] slice {runs}/{max_runs}: "
                       f"n_in={n_in} depth={depth} status={r_i.status} "
                       f"est={r_i.estimate:.6e} err={r_i.errorest:.3e} "
                       f"stored={s_err_i[wc]:.3e} requeued={requeued} "
-                      f"queued={len(work)} banked_err={fin_err[wc]:.3e}",
+                      f"queued={len(work)} banked_err={fin_err[wc]:.3e} "
+                      f"total_err={float((fin_err + q_now)[wc]):.3e} "
+                      f"budget={float(np.maximum(epsrel * np.abs(fin_est + _qsum(2)), epsabs)[wc]):.3e}",
                       file=_sys.stderr, flush=True)
         if state_path is not None:
             from gpuintegration_tpu.utils.checkpoint import (
