@@ -1357,6 +1357,26 @@ def vegas(
             map_b = jnp.asarray(dp_np, jnp.float32)
         else:
             map_a, map_b = xi, xi
+        # DESIGN 3b: one device dispatch must stay under the frozen-phase
+        # eval ceiling (~5e9 Genz-equivalents; a ~300 s dispatch crashed
+        # the axon worker).  An escalated ncall (simple_integrate climbs
+        # to 8e9, vegas_utils.cuh:272-296) used to run an entire adjust
+        # iteration as ONE dispatch -- observed worker crash 2026-08-21
+        # on f1 10D.  Slice the chunk range into dispatch-bounded
+        # sub-calls instead: per-chunk PRNG streams key on the GLOBAL
+        # chunk id (chunk_offset, the multi-chip decomposition), so the
+        # samples are identical to the single-dispatch run; only the
+        # f64/f32 accumulator reassociation across sub-calls differs.
+        per_dispatch = float(os.environ.get(
+            "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
+        n_split = max(1, -(-int(calls * max(eval_cost, 1.0))
+                           // max(int(per_dispatch), 1)))
+        if mesh is None and n_split > 1:
+            base = -(-num_chunks // n_split)
+            chunk_ranges = [(o, min(base, num_chunks - o))
+                            for o in range(0, num_chunks, base)]
+        else:
+            chunk_ranges = [(0, num_chunks)]
         if mesh is not None:
             ti_d, tsi_d, d = _mesh_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
@@ -1364,16 +1384,28 @@ def vegas(
                 key, map_a, map_b, regn_lo, dx, xjac_d, ncubes_d,
                 eval_dtype_name=ed_name, ncomp=ncomp, **s_kw)
         elif importance == "poly":
-            ti_d, tsi_d, d = _vegas_iteration_poly(
-                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
-                dtype.name, key, map_a, map_b,
-                regn_lo, dx, xjac_d, ncubes_d, eval_dtype_name=ed_name,
-                ncomp=ncomp, **s_kw)
+            ti_d = tsi_d = d = None
+            for off, nc in chunk_ranges:
+                t_i, s_i, d_i = _vegas_iteration_poly(
+                    f, ndim, ng, npg, chunk_cubes, nc, nbins, adjusting,
+                    dtype.name, key, map_a, map_b,
+                    regn_lo, dx, xjac_d, ncubes_d, off,
+                    eval_dtype_name=ed_name, ncomp=ncomp, **s_kw)
+                ti_d = t_i if ti_d is None else ti_d + t_i
+                tsi_d = s_i if tsi_d is None else tsi_d + s_i
+                # partial hists are each cap-saturated; keep the range
+                # contract across the recombination too
+                d = d_i if d is None else jnp.minimum(d + d_i, _HIST_CAP)
         else:
-            ti_d, tsi_d, d = _vegas_iteration(
-                f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,
-                dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d,
-                eval_dtype_name=ed_name, ncomp=ncomp)
+            ti_d = tsi_d = d = None
+            for off, nc in chunk_ranges:
+                t_i, s_i, d_i = _vegas_iteration(
+                    f, ndim, ng, npg, chunk_cubes, nc, nbins, adjusting,
+                    dtype.name, key, xi, regn_lo, dx, xjac_d, ncubes_d,
+                    off, eval_dtype_name=ed_name, ncomp=ncomp)
+                ti_d = t_i if ti_d is None else ti_d + t_i
+                tsi_d = s_i if tsi_d is None else tsi_d + s_i
+                d = d_i if d is None else jnp.minimum(d + d_i, _HIST_CAP)
         if adjusting:
             # grid refinement on host in exact f64, like the reference's
             # per-iteration xi/d round trip (vegasT.cuh:797-927); ~32 KB.

@@ -521,3 +521,55 @@ class TestHugeMagnitudeHistogram:
         out = vgrid.smooth_and_refine(xi, d)
         assert np.isfinite(out).all()
         assert (np.diff(out, axis=1) > 0).all()
+
+
+class TestDispatchSplit:
+    """An adjust/frozen-host iteration whose calls x eval_cost exceed
+    GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH is sliced into several
+    dispatch-bounded kernel calls (the escalated-ncall crash fix).
+    Per-chunk PRNG streams key on the GLOBAL chunk id, so the split
+    changes only accumulator reassociation, never the samples."""
+
+    def test_split_matches_single_dispatch(self, monkeypatch):
+        import math
+
+        from gpuintegration_tpu.mcubes import vegas as V
+        from gpuintegration_tpu.models import genz
+
+        g = genz.f2_product_peak(3)
+        kw = dict(epsrel=1e-2, epsabs=1e-40, ncall=4e4, total_iters=6,
+                  adjust_iters=3, skip_iters=1, seed=11, sampler="xla")
+        monkeypatch.delenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH",
+                           raising=False)
+        r_one = V.integrate(g, **kw)
+        # force ~8-way splitting of every iteration
+        monkeypatch.setenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5000")
+        r_split = V.integrate(g, **kw)
+        assert r_split.iters == r_one.iters
+        assert r_split.neval == r_one.neval
+        # identical streams; only f64/f32 reassociation differs, and the
+        # f32 histogram difference feeds the grid so later iterations
+        # drift at roundoff scale, not at sample scale
+        assert math.isclose(r_split.estimate, r_one.estimate,
+                            rel_tol=1e-6)
+        assert math.isclose(r_split.errorest, r_one.errorest,
+                            rel_tol=1e-4, abs_tol=1e-30)
+
+    def test_split_matches_poly_path(self, monkeypatch):
+        import math
+
+        from gpuintegration_tpu.mcubes import vegas as V
+        from gpuintegration_tpu.models import genz
+
+        g = genz.f4_gaussian(3)
+        kw = dict(epsrel=1e-2, epsabs=1e-40, ncall=4e4, total_iters=5,
+                  adjust_iters=3, skip_iters=1, seed=7,
+                  importance="poly", sampler="xla")
+        monkeypatch.delenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH",
+                           raising=False)
+        r_one = V.integrate(g, **kw)
+        monkeypatch.setenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5000")
+        r_split = V.integrate(g, **kw)
+        assert r_split.iters == r_one.iters
+        assert math.isclose(r_split.estimate, r_one.estimate,
+                            rel_tol=1e-6)
