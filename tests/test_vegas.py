@@ -573,3 +573,30 @@ class TestDispatchSplit:
         assert r_split.iters == r_one.iters
         assert math.isclose(r_split.estimate, r_one.estimate,
                             rel_tol=1e-6)
+
+
+class TestF1WallLaw:
+    """The f1 10D statistical-wall law (docs/results/run_f1_10d_wall.py)
+    rests on closed-form moments of cos(sum i*x_i); pin them against the
+    integrand registry so the law can't silently drift from the truth
+    machinery."""
+
+    def test_analytic_moments_match_registry(self):
+        import cmath
+
+        from gpuintegration_tpu.models import genz
+
+        a = np.arange(1, 11, dtype=np.float64)
+        ef = np.prod([(cmath.exp(1j * ai) - 1) / (1j * ai)
+                      for ai in a]).real
+        ef2 = 0.5 + 0.5 * np.prod(
+            [(cmath.exp(2j * ai) - 1) / (2j * ai) for ai in a]).real
+        g = genz.f1_oscillatory(10)
+        assert abs(ef - g.true_value) <= 1e-18 + 1e-12 * abs(ef)
+        var = ef2 - ef * ef
+        assert abs(var - 0.5) < 1e-10          # cancellation: Var ~ 1/2
+        # optimal-importance Cauchy-Schwarz floor (E|f|)^2 - I^2 stays
+        # O(0.4): the wall is 1e5x-class above the escalation cap
+        floor = (2.0 / np.pi) ** 2 - ef * ef
+        n_floor = floor / (1e-3 * abs(ef)) ** 2
+        assert n_floor > 1e4 * 8e9 * 100
