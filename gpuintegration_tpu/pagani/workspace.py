@@ -597,9 +597,15 @@ class Workspace:
         crease instead of the midpoint, making both children smooth and
         restoring the rule's full convergence order in one cut
         (rule_eval._split_fraction; regions with no confident kink
-        split at the midpoint bit-identically).  Scalar XLA only
-        (incompatible with the Pallas rule backend, vector integrands
-        and vegas_assisted); runs the host loop, the fused on-device
+        split at the midpoint bit-identically).  Scalar XLA only: the
+        Pallas rule backend is f32 scalar-per-axis by construction and
+        vegas_assisted overwrites the stencil estimates; for VECTOR
+        integrands the detector would need a per-component fraction
+        reduced to one cut, and the jump/kink gates are
+        measured-false-positive calibrated on SCALAR stencils
+        (rule_eval.py) -- re-deriving those thresholds per component
+        family is open work, so vector runs keep midpoint splits
+        rather than ship uncalibrated gates.  Runs the host loop, the fused on-device
         phase (the cut-fraction vector is threaded through the fused
         carry) AND, since round 5, the mesh (the fraction rides
         sharded_compact_split's ``extra=`` payload -- the stencil and
