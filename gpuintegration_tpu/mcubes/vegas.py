@@ -1371,6 +1371,10 @@ def vegas(
             "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
         n_split = max(1, -(-int(calls * max(eval_cost, 1.0))
                            // max(int(per_dispatch), 1)))
+        # mesh runs already divide the chunk range across devices
+        # (calls/n_dev per chip per dispatch), so they stay single-call
+        # here; a >5e9-eval PER-CHIP mesh iteration would need the same
+        # treatment inside _mesh_iteration's shard_map.
         if mesh is None and n_split > 1:
             base = -(-num_chunks // n_split)
             chunk_ranges = [(o, min(base, num_chunks - o))
