@@ -79,6 +79,26 @@ def _iters_per_dispatch(calls: float, eval_cost: float = 1.0) -> int:
     return max(1, int(budget / max(calls * max(eval_cost, 1.0), 1.0)))
 
 
+def _chunk_ranges(num_chunks: int, calls: float,
+                  eval_cost: float = 1.0) -> list[tuple[int, int]]:
+    """(offset, length) chunk sub-ranges so each host-refine iteration
+    dispatch stays under the per-dispatch eval budget (the inverse case
+    of _iters_per_dispatch: calls so large that ONE iteration overflows
+    a dispatch -- an escalated 8e9-call adjust iteration crashed the
+    worker, 2026-08-21).  At most two distinct lengths, so splitting
+    adds at most one extra compile shape; covers [0, num_chunks)
+    exactly; [(0, num_chunks)] whenever no split is needed."""
+    per_dispatch = float(os.environ.get(
+        "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
+    n_split = max(1, -(-int(calls * max(eval_cost, 1.0))
+                       // max(int(per_dispatch), 1)))
+    if n_split <= 1:
+        return [(0, num_chunks)]
+    base = -(-num_chunks // n_split)
+    return [(o, min(base, num_chunks - o))
+            for o in range(0, num_chunks, base)]
+
+
 def adjust_params(ncall: float, total_iters: int) -> tuple[float, int, bool]:
     """Escalation schedule for extended runs (vegas_utils.cuh:272-296)."""
     if ncall >= 8e9 and total_iters >= 100:
@@ -1367,20 +1387,12 @@ def vegas(
         # chunk id (chunk_offset, the multi-chip decomposition), so the
         # samples are identical to the single-dispatch run; only the
         # f64/f32 accumulator reassociation across sub-calls differs.
-        per_dispatch = float(os.environ.get(
-            "GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "5e9"))
-        n_split = max(1, -(-int(calls * max(eval_cost, 1.0))
-                           // max(int(per_dispatch), 1)))
         # mesh runs already divide the chunk range across devices
         # (calls/n_dev per chip per dispatch), so they stay single-call
         # here; a >5e9-eval PER-CHIP mesh iteration would need the same
         # treatment inside _mesh_iteration's shard_map.
-        if mesh is None and n_split > 1:
-            base = -(-num_chunks // n_split)
-            chunk_ranges = [(o, min(base, num_chunks - o))
-                            for o in range(0, num_chunks, base)]
-        else:
-            chunk_ranges = [(0, num_chunks)]
+        chunk_ranges = (_chunk_ranges(num_chunks, calls, eval_cost)
+                        if mesh is None else [(0, num_chunks)])
         if mesh is not None:
             ti_d, tsi_d, d = _mesh_iteration(
                 f, ndim, ng, npg, chunk_cubes, num_chunks, nbins, adjusting,

@@ -575,6 +575,25 @@ class TestDispatchSplit:
                             rel_tol=1e-6)
 
 
+    def test_chunk_ranges_partition(self, monkeypatch):
+        from gpuintegration_tpu.mcubes.vegas import _chunk_ranges
+
+        monkeypatch.setenv("GPUINT_TPU_FROZEN_EVALS_PER_DISPATCH", "1e9")
+        assert _chunk_ranges(7, 5e8) == [(0, 7)]           # under budget
+        for nc, calls, cost in [(7, 8e9, 1.0), (1, 8e9, 1.0),
+                                (4000, 8e9, 1.0), (5, 4e9, 7.3),
+                                (3, 1e12, 1.0)]:
+            rs = _chunk_ranges(nc, calls, cost)
+            # exact disjoint cover of [0, nc)
+            assert rs[0][0] == 0
+            assert sum(n for _, n in rs) == nc
+            assert all(rs[i][0] + rs[i][1] == rs[i + 1][0]
+                       for i in range(len(rs) - 1))
+            assert all(n >= 1 for _, n in rs)
+            # at most two distinct lengths (compile-shape bound)
+            assert len({n for _, n in rs}) <= 2
+
+
 class TestF1WallLaw:
     """The f1 10D statistical-wall law (docs/results/run_f1_10d_wall.py)
     rests on closed-form moments of cos(sum i*x_i); pin them against the
@@ -600,3 +619,4 @@ class TestF1WallLaw:
         floor = (2.0 / np.pi) ** 2 - ef * ef
         n_floor = floor / (1e-3 * abs(ef)) ** 2
         assert n_floor > 1e4 * 8e9 * 100
+
